@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side collect), which is the honest analogue of writing results at
+cluster scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from emap_spark.registry import queries  # noqa: E402
+from emap_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_shipping_priority",
+    "q03_local_supplier_revenue",
+    "q04_order_priority_check",
+    "q06_revenue_forecast",
+    "q08_top_parts_by_revenue",
+    "q10_top_orders_per_customer",
+    "q20_latest_event_per_user",
+    "q22_user_current_state",
+    "q26_sessionization",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("emap_spark_bench")
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs]
+    # Warm the JVM/catalog once with the cheapest query before timing.
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
