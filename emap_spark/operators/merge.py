@@ -1,0 +1,500 @@
+"""The generic bitemporal merge engine — the Spark-native re-expression of
+the reference's RowState meta-operator family (SURVEY.md §2.3, M1-M9;
+reference core/.../emapstar/RowState.java:77-238 and the controllers that
+reuse it).
+
+One parameterized operator, reused by every entity table, exactly as the
+reference reuses RowState:
+
+  M1 get-or-create      -> full-outer join updates-to-current on the key
+  M2 assign-if-different-> changed-row detection drives audit writes
+  M3 tri-state assign   -> {value, status} struct, SAVE/DELETE/IGNORE fold
+  M4 newer-wins guard   -> total order (event_time, seq); fold takes last
+  M5 fill-if-null       -> per-field contribution time vs current validFrom
+  M6 trusted-source     -> untrusted updates may create, never overwrite
+  M7 save-or-audit      -> superseded versions appended to the audit frame
+                           with validUntil/storedUntil (TemporalCore /
+                           AuditCore.java:33-35 semantics)
+  M8 remove-if-exists   -> TRISTATE DELETE status
+  M9 delete-with-audit  -> tombstone flag; deletion is itself versioned
+
+Design notes (scale + correctness):
+
+* **Order-permutation invariance** (the reference's signature invariant,
+  docs/technical_overview/Technical_overview_of_EMAP.md:146-152): the fold
+  orders each key's updates by the total order (event_time, seq), so any
+  permutation of the input batch produces the same result, and applying
+  batches [b1; b2] equals applying b1 ++ b2 (verified by permutation and
+  batch-split tests).
+* **Deleted entities stay as tombstone rows** (is_deleted=true) in the
+  current frame so that a slower-arriving older message cannot resurrect
+  an entity — this makes deletion order-invariant too, which the
+  reference only achieves by arrival order. Public reads filter them.
+* **Distributed by construction**: one hash shuffle on the business key
+  for the fold, one join with current (broadcast when current is
+  dimension-sized). No collects, no Python row loops; everything stays in
+  whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+# Field policies
+ASSIGN = "assign"  # plain field: newest message's value (even if null)
+FILL_IF_NULL = "fill_if_null"  # write if currently null, else only if newer
+TRISTATE = "tristate"  # {value,status} struct; SAVE/DELETE/IGNORE
+
+SAVE, DELETE, IGNORE = "SAVE", "DELETE", "IGNORE"
+
+META_COLS = ("valid_from", "stored_from", "is_deleted")
+AUDIT_EXTRA = ("valid_until", "stored_until")
+
+
+def tristate(value: Column, status: Column | str | None = None) -> Column:
+    """Build a tri-state struct column (InterchangeValue.java:16-17).
+
+    HL7 convention (InterchangeValue.buildFromHl7, :100-107): missing ->
+    IGNORE, '""' -> DELETE, else SAVE.
+    """
+    if status is None:
+        status = (
+            F.when(value.isNull(), F.lit(IGNORE))
+            .when(value.cast("string") == '""', F.lit(DELETE))
+            .otherwise(F.lit(SAVE))
+        )
+    elif isinstance(status, str):
+        status = F.lit(status)
+    return F.struct(value.alias("value"), status.alias("status"))
+
+
+@dataclass
+class MergeSpec:
+    """Declarative description of one entity table's merge behavior."""
+
+    key: list[str]
+    fields: dict[str, str]  # field name -> policy
+    event_time: str = "valid_from"  # message validFrom column in updates
+    seq: str | None = None  # total-order tie-break (sourceMessageId)
+    trusted: str | None = None  # boolean col in updates; None = all trusted
+    tombstone: str | None = None  # boolean col in updates marking M9 deletes
+
+    def ordering(self) -> list[Column]:
+        cols = [F.col(self.event_time)]
+        if self.seq:
+            cols.append(F.col(self.seq))
+        return cols
+
+
+@dataclass
+class MergeResult:
+    current: DataFrame  # post-merge current snapshot (incl. tombstone rows)
+    audit: DataFrame  # superseded versions produced by THIS merge
+
+    def live(self) -> DataFrame:
+        """Public view: live rows only (M9 tombstones filtered)."""
+        return self.current.filter(~F.col("is_deleted")).drop("is_deleted")
+
+
+def _fold_field(name: str, policy: str, spec: MergeSpec, frame) -> list[Column]:
+    """Columns folding one field across a key's ordered updates.
+
+    Returns [value_col, contribution_time_col]. The contribution time is
+    the event time of the message that supplied the value — needed for
+    FILL_IF_NULL's "only overwrite if newer" check against current.
+    """
+    t = F.col(spec.event_time)
+    if policy == ASSIGN:
+        # newest message's value, explicitly including null (plain fields
+        # are always carried by the message)
+        val = F.last(F.col(name), ignorenulls=False).over(frame)
+        contrib = F.last(t, ignorenulls=False).over(frame)
+    elif policy == FILL_IF_NULL:
+        mask = F.when(F.col(name).isNotNull(), F.struct(F.col(name).alias("v"), t.alias("t")))
+        picked = F.last(mask, ignorenulls=True).over(frame)
+        val, contrib = picked["v"], picked["t"]
+    elif policy == TRISTATE:
+        st = F.col(name)["status"]
+        mask = F.when(
+            st != IGNORE,
+            F.struct(
+                F.when(st == SAVE, F.col(name)["value"]).alias("v"), t.alias("t")
+            ),
+        )
+        picked = F.last(mask, ignorenulls=True).over(frame)
+        val, contrib = picked["v"], picked["t"]
+    else:
+        raise ValueError(f"unknown policy {policy!r} for field {name!r}")
+    return [val.alias(name), contrib.alias(f"__t_{name}")]
+
+
+def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
+    """Reduce a batch of update messages to one candidate row per key.
+
+    Equivalent to applying the messages one-at-a-time in (event_time, seq)
+    order — which is what makes whole-batch merging safe (§3.1 of
+    SURVEY.md: per-message transactions become per-batch).
+    """
+    order = spec.ordering()
+    w = W.partitionBy(*spec.key).orderBy(*order)
+    frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+
+    tomb = F.col(spec.tombstone) if spec.tombstone else F.lit(False)
+    # Ignore everything at-or-before the newest tombstone; the tombstone
+    # row itself survives the cut so the delete action is visible.
+    last_tomb_t = F.max(F.when(tomb, F.col(spec.event_time))).over(
+        W.partitionBy(*spec.key)
+    )
+    updates = updates.withColumn("__last_tomb_t", last_tomb_t).filter(
+        F.col("__last_tomb_t").isNull()
+        | (F.col(spec.event_time) >= F.col("__last_tomb_t"))
+    )
+
+    if spec.trusted:
+        # M6: untrusted messages may only create. Fold trusted and
+        # untrusted separately; candidate = trusted fold if any trusted
+        # message exists, else the untrusted fold (earliest-create wins,
+        # i.e. the fold ordered ascending but taking FIRST values).
+        tr = updates.filter(F.col(spec.trusted))
+        un = updates.filter(~F.col(spec.trusted))
+        spec_plain = MergeSpec(
+            key=spec.key,
+            fields=spec.fields,
+            event_time=spec.event_time,
+            seq=spec.seq,
+            tombstone=spec.tombstone,
+        )
+        cand_tr = fold_updates(tr, spec_plain).withColumn("__trusted", F.lit(True))
+        cand_un = _fold_first(un, spec_plain).withColumn("__trusted", F.lit(False))
+        only_un = cand_un.join(cand_tr.select(*spec.key), spec.key, "left_anti")
+        return cand_tr.unionByName(only_un)
+
+    cols: list[Column] = [F.col(k) for k in spec.key]
+    for name, policy in spec.fields.items():
+        cols.extend(_fold_field(name, policy, spec, frame))
+    cols.append(F.last(F.col(spec.event_time)).over(frame).alias("__event_time"))
+    cols.append(F.last(tomb).over(frame).alias("__tombstone"))
+    cols.append(F.row_number().over(w).alias("__rn"))
+    folded = updates.select(*cols).filter(F.col("__rn") == 1).drop("__rn")
+    if "__trusted" not in folded.columns:
+        folded = folded.withColumn("__trusted", F.lit(True))
+    return folded
+
+
+def _fold_first(updates: DataFrame, spec: MergeSpec) -> DataFrame:
+    """Create-only fold for untrusted sources: the EARLIEST message
+    creates the entity and later untrusted messages change nothing
+    (reference VisitController.visitShouldBeUpdated, :188-204)."""
+    order = [c.desc() for c in spec.ordering()]
+    w = W.partitionBy(*spec.key).orderBy(*order)
+    frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cols: list[Column] = [F.col(k) for k in spec.key]
+    for name, policy in spec.fields.items():
+        # reverse ordering + last == first in ascending order
+        cols.extend(_fold_field(name, policy, spec, frame))
+    cols.append(F.last(F.col(spec.event_time)).over(frame).alias("__event_time"))
+    tomb = F.col(spec.tombstone) if spec.tombstone else F.lit(False)
+    cols.append(F.last(tomb).over(frame).alias("__tombstone"))
+    cols.append(F.row_number().over(w).alias("__rn"))
+    return updates.select(*cols).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def empty_current(spark, updates: DataFrame, spec: MergeSpec) -> DataFrame:
+    """Schema-correct empty current frame derived from an updates frame."""
+    folded = fold_updates(updates.limit(0), spec)
+    sel = [F.col(k) for k in spec.key]
+    for name in spec.fields:
+        sel.append(F.col(name))
+    sel.append(F.col("__event_time").alias("valid_from"))
+    sel.append(F.col("__event_time").alias("stored_from"))
+    sel.append(F.lit(False).alias("is_deleted"))
+    return folded.select(*sel).limit(0)
+
+
+def merge_batch(
+    current: DataFrame | None,
+    updates: DataFrame,
+    spec: MergeSpec,
+    stored_from,
+) -> MergeResult:
+    """Apply one batch of updates to the current snapshot.
+
+    Returns the new current frame and the audit rows for superseded
+    versions (M7: previous row + validUntil=superseding validFrom,
+    storedUntil=stored_from; RowState.saveEntityOrAuditLogIfRequired,
+    RowState.java:186-201).
+    """
+    spark = updates.sparkSession
+    if current is None:
+        current = empty_current(spark, updates, spec)
+
+    cand = fold_updates(updates, spec)
+
+    key = spec.key
+    cur = current.alias("cur")
+    cnd = cand.alias("cnd")
+    joined = cur.join(cnd, key, "full_outer")
+
+    cur_exists = F.col("cur.valid_from").isNotNull() | F.col("cur.is_deleted").isNotNull()
+    cnd_exists = F.col("cnd.__event_time").isNotNull()
+    cur_deleted = F.coalesce(F.col("cur.is_deleted"), F.lit(False))
+    cnd_newer = cnd_exists & (
+        ~cur_exists | (F.col("cnd.__event_time") >= F.col("cur.valid_from"))
+    )
+    # M6: untrusted candidates only act when the entity does not exist yet
+    # (a tombstone row still counts as existing).
+    cnd_applies = cnd_exists & (F.col("cnd.__trusted") | ~cur_exists)
+
+    out_fields: list[Column] = [F.col(k) for k in key]
+    change_terms: list[Column] = []
+    for name, policy in spec.fields.items():
+        cur_v = F.col(f"cur.{name}")
+        cnd_v = F.col(f"cnd.{name}")
+        cnd_t = F.col(f"cnd.__t_{name}")
+        if policy == ASSIGN:
+            new_v = F.when(cnd_applies & cnd_newer, cnd_v).otherwise(cur_v)
+        elif policy == FILL_IF_NULL:
+            # value applies if current slot empty, or the contributing
+            # message is newer than the entity (RowState.java:207-238)
+            field_applies = cnd_applies & cnd_t.isNotNull() & (
+                ~cur_exists
+                | cur_deleted
+                | cur_v.isNull()
+                | (cnd_t >= F.col("cur.valid_from"))
+            )
+            new_v = F.when(field_applies, cnd_v).otherwise(cur_v)
+        elif policy == TRISTATE:
+            # tri-state assign is newer-wins only (RowState.java:140-150):
+            # an older SAVE must not refill a field a newer DELETE erased
+            field_applies = cnd_applies & cnd_t.isNotNull() & (
+                ~cur_exists | cur_deleted | (cnd_t >= F.col("cur.valid_from"))
+            )
+            new_v = F.when(field_applies, cnd_v).otherwise(cur_v)
+        else:  # pragma: no cover
+            raise ValueError(policy)
+        # a resurrected or fresh entity never inherits old field values
+        new_v = F.when(cur_deleted & cnd_applies, cnd_v).otherwise(new_v)
+        out_fields.append(new_v.alias(name))
+        change_terms.append(~new_v.eqNullSafe(cur_v))
+
+    new_deleted = F.when(
+        cnd_applies & F.col("cnd.__tombstone") & cnd_newer, F.lit(True)
+    ).otherwise(
+        F.when(cnd_applies & cnd_newer, F.lit(False)).otherwise(cur_deleted)
+    )
+    new_valid_from = F.when(
+        cnd_applies & cnd_newer, F.col("cnd.__event_time")
+    ).otherwise(F.col("cur.valid_from"))
+    new_stored_from = F.when(
+        cur_exists & ~cur_deleted, F.col("cur.stored_from")
+    ).otherwise(F.lit(stored_from).cast("timestamp_ntz"))
+
+    changed = F.lit(False)
+    for t in change_terms:
+        changed = changed | t
+    changed = changed | ~new_deleted.eqNullSafe(cur_deleted) | ~cur_exists
+
+    merged = joined.select(
+        *out_fields,
+        new_valid_from.alias("valid_from"),
+        new_stored_from.alias("stored_from"),
+        new_deleted.alias("is_deleted"),
+        (cur_exists & changed).alias("__audit_me"),
+        changed.alias("__changed"),
+        *[F.col(f"cur.{name}").alias(f"__old_{name}") for name in spec.fields],
+        F.col("cur.valid_from").alias("__old_valid_from"),
+        F.col("cur.stored_from").alias("__old_stored_from"),
+        cur_deleted.alias("__old_is_deleted"),
+    )
+
+    audit = merged.filter(F.col("__audit_me")).select(
+        *key,
+        *[F.col(f"__old_{name}").alias(name) for name in spec.fields],
+        F.col("__old_valid_from").alias("valid_from"),
+        F.col("__old_stored_from").alias("stored_from"),
+        F.col("__old_is_deleted").alias("is_deleted"),
+        F.col("valid_from").alias("valid_until"),
+        F.lit(stored_from).cast("timestamp_ntz").alias("stored_until"),
+    )
+    new_current = merged.select(*key, *spec.fields, "valid_from", "stored_from", "is_deleted")
+    return MergeResult(current=new_current, audit=audit)
+
+
+def _fold_field_cum(name: str, policy: str, spec: MergeSpec, frame) -> list[Column]:
+    """Running (cumulative) version of _fold_field: state *after* each
+    message, for message-granularity audit trails."""
+    t = F.col(spec.event_time)
+    if policy == ASSIGN:
+        # a seed row contributes only non-null values (it represents
+        # existing state, not a message carrying every field)
+        mask = F.when(
+            ~F.col("__seed") | F.col(name).isNotNull(),
+            F.struct(F.col(name).alias("v"), t.alias("t")),
+        )
+        picked = F.last(mask, ignorenulls=True).over(frame)
+    elif policy == FILL_IF_NULL:
+        mask = F.when(F.col(name).isNotNull(), F.struct(F.col(name).alias("v"), t.alias("t")))
+        picked = F.last(mask, ignorenulls=True).over(frame)
+    elif policy == TRISTATE:
+        st = F.col(name)["status"]
+        mask = F.when(
+            st != IGNORE,
+            F.struct(F.when(st == SAVE, F.col(name)["value"]).alias("v"), t.alias("t")),
+        )
+        picked = F.last(mask, ignorenulls=True).over(frame)
+    else:
+        raise ValueError(f"unknown policy {policy!r} for field {name!r}")
+    return [picked["v"].alias(name), picked["t"].alias(f"__t_{name}")]
+
+
+def merge_batch_versions(
+    current: DataFrame | None,
+    updates: DataFrame,
+    spec: MergeSpec,
+    stored_from,
+) -> MergeResult:
+    """Message-granularity merge (the reference's exact audit behavior):
+    every state-changing message yields an audit row for the version it
+    supersedes (RowState.java:186-201), so as-of works at any t.
+
+    Implementation: seed the fold with the current rows (positioned at
+    their validFrom in the total order), compute the running state after
+    each message with cumulative windows, keep rows where the state
+    changed, and split last-version-per-key (current) from the rest
+    (audit). Tombstones open a new "epoch": field folding restarts, so
+    resurrected entities inherit nothing (M9, order-invariant).
+
+    Sequential-fold-by-event-time IS newer-wins: messages older than the
+    seed land before it and are overwritten by it.
+    """
+    if spec.trusted:
+        raise NotImplementedError(
+            "trusted-source precedence requires batch-granularity merge_batch"
+        )
+    spark = updates.sparkSession
+    if current is None:
+        current = empty_current(spark, updates, spec)
+
+    key = spec.key
+    tomb = F.col(spec.tombstone) if spec.tombstone else F.lit(False)
+
+    upd = updates.select(
+        *key,
+        *[F.col(f) for f in spec.fields],
+        F.col(spec.event_time),
+        (F.col(spec.seq) if spec.seq else F.lit(0)).cast("long").alias("__seq"),
+        tomb.alias("__tomb"),
+        F.lit(False).alias("__seed"),
+        F.lit(stored_from).cast("timestamp_ntz").alias("__stored"),
+    )
+    seed_fields = []
+    for f, policy in spec.fields.items():
+        if policy == TRISTATE:
+            seed_fields.append(
+                tristate(
+                    F.col(f),
+                    F.when(F.col(f).isNotNull(), F.lit(SAVE)).otherwise(F.lit(IGNORE)),
+                ).alias(f)
+            )
+        else:
+            seed_fields.append(F.col(f))
+    seed = current.select(
+        *key,
+        *seed_fields,
+        F.col("valid_from").alias(spec.event_time),
+        F.lit(-(2**62)).alias("__seq"),
+        F.col("is_deleted").alias("__tomb"),
+        F.lit(True).alias("__seed"),
+        F.col("stored_from").alias("__stored"),
+    )
+    seeded = upd.unionByName(seed)
+
+    w = W.partitionBy(*key).orderBy(F.col(spec.event_time), F.col("__seq"))
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # tombstones split the history into epochs; folding restarts per epoch
+    seeded = seeded.withColumn(
+        "__epoch", F.sum(F.col("__tomb").cast("int")).over(cum)
+    )
+    we = W.partitionBy(*key, "__epoch").orderBy(F.col(spec.event_time), F.col("__seq"))
+    cume = we.rowsBetween(W.unboundedPreceding, W.currentRow)
+
+    cols: list[Column] = [F.col(k) for k in key]
+    for name, policy in spec.fields.items():
+        cols.extend(_fold_field_cum(name, policy, spec, cume))
+    cols.extend(
+        [
+            F.col(spec.event_time).alias("valid_from"),
+            F.col("__tomb").alias("is_deleted"),
+            F.first(F.col("__stored")).over(cume).alias("stored_from"),
+            F.col("__seq").alias("__seq"),
+        ]
+    )
+    states = seeded.select(*cols)
+
+    # a row's state signature; consecutive duplicates are non-changes
+    sig = F.struct(*[F.col(f) for f in spec.fields], F.col("is_deleted"))
+    wk = W.partitionBy(*key).orderBy(F.col("valid_from"), F.col("__seq"))
+    # first row per key: lag is NULL, eqNullSafe(struct, NULL) is false,
+    # so __changed is true — no special case needed
+    states = states.withColumn("__changed", ~sig.eqNullSafe(F.lag(sig).over(wk)))
+    versions = states.filter(F.col("__changed"))
+    wv = W.partitionBy(*key).orderBy(F.col("valid_from"), F.col("__seq"))
+    versions = versions.withColumn("valid_until", F.lead("valid_from").over(wv)).withColumn(
+        "__rk", F.row_number().over(W.partitionBy(*key).orderBy(F.col("valid_from").desc(), F.col("__seq").desc()))
+    )
+
+    out_cols = [*key, *spec.fields, "valid_from", "stored_from", "is_deleted"]
+    new_current = versions.filter(F.col("__rk") == 1).select(*out_cols)
+    audit = versions.filter(F.col("__rk") > 1).select(
+        *out_cols,
+        F.col("valid_until"),
+        F.lit(stored_from).cast("timestamp_ntz").alias("stored_until"),
+    )
+    return MergeResult(current=new_current, audit=audit)
+
+
+def replay(
+    batches: list[DataFrame],
+    spec: MergeSpec,
+    stored_from_times: list | None = None,
+    granularity: str = "batch",
+) -> MergeResult:
+    """Apply a sequence of batches (validation-run shape, SURVEY §3.3).
+
+    granularity="message" uses merge_batch_versions for reference-exact
+    per-change audit trails. Audit frames are unioned across batches.
+    For large replays, persist current between iterations instead of
+    chaining lineage.
+    """
+    merge = merge_batch if granularity == "batch" else merge_batch_versions
+    current: DataFrame | None = None
+    audits: list[DataFrame] = []
+    for i, b in enumerate(batches):
+        t = stored_from_times[i] if stored_from_times else "2020-01-01 00:00:00"
+        res = merge(current, b, spec, t)
+        # cut lineage growth for long replays
+        current = res.current.localCheckpoint(eager=True)
+        audits.append(res.audit)
+    audit = audits[0]
+    for a in audits[1:]:
+        audit = audit.unionByName(a)
+    return MergeResult(current=current, audit=audit)
+
+
+def as_of(result_current: DataFrame, audit: DataFrame, t) -> DataFrame:
+    """Q5 time-travel: table state as of hospital-truth time t
+    (AuditCore.isValidAsOf, informdb/AuditCore.java:83-97):
+    storedUntil is null (current) or row version valid at t."""
+    t = F.lit(t).cast("timestamp_ntz")
+    cur = result_current.filter(~F.col("is_deleted")).withColumn(
+        "valid_until", F.lit(None).cast("timestamp_ntz")
+    )
+    old = audit.filter(~F.col("is_deleted")).drop("stored_until")
+    return (
+        cur.drop("is_deleted")
+        .unionByName(old.drop("is_deleted"))
+        .filter((F.col("valid_from") <= t) & (F.col("valid_until").isNull() | (t < F.col("valid_until"))))
+        .drop("valid_until")
+    )

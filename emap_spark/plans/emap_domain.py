@@ -1,1 +1,231 @@
-"""Placeholder — filled in later this round."""
+"""Queries that drive the REAL engine operators (not SQL re-phrasings):
+the bitemporal merge engine (SURVEY §2.3), identity merge closure (D2),
+and the point-in-time interval join (D19/Q7) — each with a DuckDB oracle
+expressing the same semantics independently, so the driver's gate checks
+the engine's own output.
+
+`events` plays the interchange stream: user_id = entity key, ts =
+validFrom, event_id = sourceMessageId (total-order tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from emap_spark.operators.merge import ASSIGN, FILL_IF_NULL, MergeSpec, as_of, merge_batch, replay
+from emap_spark.plans._util import tlit, us
+from emap_spark.registry import register
+from emap_spark.sources.tables import load_table
+
+SPLIT_T = "2024-01-15 00:00:00"  # batch boundary for the replay test
+ASOF_T = "2024-01-10 00:00:00"  # time-travel target inside batch 1
+
+
+def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.col("user_id"),
+        F.col("ts").alias("valid_from"),
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("last_purchase_value"),
+    )
+
+
+_SPEC = MergeSpec(
+    key=["user_id"],
+    fields={
+        "last_event_type": ASSIGN,
+        "last_value": ASSIGN,
+        "last_purchase_value": FILL_IF_NULL,
+    },
+    event_time="valid_from",
+    seq="seq",
+)
+
+_STATE_ORACLE = """
+SELECT DISTINCT user_id,
+       last_value(event_type) OVER w AS last_event_type,
+       last_value(value) OVER w AS last_value,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER w AS last_purchase_value,
+       last_value(epoch_us(ts)) OVER w AS valid_from_us
+FROM events {where}
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --------------------------------------------------------------------------
+# q60: the merge engine end-to-end -> current snapshot
+# --------------------------------------------------------------------------
+@register(
+    "q60_merge_engine_snapshot",
+    oracle=_STATE_ORACLE.format(where=""),
+    doc="merge_batch(M1-M7) over the whole stream; oracle = window-fold SQL.",
+)
+def q60_merge_engine_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = merge_batch(None, _messages(spark, sf_dir), _SPEC, "2024-06-01 00:00:00")
+    return res.live().select(
+        "user_id",
+        "last_event_type",
+        "last_value",
+        "last_purchase_value",
+        us("valid_from").alias("valid_from_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q61: two-batch replay + audit + as-of time travel
+# --------------------------------------------------------------------------
+@register(
+    "q61_replay_asof",
+    oracle=_STATE_ORACLE.format(where=f"WHERE ts <= TIMESTAMP '{ASOF_T}'"),
+    doc=(
+        "replay() in two chronological batches, then as_of(t) reconstruction "
+        "from current+audit (Q5/AuditCore.isValidAsOf); oracle computes the "
+        "t-bounded state directly."
+    ),
+)
+def q61_replay_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _messages(spark, sf_dir)
+    b1 = m.filter(F.col("valid_from") < tlit(SPLIT_T))
+    b2 = m.filter(F.col("valid_from") >= tlit(SPLIT_T))
+    res = replay(
+        [b1, b2],
+        _SPEC,
+        ["2024-02-01 00:00:00", "2024-03-01 00:00:00"],
+        granularity="message",
+    )
+    state = as_of(res.current, res.audit, ASOF_T)
+    return state.select(
+        "user_id",
+        "last_event_type",
+        "last_value",
+        "last_purchase_value",
+        us("valid_from").alias("valid_from_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q62: identity merge closure (D2, MrnToLive) via pointer doubling
+# --------------------------------------------------------------------------
+@register(
+    "q62_identity_closure",
+    oracle="""
+WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM events),
+signups AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+edges AS (
+  SELECT s.user_id AS src, s.user_id - 1 AS dst
+  FROM signups s WHERE s.user_id - 1 IN (SELECT user_id FROM users)
+),
+chain(u, live) AS (
+  SELECT user_id, user_id FROM users
+  UNION ALL
+  SELECT c.u, e.dst FROM chain c JOIN edges e ON c.live = e.src
+)
+SELECT u AS user_id, min(live) AS live_user_id FROM chain GROUP BY u
+""",
+    doc=(
+        "D2 MRN-merge transitive closure: merge edges u->u-1 for signup "
+        "users; engine resolves chains by pointer doubling (O(log n) "
+        "self-joins of a dimension-sized mapping — the Spark-native shape "
+        "of PersonController.mergeMrns chains)."
+    ),
+)
+def q62_identity_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    signups = e.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    edges = (
+        signups.alias("s")
+        .join(users.alias("u"), F.col("s.user_id") - 1 == F.col("u.user_id"), "left_semi")
+        .select(F.col("user_id").alias("src"), (F.col("user_id") - 1).alias("dst"))
+    )
+    # mapping m(u) = next hop (or u itself); pointer-double until fixpoint.
+    m = (
+        users.join(edges, users.user_id == edges.src, "left")
+        .select(
+            F.col("user_id").alias("u"),
+            F.coalesce(F.col("dst"), F.col("user_id")).alias("live"),
+        )
+    )
+    # chains shrink strictly (dst = src-1), so 2^k doubling covers any
+    # chain of length <= 2^k; iterate until converged with a driver check
+    # on a dimension-sized frame (SURVEY §4: identity closure is the one
+    # sanctioned driver loop).
+    for _ in range(20):
+        m2 = (
+            m.alias("a")
+            .join(m.alias("b"), F.col("a.live") == F.col("b.u"))
+            .select(F.col("a.u").alias("u"), F.col("b.live").alias("live"))
+        )
+        if m2.alias("x").join(
+            m.alias("y"),
+            (F.col("x.u") == F.col("y.u")) & (F.col("x.live") != F.col("y.live")),
+            "left_semi",
+        ).isEmpty():
+            break
+        m = m2.localCheckpoint(eager=True)
+    return m.select(F.col("u").alias("user_id"), F.col("live").alias("live_user_id"))
+
+
+# --------------------------------------------------------------------------
+# q63: point-in-time interval join (D19 waveform->LocationVisit shape)
+# --------------------------------------------------------------------------
+@register(
+    "q63_interval_join_errors_to_sessions",
+    oracle=f"""
+WITH sessions AS (
+  SELECT user_id, session_id,
+         min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+  FROM (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           (sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > {24 * 3600 * 1_000_000}
+                     THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+    FROM (
+      SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    )
+  )
+  GROUP BY user_id, session_id
+)
+SELECT s.user_id, s.session_id, count(*) AS n_errors
+FROM sessions s
+JOIN events e
+  ON e.user_id = s.user_id
+ AND e.event_type = 'error'
+ AND epoch_us(e.ts) >= s.session_start_us
+ AND epoch_us(e.ts) <= s.session_end_us
+GROUP BY s.user_id, s.session_id
+""",
+    doc=(
+        "D19 point-in-time interval join: observations attach to the "
+        "interval row covering their timestamp (equi key + range predicate, "
+        "LocationVisitRepository.java:81-88)."
+    ),
+)
+def q63_interval_join_errors_to_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.plans.event_state import q26_sessionization
+
+    sessions = q26_sessionization(spark, sf_dir).select(
+        "user_id", "session_id", "session_start_us", "session_end_us"
+    )
+    errors = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user_id"), us("ts").alias("e_ts_us"))
+    )
+    return (
+        sessions.join(
+            errors,
+            (F.col("e_user_id") == F.col("user_id"))
+            & (F.col("e_ts_us") >= F.col("session_start_us"))
+            & (F.col("e_ts_us") <= F.col("session_end_us")),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
