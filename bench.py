@@ -33,6 +33,11 @@ HEADLINE = [
     "q20_latest_event_per_user",
     "q22_user_current_state",
     "q26_sessionization",
+    "q45_jaccard_near_dup_pairs",
+    "q47_minhash_lsh_pairs",
+    "q48_simhash",
+    "q50_knn_bruteforce",
+    "q60_merge_engine_snapshot",
 ]
 
 

@@ -1,1 +1,224 @@
-"""Placeholder — filled in later this round."""
+"""Similarity search over the `embeddings` table (array<float> vectors,
+BASELINE.json north_star): brute-force cosine top-k as the exact
+baseline, sign-LSH bucketed ANN as the scale path, vector stats, and
+label centroids.
+
+Numeric determinism: dot products fold the arrays sequentially in
+DOUBLE on both engines (Spark `aggregate`, DuckDB `list_dot_product`
+over DOUBLE[]), and similarities are rounded to 4 decimals BEFORE
+ranking, with vec_id tie-breaks — so top-k selection is cross-engine
+stable. Centroids aggregate per-dimension through DECIMAL (exact).
+
+Scale notes: brute-force is O(Q x N) with a broadcast query side — fine
+for small Q; the ANN variant buckets candidates by an 8-bit sign LSH so
+each query probes ~N/256 of the corpus; at 100 TB you'd raise the bit
+count and store bucket as a partition column for pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from emap_spark.registry import register
+from emap_spark.sources.tables import load_table
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+LSH_BITS = 8
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _dot(a: str, b: str) -> Column:
+    """Sequential double-precision fold of the elementwise product."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+_SQL_D = "list_transform({0}, x -> x::DOUBLE)"
+_SQL_COS = (
+    f"list_dot_product({_SQL_D.format('{a}')}, {_SQL_D.format('{b}')})"
+    f" / (sqrt(list_dot_product({_SQL_D.format('{a}')}, {_SQL_D.format('{a}')}))"
+    f" * sqrt(list_dot_product({_SQL_D.format('{b}')}, {_SQL_D.format('{b}')})))"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return _SQL_COS.format(a=a, b=b)
+
+
+# --------------------------------------------------------------------------
+# q50: brute-force cosine top-k (exact kNN baseline)
+# --------------------------------------------------------------------------
+@register(
+    "q50_knn_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_sql_cos('q.qe', 'e.embedding')}, 4) AS cosine_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+""",
+    doc=(
+        "Exact kNN: broadcast the query vectors, score all candidates "
+        "JVM-side with a sequential double fold, rank per query."
+    ),
+)
+def q50_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .join(cand, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qe", "ce") / (_norm("qe") * _norm("ce")), 4).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# q51: sign-LSH bucketed ANN (the scale path)
+# --------------------------------------------------------------------------
+_SQL_BUCKET = (
+    "("
+    + " + ".join(f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(LSH_BITS))
+    + ")::BIGINT"
+)
+
+
+@register(
+    "q51_ann_lsh_bucketed",
+    oracle=f"""
+WITH b AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, q.bucket,
+         round({_sql_cos('q.qe', 'c.embedding')}, 4) AS cosine_sim
+  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, bucket, cosine_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+    doc=(
+        "ANN via sign-LSH: candidates restricted to the query's hyperoctant "
+        "bucket (equi join on bucket -> hash join, ~N/2^bits candidates per "
+        "query; bucket doubles as a partition key at scale)."
+    ),
+)
+def q51_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    bucket = None
+    for j in range(LSH_BITS):
+        term = F.when(F.element_at("embedding", j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    b = e.select("vec_id", "embedding", bucket.cast("long").alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = b.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
+                 F.col("bucket").alias("cbucket"))
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("cbucket") == F.col("bucket")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.round(_dot("qe", "ce") / (_norm("qe") * _norm("ce")), 4).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "bucket", "cosine_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# q52: per-vector stats (array aggregation surface)
+# --------------------------------------------------------------------------
+@register(
+    "q52_vector_stats",
+    oracle=f"""
+SELECT vec_id, label,
+       round(sqrt(list_dot_product({_SQL_D.format('embedding')}, {_SQL_D.format('embedding')})), 4) AS l2_norm,
+       round(list_sum({_SQL_D.format('embedding')}) / len(embedding), 6) AS vec_mean,
+       len(embedding) AS dim
+FROM embeddings
+""",
+    doc="Vector feature extraction: norm/mean/dim, all array built-ins.",
+)
+def q52_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    total = F.expr(
+        "aggregate(embedding, cast(0.0 as double), (acc, v) -> acc + cast(v as double))"
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(_norm("embedding"), 4).alias("l2_norm"),
+        F.round(total / F.size("embedding"), 6).alias("vec_mean"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q53: label centroids (posexplode + decimal-exact per-dim mean)
+# --------------------------------------------------------------------------
+@register(
+    "q53_label_centroids",
+    oracle="""
+SELECT label, i AS dim,
+       round(sum(embedding[i]::DECIMAL(20,10))::DOUBLE / count(*), 6) AS centroid,
+       count(*) AS n_vectors
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, i
+""",
+    doc=(
+        "Per-label centroid: positional explode + decimal-exact mean per "
+        "dimension (order-insensitive across partitions)."
+    ),
+)
+def q53_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

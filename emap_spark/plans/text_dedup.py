@@ -1,1 +1,401 @@
-"""Placeholder — filled in later this round."""
+"""LLM-data-pipeline text operators over `documents` (BASELINE.json
+north_star): token/quality/lang analysis, exact dedup, n-gram Jaccard
+near-dup, MinHash+LSH, SimHash, fingerprinting.
+
+Portability: everything is computed with engine-built-ins shared by
+Spark and DuckDB (split, md5, list/array lambdas, integer arithmetic),
+so the oracle checks are exact. md5 is the cross-engine hash.
+
+Scale notes: the shingle self-join (q45) is the quadratic baseline kept
+for oracle verification; the production path at 100 TB is q46/q47
+MinHash banding, which replaces the all-pairs join with an
+O(n x bands) bucket join. All token work happens on arrays inside
+whole-stage codegen — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from emap_spark.plans._util import davg, dsum, sql_davg, sql_dsum
+from emap_spark.registry import register
+from emap_spark.sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+JACCARD_THRESHOLD = 0.9
+N_MINHASH = 8  # 2 bands x 4 rows
+SIMHASH_BITS = 16
+
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _words(df: DataFrame) -> DataFrame:
+    return df.withColumn("w", F.split(F.col("text"), " "))
+
+
+# --------------------------------------------------------------------------
+# q40: token statistics (token counting operator)
+# --------------------------------------------------------------------------
+@register(
+    "q40_token_stats",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       len(text) AS n_chars_actual,
+       round(list_sum(list_transform(string_split(text, ' '), t -> len(t)))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS avg_token_len
+FROM documents
+""",
+    doc="Whitespace tokenization + per-doc stats, array-native.",
+)
+def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _words(_docs(spark, sf_dir))
+    tok_lens = F.expr("transform(w, t -> length(t))")
+    return d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.round(
+            F.expr("aggregate(transform(w, t -> length(t)), 0L, (acc, x) -> acc + x)").cast(
+                "double"
+            )
+            / F.size("w"),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q41: quality scoring (stopword ratio + length prior)
+# --------------------------------------------------------------------------
+@register(
+    "q41_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       round(len(list_filter(string_split(text, ' '), t -> t IN ({_SW_SQL})))::DOUBLE
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       round(
+         0.5 * (len(list_filter(string_split(text, ' '), t -> t IN ({_SW_SQL})))::DOUBLE
+                / len(string_split(text, ' ')))
+         + 0.5 * (least(len(string_split(text, ' ')), 100)::DOUBLE / 100), 6) AS quality_score
+FROM documents
+""",
+    doc="Heuristic quality score: stopword ratio blended with length prior.",
+)
+def q41_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _words(_docs(spark, sf_dir))
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(f"size(filter(w, t -> t IN ({sw})))").cast("double")
+    n_tok = F.size("w")
+    ratio = n_stop / n_tok
+    return d.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.round(
+            0.5 * ratio + 0.5 * (F.least(n_tok, F.lit(100)).cast("double") / 100), 6
+        ).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q42: language-ID profile (stopword-score heuristic vs labeled lang)
+# --------------------------------------------------------------------------
+@register(
+    "q42_lang_source_profile",
+    oracle=f"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       {sql_dsum('n_chars')} AS total_chars,
+       {sql_davg('n_chars')} AS avg_chars,
+       count(DISTINCT md5(text)) AS n_unique_texts
+FROM documents
+GROUP BY lang, source
+""",
+    doc="Corpus profile per (lang, source); dedup-aware counts.",
+)
+def q42_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dsum("n_chars").alias("total_chars"),
+        davg("n_chars").alias("avg_chars"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique_texts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q43: exact dedup — duplicate groups (hash groupBy)
+# --------------------------------------------------------------------------
+@register(
+    "q43_exact_dup_groups",
+    oracle="""
+SELECT md5(text) AS text_hash, count(*) AS group_size,
+       min(doc_id) AS canonical_doc_id, max(doc_id) AS last_doc_id
+FROM documents
+GROUP BY md5(text)
+HAVING count(*) > 1
+""",
+    doc="Exact dedup: hash-groupBy duplicate groups with canonical pick.",
+)
+def q43_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# q44: exact dedup — surviving set
+# --------------------------------------------------------------------------
+@register(
+    "q44_dedup_survivors",
+    oracle="""
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    doc="Exact dedup keep-first: one survivor per distinct text.",
+)
+def q44_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+_SHINGLE_SQL = """
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingles per doc (n-gram shingling operator)."""
+    d = _words(_docs(spark, sf_dir))
+    sh = F.expr(
+        "array_distinct(transform(sequence(1, size(w)-2),"
+        " i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"
+    )
+    return d.select("doc_id", F.explode(sh).alias("s"))
+
+
+# --------------------------------------------------------------------------
+# q45: n-gram Jaccard near-dup pairs (exact quadratic baseline)
+# --------------------------------------------------------------------------
+@register(
+    "q45_jaccard_near_dup_pairs",
+    oracle=f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+""",
+    doc=(
+        "Exact shingle-set Jaccard via self-join on shingles (integer-exact). "
+        "Quadratic baseline; q47 is the LSH scale path."
+    ),
+)
+def q45_jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+    )
+    return j.select(
+        "doc_a", "doc_b", "n_common", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+def _minhash_cols() -> list:
+    """MinHash signature: h_i = min over shingles of md5(i || ':' || s).
+
+    Lexicographic min over hex strings is a valid random-permutation
+    proxy, and md5 is identical in both engines, so signatures are
+    cross-engine exact.
+    """
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+
+
+_MINHASH_SQL_COLS = ", ".join(
+    f"min(md5('{i}:' || s)) AS h{i}" for i in range(N_MINHASH)
+)
+
+
+# --------------------------------------------------------------------------
+# q46: MinHash signatures + LSH band keys
+# --------------------------------------------------------------------------
+@register(
+    "q46_minhash_signatures",
+    oracle=f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id, {_MINHASH_SQL_COLS} FROM sh GROUP BY doc_id)
+SELECT doc_id,
+       md5(h0 || h1 || h2 || h3) AS band0,
+       md5(h4 || h5 || h6 || h7) AS band1,
+       h0, h7
+FROM sig
+""",
+    doc="MinHash(8) signatures folded into 2 LSH bands of 4 rows.",
+)
+def q46_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(*_minhash_cols())
+    return sig.select(
+        "doc_id",
+        F.md5(F.concat("h0", "h1", "h2", "h3").cast("binary")).alias("band0"),
+        F.md5(F.concat("h4", "h5", "h6", "h7").cast("binary")).alias("band1"),
+        "h0",
+        "h7",
+    )
+
+
+# --------------------------------------------------------------------------
+# q47: MinHash LSH candidate pairs (the 100 TB dedup path)
+# --------------------------------------------------------------------------
+@register(
+    "q47_minhash_lsh_pairs",
+    oracle=f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id, {_MINHASH_SQL_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, md5(h0 || h1 || h2 || h3) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, md5(h4 || h5 || h6 || h7) AS bkey FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+""",
+    doc=(
+        "LSH banding: candidate pairs share at least one band — replaces "
+        "the all-pairs join with a bucket join; linear shuffle in corpus "
+        "size, the production dedup plan at 100 TB."
+    ),
+)
+def q47_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _shingles(spark, sf_dir).groupBy("doc_id").agg(*_minhash_cols())
+    b0 = sig.select(
+        "doc_id", F.md5(F.concat("h0", "h1", "h2", "h3").cast("binary")).alias("bkey")
+    )
+    b1 = sig.select(
+        "doc_id", F.md5(F.concat("h4", "h5", "h6", "h7").cast("binary")).alias("bkey")
+    )
+    bands = b0.unionByName(b1)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# q48: SimHash (16-bit, token-multiset)
+# --------------------------------------------------------------------------
+_SIMHASH_HI = "('8','9','a','b','c','d','e','f')"
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN substr(md5(t), {j + 1}, 1) IN {_SIMHASH_HI} THEN 1 ELSE -1 END)"
+        f" AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+bits AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, ({assemble})::BIGINT AS simhash FROM bits
+"""
+
+
+@register(
+    "q48_simhash",
+    oracle=_simhash_sql(),
+    doc=(
+        "SimHash fingerprint: per bit position, sign of the sum of "
+        "+/-1 votes from each token's md5 bit; near-dups differ in few bits."
+    ),
+)
+def q48_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    hi = ("8", "9", "a", "b", "c", "d", "e", "f")
+    bit_sums = [
+        F.sum(
+            F.when(F.substring(F.md5(F.col("t").cast("binary")), j + 1, 1).isin(*hi), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = toks.groupBy("doc_id").agg(*bit_sums)
+    assemble = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        assemble = term if assemble is None else assemble + term
+    return bits.select("doc_id", assemble.cast("long").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# q49: document fingerprint (min-hash of 2-gram rolling windows)
+# --------------------------------------------------------------------------
+@register(
+    "q49_doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       min(md5(s)) AS fingerprint,
+       count(DISTINCT s) AS n_windows
+FROM (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         i -> w[i] || ' ' || w[i+1])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+GROUP BY doc_id
+""",
+    doc="Winnowing-style fingerprint: min hash over rolling 2-gram windows.",
+)
+def q49_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _words(_docs(spark, sf_dir))
+    grams = F.expr("transform(sequence(1, size(w)-1), i -> concat_ws(' ', w[i-1], w[i]))")
+    g = d.select("doc_id", F.explode(grams).alias("s"))
+    return g.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("s").cast("binary"))).alias("fingerprint"),
+        F.countDistinct("s").alias("n_windows"),
+    )

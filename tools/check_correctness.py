@@ -33,6 +33,8 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) == 0:
+        return df.reset_index(drop=True)
     # Stable order-insensitive compare: sort by the string form of each row.
     key = df.astype(str).agg("|".join, axis=1)
     return df.iloc[key.argsort(kind="stable")].reset_index(drop=True)
