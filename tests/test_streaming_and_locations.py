@@ -1,0 +1,224 @@
+"""Tests for waveform collation (W1), the streaming merge pipeline
+(K2/K3/W4), retention (K4), the synthetic generators (S12), and
+location-visit inference (D6) — mirroring the reference's collation
+edge-case tests (TestWaveformCollation.java) and unordered-ADT
+scenarios."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from emap_spark.functions.hl7 import tristate_from_hl7
+from emap_spark.operators.locations import infer_location_visits, occupancy
+from emap_spark.operators.merge import TRISTATE, MergeSpec
+from emap_spark.sources.generators import adt_messages, waveform_stream
+from emap_spark.streaming.collation import collate_batch, gap_report
+from emap_spark.streaming.pipeline import MergePipeline, retention_sweep
+
+
+def wf_msgs(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                source_location="L1",
+                source_stream_id="S1",
+                sampling_rate=10,
+                unit="mV",
+                observation_time=datetime.datetime(2024, 1, 1, 0, 0, 0)
+                + datetime.timedelta(microseconds=us),
+                values=[float(v) for v in vals],
+            )
+            for us, vals in rows
+        ]
+    )
+
+
+def test_collation_contiguous_chunks(spark):
+    # 10 Hz -> 100_000 us per sample; 4 msgs x 5 samples, contiguous
+    rows = [(i * 500_000, range(i * 5, i * 5 + 5)) for i in range(4)]
+    out = collate_batch(wf_msgs(spark, rows), target_samples=10).collect()
+    assert [r.n_samples for r in sorted(out, key=lambda r: r.observation_datetime)] == [10, 10]
+    first = sorted(out, key=lambda r: r.observation_datetime)[0]
+    assert first.values_array == [float(v) for v in range(10)]
+    assert first.is_final_partial == "full"
+
+
+def test_collation_never_bridges_gap(spark):
+    # second run starts 1s late -> gap; each side emitted separately
+    rows = [(0, range(5)), (500_000, range(5, 10)), (2_000_000, range(10, 15))]
+    out = sorted(
+        collate_batch(wf_msgs(spark, rows), target_samples=10).collect(),
+        key=lambda r: r.observation_datetime,
+    )
+    assert [r.n_samples for r in out] == [10, 5]
+    assert out[0].is_final_partial in ("full",)
+    assert out[1].is_final_partial == "timeout"
+    # gap report sees the discontinuity
+    gaps = gap_report(collate_batch(wf_msgs(spark, rows), target_samples=10)).collect()
+    assert len(gaps) == 1 and gaps[0].gap_us == 1_000_000
+
+
+def test_collation_out_of_order_and_duplicates(spark):
+    rows = [(500_000, range(5, 10)), (0, range(5)), (500_000, range(5, 10))]
+    out = collate_batch(wf_msgs(spark, rows), target_samples=10).collect()
+    assert len(out) == 1 and out[0].values_array == [float(v) for v in range(10)]
+
+
+def test_waveform_generator_sine(spark):
+    import math
+
+    df = waveform_stream(spark, n_patients=2, sampling_rate=10, seconds=2, samples_per_message=5)
+    rows = df.filter(F.col("source_location").startswith("T00")).orderBy("observation_time").collect()
+    assert len(rows) == 4  # 2s * 10Hz / 5
+    # values follow max*sin(2 pi f i / rate) (Hl7Generator.java:264)
+    flat = [v for r in rows for v in r.values]
+    expect = [round(100.0 * math.sin(2 * math.pi * 1.0 * i / 10), 6) for i in range(20)]
+    assert flat == pytest.approx(expect, abs=1e-6)
+
+
+def test_retention_sweep(spark):
+    df = wf_msgs(spark, [(0, range(5)), (3600 * 1_000_000 * 50, range(5))])
+    kept = retention_sweep(df, ts_col="observation_time", retention_hours=24).collect()
+    assert len(kept) == 1  # old row dropped relative to max(ts), not wall clock
+
+
+def test_merge_pipeline_batches_and_quarantine(spark):
+    adt = adt_messages(spark, n_patients=4)
+    bad = (
+        adt.limit(1)
+        .withColumn("visit_number", F.lit(None).cast("string"))
+        .withColumn("source_message_id", F.lit("bad-msg-1"))
+    )
+    batch1 = adt.filter(F.col("message_type") == "ADMIT").unionByName(bad)
+    batch2 = adt.filter(F.col("message_type") != "ADMIT")
+
+    spec = MergeSpec(
+        key=["visit_number"],
+        fields={"location": TRISTATE},
+        event_time="valid_from",
+        seq="source_message_id",
+    )
+    pipe = MergePipeline(
+        {"visit": (spec, lambda df: df)},
+        granularity="batch",
+        validator=F.col("visit_number").isNotNull(),
+    )
+    pipe.process_batch(batch1, 0)
+    pipe.process_batch(batch2, 1)
+
+    cur = pipe.tables["visit"].current
+    rows = {r.visit_number: r.location for r in cur.collect()}
+    assert len(rows) == 4
+    assert all(loc.endswith("BED-3") for loc in rows.values())  # newest wins
+    assert pipe.quarantine.count() == 1  # K3 dead-letter
+    m = pipe.metrics_df(spark).collect()
+    assert [x.n_quarantined for x in m] == [1, 0]
+    # audit recorded supersessions for each visit across batches
+    audit = pipe.tables["visit"].audit()
+    assert audit.count() >= 4
+
+
+def test_pipeline_duplicate_delivery_idempotent(spark):
+    adt = adt_messages(spark, n_patients=2)
+    dup = adt.unionByName(adt)  # at-least-once: every message twice
+    spec = MergeSpec(
+        key=["visit_number"],
+        fields={"location": TRISTATE},
+        event_time="valid_from",
+        seq="source_message_id",
+    )
+    p1 = MergePipeline({"visit": (spec, lambda df: df)})
+    p1.process_batch(adt, 0)
+    p2 = MergePipeline({"visit": (spec, lambda df: df)})
+    p2.process_batch(dup, 0)
+    a = sorted((r.visit_number, r.location) for r in p1.tables["visit"].current.collect())
+    b = sorted((r.visit_number, r.location) for r in p2.tables["visit"].current.collect())
+    assert a == b  # W4: duplicates change nothing
+
+
+# ---------------------------------------------------------------- D6 ----
+def adt_frame(spark, rows):
+    """rows: (msg_id, type, visit, t, loc, prev_loc)"""
+    df = spark.createDataFrame(
+        rows,
+        "source_message_id string, message_type string, visit_number string,"
+        " valid_from string, loc string, prev_loc string",
+    )
+    return df.select(
+        "source_message_id",
+        "message_type",
+        "visit_number",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        tristate_from_hl7(F.col("loc")).alias("location"),
+        tristate_from_hl7(F.col("prev_loc")).alias("previous_location"),
+    )
+
+
+def test_location_visit_basic_sequence(spark):
+    rows = [
+        ("1", "ADMIT", "V1", "2024-01-01 08:00:00", "A", None),
+        ("2", "TRANSFER", "V1", "2024-01-01 12:00:00", "B", "A"),
+        ("3", "TRANSFER", "V1", "2024-01-01 18:00:00", "C", "B"),
+        ("4", "DISCHARGE", "V1", "2024-01-02 10:00:00", "C", None),
+    ]
+    out = sorted(
+        infer_location_visits(adt_frame(spark, rows)).collect(),
+        key=lambda r: r.admission_datetime,
+    )
+    assert [(r.location_string, str(r.admission_datetime), str(r.discharge_datetime)) for r in out] == [
+        ("A", "2024-01-01 08:00:00", "2024-01-01 12:00:00"),
+        ("B", "2024-01-01 12:00:00", "2024-01-01 18:00:00"),
+        ("C", "2024-01-01 18:00:00", "2024-01-02 10:00:00"),
+    ]
+    assert not any(r.inferred_admission or r.inferred_discharge for r in out)
+    # occupancy at 13:00 -> B
+    occ = occupancy(infer_location_visits(adt_frame(spark, rows)), "2024-01-01 13:00:00").collect()
+    assert [r.location_string for r in occ] == ["B"]
+
+
+def test_location_visit_order_invariance(spark):
+    import itertools
+
+    rows = [
+        ("1", "ADMIT", "V1", "2024-01-01 08:00:00", "A", None),
+        ("2", "TRANSFER", "V1", "2024-01-01 12:00:00", "B", "A"),
+        ("3", "DISCHARGE", "V1", "2024-01-02 10:00:00", "B", None),
+    ]
+    expected = sorted(
+        (r.location_string, r.admission_datetime, r.discharge_datetime)
+        for r in infer_location_visits(adt_frame(spark, rows)).collect()
+    )
+    for perm in itertools.permutations(rows):
+        got = sorted(
+            (r.location_string, r.admission_datetime, r.discharge_datetime)
+            for r in infer_location_visits(adt_frame(spark, list(perm))).collect()
+        )
+        assert got == expected
+
+
+def test_location_visit_cancel_voids_matching_event(spark):
+    rows = [
+        ("1", "ADMIT", "V1", "2024-01-01 08:00:00", "A", None),
+        ("2", "TRANSFER", "V1", "2024-01-01 12:00:00", "B", "A"),
+        ("3", "CANCEL_TRANSFER", "V1", "2024-01-01 12:30:00", "B", None),
+    ]
+    out = infer_location_visits(adt_frame(spark, rows)).collect()
+    # transfer voided -> only the A stay remains, still open
+    assert [(r.location_string, r.discharge_datetime) for r in out] == [("A", None)]
+
+
+def test_location_visit_infers_unseen_previous_location(spark):
+    rows = [
+        ("1", "ADMIT", "V1", "2024-01-01 08:00:00", "A", None),
+        ("2", "TRANSFER", "V1", "2024-01-01 12:00:00", "C", "B"),  # B never seen
+    ]
+    out = sorted(
+        infer_location_visits(adt_frame(spark, rows)).collect(),
+        key=lambda r: (r.admission_datetime, r.location_string),
+    )
+    locs = [(r.location_string, r.inferred_admission, r.inferred_discharge) for r in out]
+    assert ("B", True, True) in locs
+    assert ("A", False, False) in locs and ("C", False, False) in locs
