@@ -380,11 +380,16 @@ def merge_batch_versions(
     key = spec.key
     tomb = F.col(spec.tombstone) if spec.tombstone else F.lit(False)
 
+    # seq keeps its native type (string message ids are common); the seed
+    # sorts before same-timestamp updates via the __seed flag, not a
+    # sentinel seq value
+    seq_col = F.col(spec.seq) if spec.seq else F.lit(0)
+    seq_type = updates.schema[spec.seq].dataType if spec.seq else None
     upd = updates.select(
         *key,
         *[F.col(f) for f in spec.fields],
         F.col(spec.event_time),
-        (F.col(spec.seq) if spec.seq else F.lit(0)).cast("long").alias("__seq"),
+        seq_col.alias("__seq"),
         tomb.alias("__tomb"),
         F.lit(False).alias("__seed"),
         F.lit(stored_from).cast("timestamp_ntz").alias("__stored"),
@@ -400,24 +405,27 @@ def merge_batch_versions(
             )
         else:
             seed_fields.append(F.col(f))
+    seed_seq = F.lit(None).cast(seq_type) if seq_type is not None else F.lit(0)
     seed = current.select(
         *key,
         *seed_fields,
         F.col("valid_from").alias(spec.event_time),
-        F.lit(-(2**62)).alias("__seq"),
+        seed_seq.alias("__seq"),
         F.col("is_deleted").alias("__tomb"),
         F.lit(True).alias("__seed"),
         F.col("stored_from").alias("__stored"),
     )
     seeded = upd.unionByName(seed)
 
-    w = W.partitionBy(*key).orderBy(F.col(spec.event_time), F.col("__seq"))
+    # total order: event time, seed-before-updates at equal times, seq
+    _order = [F.col(spec.event_time), F.col("__seed").desc(), F.col("__seq")]
+    w = W.partitionBy(*key).orderBy(*_order)
     cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     # tombstones split the history into epochs; folding restarts per epoch
     seeded = seeded.withColumn(
         "__epoch", F.sum(F.col("__tomb").cast("int")).over(cum)
     )
-    we = W.partitionBy(*key, "__epoch").orderBy(F.col(spec.event_time), F.col("__seq"))
+    we = W.partitionBy(*key, "__epoch").orderBy(*_order)
     cume = we.rowsBetween(W.unboundedPreceding, W.currentRow)
 
     cols: list[Column] = [F.col(k) for k in key]
@@ -429,20 +437,21 @@ def merge_batch_versions(
             F.col("__tomb").alias("is_deleted"),
             F.first(F.col("__stored")).over(cume).alias("stored_from"),
             F.col("__seq").alias("__seq"),
+            F.col("__seed").alias("__seed"),
         ]
     )
     states = seeded.select(*cols)
 
     # a row's state signature; consecutive duplicates are non-changes
     sig = F.struct(*[F.col(f) for f in spec.fields], F.col("is_deleted"))
-    wk = W.partitionBy(*key).orderBy(F.col("valid_from"), F.col("__seq"))
+    wk = W.partitionBy(*key).orderBy(F.col("valid_from"), F.col("__seed").desc(), F.col("__seq"))
     # first row per key: lag is NULL, eqNullSafe(struct, NULL) is false,
     # so __changed is true — no special case needed
     states = states.withColumn("__changed", ~sig.eqNullSafe(F.lag(sig).over(wk)))
     versions = states.filter(F.col("__changed"))
-    wv = W.partitionBy(*key).orderBy(F.col("valid_from"), F.col("__seq"))
+    wv = W.partitionBy(*key).orderBy(F.col("valid_from"), F.col("__seed").desc(), F.col("__seq"))
     versions = versions.withColumn("valid_until", F.lead("valid_from").over(wv)).withColumn(
-        "__rk", F.row_number().over(W.partitionBy(*key).orderBy(F.col("valid_from").desc(), F.col("__seq").desc()))
+        "__rk", F.row_number().over(W.partitionBy(*key).orderBy(F.col("valid_from").desc(), F.col("__seed"), F.col("__seq").desc()))
     )
 
     out_cols = [*key, *spec.fields, "valid_from", "stored_from", "is_deleted"]

@@ -370,3 +370,156 @@ def q10_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# q11: anti join / NOT EXISTS (TPC-H Q22 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q11_customers_without_orders",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(sum(c_acctbal::DECIMAL(12,4))::DOUBLE, 2) AS total_acctbal
+FROM customer
+WHERE c_acctbal > 0
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+GROUP BY c_mktsegment
+""",
+    doc="Q22 shape: positive-balance customers with no large orders (left-anti).",
+)
+def q11_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q12: correlated max-per-group join (TPC-H Q2 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q12_top_supplier_per_nation",
+    oracle="""
+SELECT n_name, s_suppkey, s_name, s_acctbal
+FROM supplier s
+JOIN nation ON s.s_nationkey = n_nationkey
+WHERE s.s_acctbal = (
+  SELECT max(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey
+)
+""",
+    doc=(
+        "Q2 shape: correlated max subquery -> window max + equality filter "
+        "(one shuffle, no self-join)."
+    ),
+)
+def q12_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = W.partitionBy("s_nationkey")
+    top = s.withColumn("_mx", F.max("s_acctbal").over(w)).filter(
+        F.col("s_acctbal") == F.col("_mx")
+    )
+    return top.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "n_name", "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+# --------------------------------------------------------------------------
+# q13: full outer join reconciliation (validation-style Q8)
+# --------------------------------------------------------------------------
+@register(
+    "q13_customer_event_reconciliation",
+    oracle="""
+SELECT CASE WHEN c.c_custkey IS NULL THEN 'events_only'
+            WHEN e.user_id IS NULL THEN 'customers_only'
+            ELSE 'both' END AS presence,
+       count(*) AS n
+FROM customer c
+FULL OUTER JOIN (SELECT DISTINCT user_id FROM events) e
+  ON c.c_custkey = e.user_id
+GROUP BY 1
+""",
+    doc="Q8 validation diff shape: full outer join + presence classification.",
+)
+def q13_customer_event_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    e = _t(spark, sf_dir, "events").select("user_id").distinct()
+    j = c.join(e, F.col("c_custkey") == F.col("user_id"), "full_outer")
+    presence = (
+        F.when(F.col("c_custkey").isNull(), F.lit("events_only"))
+        .when(F.col("user_id").isNull(), F.lit("customers_only"))
+        .otherwise(F.lit("both"))
+    )
+    return j.groupBy(presence.alias("presence")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# q14: string expression surface
+# --------------------------------------------------------------------------
+@register(
+    "q14_part_name_analysis",
+    oracle="""
+SELECT upper(substr(p_type, 1, 5)) AS type_prefix,
+       count(*) AS n_parts,
+       count(CASE WHEN p_name LIKE '%green%' THEN 1 END) AS n_green,
+       round(sum(length(p_name)::DECIMAL(12,4))::DOUBLE / count(*), 4) AS avg_name_len
+FROM part
+GROUP BY 1
+""",
+    doc="String functions stay JVM-side: upper/substr/like/length.",
+)
+def q14_part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy(
+        F.upper(F.substring("p_type", 1, 5)).alias("type_prefix")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.count(F.when(F.col("p_name").like("%green%"), 1)).alias("n_green"),
+        F.round(
+            F.sum(F.length("p_name").cast("decimal(12,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_name_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q15: conditional aggregation (pivot-style)
+# --------------------------------------------------------------------------
+@register(
+    "q15_order_status_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END::DECIMAL(12,4))::DOUBLE, 2) AS value_f
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Pivot via conditional aggregation (map-side combinable).",
+)
+def q15_order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    def n_status(s):
+        return F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(f"n_{s.lower()}")
+    return o.groupBy("o_orderpriority").agg(
+        n_status("F"),
+        n_status("O"),
+        n_status("P"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+                .otherwise(F.lit(0))
+                .cast("decimal(12,4)")
+            ).cast("double"),
+            2,
+        ).alias("value_f"),
+    )

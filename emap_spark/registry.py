@@ -50,6 +50,7 @@ def _load_all() -> None:
     import emap_spark.plans.similarity  # noqa: F401
     import emap_spark.plans.emap_domain  # noqa: F401
     import emap_spark.plans.waveform_ops  # noqa: F401
+    import emap_spark.plans.parse_media_ops  # noqa: F401
 
 
 def specs() -> dict[str, QuerySpec]:

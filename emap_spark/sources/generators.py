@@ -100,13 +100,44 @@ def adt_messages(spark: SparkSession, n_patients: int = 10) -> DataFrame:
         "source_message_id string, message_type string, mrn string, visit_number string,"
         " event_occurred string, location string, previous_location string",
     )
+    ts_null = tristate_from_hl7(F.lit(None).cast("string"))
+    admit = F.col("message_type") == "ADMIT"
     return df.select(
         "source_message_id",
         F.lit("EPIC").alias("source_system"),
         F.col("event_occurred").cast("timestamp_ntz").alias("valid_from"),
         "message_type",
         "mrn",
+        F.concat(F.lit("NHS"), F.substring("mrn", 4, 5)).alias("nhs_number"),
         "visit_number",
+        tristate_from_hl7(F.when(admit, F.lit("INPATIENT"))).alias("patient_class"),
         tristate_from_hl7(F.col("location")).alias("location"),
         tristate_from_hl7(F.col("previous_location")).alias("previous_location"),
+        F.col("event_occurred").cast("timestamp_ntz").alias("event_occurred"),
+        F.col("event_occurred").cast("timestamp_ntz").alias("recorded_datetime"),
+        F.struct(
+            F.when(admit, F.col("event_occurred").cast("timestamp_ntz")).alias("value"),
+            F.when(admit, F.lit("SAVE")).otherwise(F.lit("IGNORE")).alias("status"),
+        ).alias("admission_datetime"),
+        F.struct(
+            F.lit(None).cast("timestamp_ntz").alias("value"), F.lit("IGNORE").alias("status")
+        ).alias("discharge_datetime"),
+        ts_null.alias("discharge_disposition"),
+        ts_null.alias("discharge_destination"),
+        tristate_from_hl7(F.when(admit, F.concat(F.lit("Given"), F.substring("mrn", 4, 5)))).alias(
+            "name_given"
+        ),
+        tristate_from_hl7(F.when(admit, F.concat(F.lit("Family"), F.substring("mrn", 4, 5)))).alias(
+            "name_family"
+        ),
+        F.struct(
+            F.lit(None).cast("timestamp_ntz").alias("value"), F.lit("IGNORE").alias("status")
+        ).alias("birth_datetime"),
+        tristate_from_hl7(F.when(admit, F.lit("F"))).alias("sex"),
+        ts_null.alias("death_indicator"),
+        F.struct(
+            F.lit(None).cast("timestamp_ntz").alias("value"), F.lit("IGNORE").alias("status")
+        ).alias("death_datetime"),
+        F.lit(None).cast("string").alias("retired_mrn"),
+        F.lit(None).cast("string").alias("retired_visit_number"),
     )

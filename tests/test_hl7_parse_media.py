@@ -1,0 +1,69 @@
+"""HL7 text parsing golden tests (§5.1 style) + multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emap_spark.multimodal.binary_ops import (
+    decode_media,
+    extract_features,
+    frame_sample,
+    synthetic_media,
+)
+from emap_spark.sources.hl7_text import adt_from_hl7, field, hl7_ts, synthetic_hl7_messages
+
+
+def test_hl7_field_extraction(spark):
+    raw = "MSH|^~\\&|EPIC|UCLH|x|x|20130101073000||ADT^A01|MSG1|P|2.4\rPID|1||40180000^^^MRN\rPV1|1|I|T42E^T42E BY02^BY02-17"
+    df = spark.createDataFrame([(raw,)], "hl7 string")
+    r = df.select(
+        field(F.col("hl7"), "MSH", 9, 2).alias("trigger"),
+        field(F.col("hl7"), "PID", 3, 1).alias("mrn"),
+        field(F.col("hl7"), "PV1", 3, 1).alias("loc"),
+        hl7_ts(field(F.col("hl7"), "MSH", 7)).alias("ts"),
+    ).collect()[0]
+    assert r.trigger == "A01"
+    assert r.mrn == "40180000"
+    assert r.loc == "T42E"
+    assert str(r.ts) == "2013-01-01 07:30:00"
+
+
+def test_adt_from_hl7_routing(spark):
+    out = adt_from_hl7(synthetic_hl7_messages(spark, n=8)).collect()
+    by_id = {r.source_message_id: r for r in out}
+    assert by_id["MSG00000000"].message_type == "ADMIT"
+    assert by_id["MSG00000001"].message_type == "TRANSFER"
+    assert by_id["MSG00000002"].message_type == "DISCHARGE"
+    assert by_id["MSG00000003"].message_type == "UPDATE_PATIENT_INFO"
+    r = by_id["MSG00000000"]
+    assert r.mrn == "40180000"
+    assert r.location.value.startswith("T42E")
+    assert r.name_family.value == "Family0" and r.name_given.value == "Given0"
+
+
+def test_media_decode_deterministic(spark):
+    media = synthetic_media(spark, n=12)
+    a = sorted((r.media_id, r.checksum) for r in decode_media(media).collect())
+    b = sorted((r.media_id, r.checksum) for r in decode_media(media).collect())
+    assert a == b and len(a) == 12
+
+
+def test_media_unsupported_codec_raises(spark):
+    import pytest
+
+    media = synthetic_media(spark, n=2)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_media(media, codec="jpeg").collect()
+
+
+def test_media_features_feed_similarity(spark):
+    feats = extract_features(synthetic_media(spark, n=10), dim=8).collect()
+    assert all(len(r.feature) == 8 for r in feats)
+    assert all(-1.0 <= v <= 1.0 for r in feats for v in r.feature)
+
+
+def test_frame_sampling_plan(spark):
+    media = synthetic_media(spark, n=9)
+    frames = frame_sample(media, every_ms=10_000).collect()
+    vids = media.filter(F.col("kind") == "video").count()
+    assert len({r.media_id for r in frames}) == vids
