@@ -57,6 +57,20 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Streaming-path throughput proxy (BASELINE: design load 907 M
+    # samples/day ~= 10.5 k samples/s through collation): time the W1
+    # collator over the S12 generator and report samples/sec.
+    from emap_spark.sources.generators import waveform_stream
+    from emap_spark.streaming.collation import collate_batch
+
+    n_samples = 30 * 300 * 60  # 30 patients x 300 Hz x 60 s
+    msgs = waveform_stream(spark, n_patients=30, sampling_rate=300, seconds=60,
+                           samples_per_message=40)
+    t0 = time.perf_counter()
+    collate_batch(msgs).write.format("noop").mode("overwrite").save()
+    wf_secs = time.perf_counter() - t0
+    timings["waveform_collation_540k_samples"] = round(wf_secs, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -66,6 +80,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "waveform_samples_per_sec": round(n_samples / wf_secs),
             }
         )
     )
