@@ -141,6 +141,7 @@ class EmapEngine:
             validator=F.col("mrn").isNotNull() | F.col("visit_number").isNotNull(),
         )
         self._movement_history: DataFrame | None = None
+        self._merge_history: DataFrame | None = None
 
     # -- ingestion ---------------------------------------------------------
     def process_batch(self, adt_batch: DataFrame, batch_id: int = 0) -> None:
@@ -163,6 +164,20 @@ class EmapEngine:
                 .dropDuplicates(["source_message_id"])
                 .localCheckpoint(eager=True)
             )
+        merges = (
+            adt_batch.filter(
+                (F.col("message_type") == "MERGE") & F.col("retired_mrn").isNotNull()
+            )
+            .select("retired_mrn", "mrn", "source_message_id")
+            .dropDuplicates(["source_message_id"])
+            .drop("source_message_id")
+        )
+        if self._merge_history is None:
+            self._merge_history = merges.localCheckpoint(eager=True)
+        else:
+            self._merge_history = (
+                self._merge_history.unionByName(merges).distinct().localCheckpoint(eager=True)
+            )
 
     def run_stream(self, stream_df: DataFrame, checkpoint_dir: str, **kw):
         """Streaming mode: same per-batch function under foreachBatch."""
@@ -183,6 +198,16 @@ class EmapEngine:
     def table_asof(self, name: str, t) -> DataFrame:
         state = self.pipeline.tables[name]
         return as_of(state.current, state.audit(), t)
+
+    def mrn_to_live(self) -> DataFrame:
+        """D2: MrnToLive mapping from accumulated MERGE (A40) messages;
+        chains collapsed by pointer doubling (operators/identity.py)."""
+        from emap_spark.operators.identity import mrn_to_live
+
+        if self._merge_history is None:
+            base = self.table("mrn").select("mrn")
+            return base.select("mrn", F.col("mrn").alias("live_mrn"))
+        return mrn_to_live(self.table("mrn").select("mrn"), self._merge_history)
 
     def location_visits(self) -> DataFrame:
         if self._movement_history is None:

@@ -1,0 +1,84 @@
+"""D2/D3/D18: identity merge closure and opt-out propagation
+(PersonController.mergeMrns :93-131, updateMrnToLiveIfMessageIsNotBefore
+:133-152, updateOrCreateWithResearchOptOut :69-81).
+
+MergePatient (A40) repoints every MRN in the losing chain to the
+surviving MRN. Chains of merges require a transitive closure — computed
+by pointer doubling: O(log chain-length) self-joins of the
+dimension-sized mapping, the one sanctioned driver loop (SURVEY §4
+custom piece 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def resolve_identity(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """edges: (retired, survivor) merge pairs. Returns (mrn, live_mrn)
+    for every mrn appearing anywhere, with chains fully collapsed.
+
+    Cycle guard: a merge that would point an mrn (transitively) at
+    itself resolves to the smallest member, so the loop always
+    terminates.
+    """
+    nodes = (
+        edges.select(F.col("retired").alias("u"))
+        .unionByName(edges.select(F.col("survivor").alias("u")))
+        .distinct()
+    )
+    m = nodes.join(edges, nodes.u == edges.retired, "left").select(
+        "u", F.coalesce(F.col("survivor"), F.col("u")).alias("live")
+    )
+    for _ in range(max_iter):
+        m2 = (
+            m.alias("a")
+            .join(m.alias("b"), F.col("a.live") == F.col("b.u"))
+            .select(
+                F.col("a.u").alias("u"),
+                # cycle guard: never hop back onto yourself
+                F.when(F.col("b.live") == F.col("a.u"), F.col("a.live"))
+                .otherwise(F.col("b.live"))
+                .alias("live"),
+            )
+        )
+        changed = not m2.alias("x").join(
+            m.alias("y"),
+            (F.col("x.u") == F.col("y.u")) & (F.col("x.live") != F.col("y.live")),
+            "left_semi",
+        ).isEmpty()
+        m = m2.localCheckpoint(eager=True)
+        if not changed:
+            break
+    return m.select(F.col("u").alias("mrn"), F.col("live").alias("live_mrn"))
+
+
+def mrn_to_live(all_mrns: DataFrame, merge_messages: DataFrame) -> DataFrame:
+    """Full MrnToLive table: every known mrn -> its live mrn (self when
+    never merged). merge_messages: (retired_mrn, mrn) from A40s."""
+    edges = merge_messages.select(
+        F.col("retired_mrn").alias("retired"), F.col("mrn").alias("survivor")
+    ).filter(F.col("retired").isNotNull() & F.col("survivor").isNotNull())
+    resolved = resolve_identity(edges)
+    return (
+        all_mrns.select(F.col("mrn"))
+        .distinct()
+        .join(resolved, "mrn", "left")
+        .select("mrn", F.coalesce("live_mrn", F.col("mrn")).alias("live_mrn"))
+    )
+
+
+def propagate_opt_out(mrn_table: DataFrame, to_live: DataFrame) -> DataFrame:
+    """D18: researchOptOut is OR-propagated across a merged identity set
+    (opting out any member opts out the whole person)."""
+    joined = mrn_table.join(to_live, "mrn", "left").withColumn(
+        "live_mrn", F.coalesce("live_mrn", F.col("mrn"))
+    )
+    flags = joined.groupBy("live_mrn").agg(
+        F.max(F.coalesce(F.col("research_opt_out"), F.lit(False))).alias("group_opt_out")
+    )
+    return (
+        joined.join(flags, "live_mrn")
+        .drop("research_opt_out")
+        .withColumnRenamed("group_opt_out", "research_opt_out")
+    )

@@ -79,3 +79,104 @@ def q78_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_ms=5000).groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"), F.max("frame_ms").alias("last_frame_ms")
     )
+
+
+@register(
+    "q79_labs_pipeline",
+    doc=(
+        "D9-D11 labs: nested LabOrderMsg explode -> sample/order/result "
+        "merges incl. epic delete-sentinel tombstones and newer-wins "
+        "result corrections."
+    ),
+)
+def q79_labs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.domains.labs import process_lab_orders
+    from emap_spark.sources.generators import lab_order_messages
+
+    res = process_lab_orders({}, lab_order_messages(spark, n_orders=25), "2024-06-01 00:00:00")
+    results = res["lab_result"].live()
+    orders = res["lab_order"].live().select("external_lab_number", "battery_code", "encounter")
+    return (
+        results.join(orders, ["external_lab_number", "battery_code"], "left_semi")
+        .groupBy("battery_code", "value_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_results"),
+            F.round(F.sum("value_as_real"), 2).alias("sum_numeric"),
+        )
+    )
+
+
+@register(
+    "q80_flowsheets_pipeline",
+    doc="D8 flowsheets: typed value dispatch into visit_observation.",
+)
+def q80_flowsheets_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.domains.observations import process_flowsheets
+    from emap_spark.sources.generators import flowsheet_messages
+
+    res = process_flowsheets(None, flowsheet_messages(spark, n=60), "2024-06-01 00:00:00")
+    return res.live().groupBy("observation_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.count("value_as_real").alias("n_numeric"),
+        F.count("value_as_text").alias("n_text"),
+        F.count("value_as_date").alias("n_date"),
+    )
+
+
+@register(
+    "q81_identity_merge_closure",
+    doc=(
+        "D2/D18 via the engine: MERGE (A40) messages -> MrnToLive with "
+        "chains collapsed + opt-out OR-propagation across merged sets."
+    ),
+)
+def q81_identity_merge_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.operators.identity import mrn_to_live, propagate_opt_out
+
+    mrns = spark.range(40).select(
+        F.format_string("MRN%05d", F.col("id")).alias("mrn"),
+        (F.col("id") % 7 == 0).alias("research_opt_out"),
+    )
+    # chain merges: 3k+1 -> 3k, 3k+2 -> 3k+1 (chains of length 3)
+    merges = spark.range(13).select(
+        F.format_string("MRN%05d", F.col("id") * 3 + 1).alias("retired_mrn"),
+        F.format_string("MRN%05d", F.col("id") * 3).alias("mrn"),
+    ).unionByName(
+        spark.range(13).select(
+            F.format_string("MRN%05d", F.col("id") * 3 + 2).alias("retired_mrn"),
+            F.format_string("MRN%05d", F.col("id") * 3 + 1).alias("mrn"),
+        )
+    )
+    tl = mrn_to_live(mrns.select("mrn"), merges)
+    return propagate_opt_out(mrns, tl).groupBy("live_mrn", "research_opt_out").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+@register(
+    "q82_location_metadata_scd",
+    doc="D17 SCD: out-of-order department state messages -> contiguous state chains.",
+)
+def q82_location_metadata_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.domains.location_metadata import process_department_metadata, state_history
+
+    # 3 states per department, deliberately generated out of event order
+    msgs = spark.range(30).select(
+        F.format_string("D%02d", F.col("id") % 10).alias("department"),
+        F.format_string("Ward %s", F.col("id") % 10).alias("name"),
+        F.element_at(
+            F.array(F.lit("General"), F.lit("Cardio"), F.lit("Neuro")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("speciality"),
+        F.when(F.col("id") % 3 == 2, "closed").otherwise("active").alias("status"),
+        F.timestamp_micros(
+            F.lit(1704067200000000) + ((2 - F.col("id") % 3) * 86400_000_000)
+        ).cast("timestamp_ntz").alias("valid_from"),  # reversed event order
+        F.col("id").cast("string").alias("seq"),
+    )
+    res = process_department_metadata(None, msgs, "2024-06-01 00:00:00")
+    return state_history(res).select(
+        "department", "speciality", "status",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_until").cast("timestamp")).alias("valid_until_us"),
+    )

@@ -141,3 +141,119 @@ def adt_messages(spark: SparkSession, n_patients: int = 10) -> DataFrame:
         F.lit(None).cast("string").alias("retired_mrn"),
         F.lit(None).cast("string").alias("retired_visit_number"),
     )
+
+
+def lab_order_messages(spark: SparkSession, n_orders: int = 20) -> DataFrame:
+    """Deterministic LAB_ORDER_SCHEMA-shaped messages: each order arrives
+    twice (initial WinPath-style order with nested results, then a newer
+    update correcting one result + adding a PDF report); every 5th order
+    later gets the epic delete sentinel (LabOrderController delete path)."""
+    from emap_spark.schemas.interchange import LAB_ORDER_SCHEMA
+    import datetime
+
+    def res(code, vtype, num=None, op=None, text=None, data=None, t=None):
+        return {
+            "test_code": code,
+            "value_type": vtype,
+            "numeric_value": num,
+            "result_operator": op,
+            "string_value": text,
+            "bytes_value": data,
+            "units": "mmol/L" if vtype == "NUMERIC" else None,
+            "range_low": 1.0 if vtype == "NUMERIC" else None,
+            "range_high": 9.0 if vtype == "NUMERIC" else None,
+            "abnormal_flag": None,
+            "result_time": t,
+        }
+
+    rows = []
+    for i in range(n_orders):
+        day = 1 + (i % 25)
+        t0 = datetime.datetime(2024, 2, day, 9, 0, 0)
+        t1 = datetime.datetime(2024, 2, day, 15, 0, 0)
+        lab_no = f"LAB{i:06d}"
+        base = {
+            "source_system": "WinPath",
+            "mrn": f"MRN{i % 7:05d}",
+            "visit_number": f"ENC{i % 7:05d}",
+            "external_lab_number": lab_no,
+            "battery_code": ["FBC", "UE", "LFT"][i % 3],
+            "coding_system": "WINPATH",
+            "collection_datetime": t0,
+            "questions": {"clinical details": f"query {i}"},
+        }
+        rows.append(
+            {
+                **base,
+                "source_message_id": f"lab-{i}-0",
+                "valid_from": t0,
+                "epic_order_number": {"value": f"EPIC{i:06d}", "status": "SAVE"},
+                "order_datetime": {"value": t0, "status": "SAVE"},
+                "sample_received": {"value": t0, "status": "SAVE"},
+                "results": [
+                    res("NA", "NUMERIC", num=140.0 + i % 5, op="=", t=t0),
+                    res("COMM", "TEXT", text=f"note {i}", t=t0),
+                ],
+            }
+        )
+        rows.append(
+            {
+                **base,
+                "source_message_id": f"lab-{i}-1",
+                "valid_from": t1,
+                "epic_order_number": {"value": None, "status": "IGNORE"},
+                "order_datetime": {"value": None, "status": "IGNORE"},
+                "sample_received": {"value": None, "status": "IGNORE"},
+                "results": [
+                    res("NA", "NUMERIC", num=141.5 + i % 5, op="=", t=t1),
+                    res("PDFR", "PDF", data=bytes([i % 256]) * 4, t=t1),
+                ],
+            }
+        )
+        if i % 5 == 0:
+            t2 = datetime.datetime(2024, 2, day, 18, 0, 0)
+            rows.append(
+                {
+                    **base,
+                    "source_message_id": f"lab-{i}-2",
+                    "valid_from": t2,
+                    "epic_order_number": {"value": None, "status": "DELETE"},
+                    "order_datetime": {"value": None, "status": "IGNORE"},
+                    "sample_received": {"value": None, "status": "IGNORE"},
+                    "results": [],
+                }
+            )
+    return spark.createDataFrame(rows, LAB_ORDER_SCHEMA)
+
+
+def flowsheet_messages(spark: SparkSession, n: int = 30) -> DataFrame:
+    """Deterministic FLOWSHEET_SCHEMA vitals (ORU^R01 shape, S7)."""
+    from emap_spark.schemas.interchange import FLOWSHEET_SCHEMA
+    import datetime
+
+    rows = []
+    for i in range(n):
+        t = datetime.datetime(2024, 3, 1 + (i % 27), 8 + (i % 12), 0, 0)
+        vt = ["NUMERIC", "TEXT", "DATE"][i % 3]
+        rows.append(
+            {
+                "source_message_id": f"fs-{i}",
+                "source_system": "EPIC",
+                "valid_from": t,
+                "mrn": f"MRN{i % 5:05d}",
+                "visit_number": f"ENC{i % 5:05d}",
+                "interface_id": ["HR", "BP", "NOTE"][i % 3],
+                "observation_datetime": t,
+                "value_type": vt,
+                "numeric_value": {"value": 60.0 + i if vt == "NUMERIC" else None,
+                                   "status": "SAVE" if vt == "NUMERIC" else "IGNORE"},
+                "string_value": {"value": f"obs {i}" if vt == "TEXT" else None,
+                                  "status": "SAVE" if vt == "TEXT" else "IGNORE"},
+                "date_value": {"value": t if vt == "DATE" else None,
+                                "status": "SAVE" if vt == "DATE" else "IGNORE"},
+                "unit": {"value": "bpm" if vt == "NUMERIC" else None,
+                          "status": "SAVE" if vt == "NUMERIC" else "IGNORE"},
+                "comment": {"value": None, "status": "IGNORE"},
+            }
+        )
+    return spark.createDataFrame(rows, FLOWSHEET_SCHEMA)

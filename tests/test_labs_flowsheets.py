@@ -1,0 +1,111 @@
+"""D8-D11 domain tests, modeled on TestLabOrderProcessing /
+TestVisitObservationProcessing scenarios."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from emap_spark.domains.labs import process_lab_orders
+from emap_spark.domains.observations import process_flowsheets
+from emap_spark.sources.generators import flowsheet_messages, lab_order_messages
+
+
+def test_labs_explode_and_upsert(spark):
+    msgs = lab_order_messages(spark, n_orders=10)
+    res = process_lab_orders({}, msgs, "2024-06-01 00:00:00")
+
+    samples = res["lab_sample"].live().collect()
+    assert len(samples) == 10  # one sample row per external lab number
+
+    orders = res["lab_order"].live().collect()
+    # every 5th order deleted via epic sentinel -> 8 live orders
+    assert len(orders) == 8
+    assert all(o.epic_order_number is not None for o in orders)
+
+    results = {(r.external_lab_number, r.test_code): r for r in res["lab_result"].live().collect()}
+    # order 1: NA corrected by the newer message, COMM kept, PDF added
+    na = results[("LAB000001", "NA")]
+    assert na.value_as_real == 142.5  # newer wins (141.5 + 1)
+    assert str(na.result_last_modified).endswith("15:00:00")
+    comm = results[("LAB000001", "COMM")]
+    assert comm.value_as_text == "note 1"
+    pdf = results[("LAB000001", "PDFR")]
+    assert pdf.value_as_bytes == bytes([1]) * 4 and pdf.value_as_real is None
+
+
+def test_labs_delete_keeps_sample_and_audit(spark):
+    msgs = lab_order_messages(spark, n_orders=5)
+    res = process_lab_orders({}, msgs, "2024-06-01 00:00:00")
+    # LAB000000 deleted: order gone, sample remains
+    live_orders = [r.external_lab_number for r in res["lab_order"].live().collect()]
+    assert "LAB000000" not in live_orders
+    samples = [r.external_lab_number for r in res["lab_sample"].live().collect()]
+    assert "LAB000000" in samples
+
+    # delete arriving in a LATER batch audits the superseded order version
+    creates = msgs.filter(~F.col("source_message_id").endswith("-2"))
+    deletes = msgs.filter(F.col("source_message_id").endswith("-2"))
+    step1 = process_lab_orders({}, creates, "2024-06-01 00:00:00")
+    step2 = process_lab_orders(
+        {k: v.current for k, v in step1.items()}, deletes, "2024-06-02 00:00:00"
+    )
+    assert "LAB000000" not in [
+        r.external_lab_number for r in step2["lab_order"].live().collect()
+    ]
+    audit = step2["lab_order"].audit.filter(
+        F.col("external_lab_number") == "LAB000000"
+    ).collect()
+    assert len(audit) >= 1 and audit[0].epic_order_number == "EPIC000000"
+
+
+def test_labs_batch_split_invariance(spark):
+    msgs = lab_order_messages(spark, n_orders=6)
+    one = process_lab_orders({}, msgs, "2024-06-01 00:00:00")
+
+    first = msgs.filter(F.col("source_message_id").endswith("-0"))
+    rest = msgs.filter(~F.col("source_message_id").endswith("-0"))
+    step1 = process_lab_orders({}, rest, "2024-06-01 00:00:00")  # updates FIRST
+    cur = {k: v.current for k, v in step1.items()}
+    step2 = process_lab_orders(cur, first, "2024-06-02 00:00:00")
+
+    def snap(res):
+        return sorted(
+            (r.external_lab_number, r.test_code, r.value_as_real, r.value_as_text)
+            for r in res["lab_result"].live().collect()
+        )
+
+    assert snap(one) == snap(step2)
+
+
+def test_flowsheet_typed_dispatch(spark):
+    msgs = flowsheet_messages(spark, n=9)
+    res = process_flowsheets(None, msgs, "2024-06-01 00:00:00")
+    rows = res.live().collect()
+    assert len(rows) == 9
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.observation_type, []).append(r)
+    assert all(r.value_as_real is not None and r.value_as_text is None for r in by_type["HR"])
+    assert all(r.value_as_text is not None for r in by_type["BP"])  # TEXT slot
+    assert all(r.value_as_date is not None for r in by_type["NOTE"])  # DATE slot
+    hr = by_type["HR"][0]
+    assert hr.unit == "bpm"
+
+
+def test_flowsheet_newer_wins_same_key(spark):
+    import copy
+
+    base = flowsheet_messages(spark, n=3).collect()[0].asDict(recursive=True)
+    m1 = copy.deepcopy(base)
+    m2 = copy.deepcopy(base)
+    m2["source_message_id"] = "fs-corr"
+    m2["valid_from"] = base["valid_from"] + datetime.timedelta(hours=2)
+    m2["numeric_value"] = {"value": 99.0, "status": "SAVE"}
+    from emap_spark.schemas.interchange import FLOWSHEET_SCHEMA
+
+    msgs = spark.createDataFrame([m1, m2], FLOWSHEET_SCHEMA)
+    res = process_flowsheets(None, msgs, "2024-06-01 00:00:00")
+    rows = res.live().collect()
+    assert len(rows) == 1 and rows[0].value_as_real == 99.0
