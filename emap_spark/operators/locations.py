@@ -147,3 +147,36 @@ def occupancy(location_visits: DataFrame, at) -> DataFrame:
         (F.col("admission_datetime") <= t)
         & (F.col("discharge_datetime").isNull() | (t < F.col("discharge_datetime")))
     )
+
+
+def repair_orphan_waveforms(waveforms: DataFrame, location_visits: DataFrame) -> DataFrame:
+    """Attach-later repair for orphan waveform rows (SURVEY §7 hard
+    parts; waveform_hf_data.md:96-126 discusses, the reference leaves
+    visit NULL forever, WaveformController.java:60-66 — we can do
+    better with a periodic repair join).
+
+    waveforms: rows with nullable `visit_number`; orphans re-join
+    against the (possibly newer) location_visit intervals; attached rows
+    pass through unchanged. Only orphans shuffle."""
+    orphans = waveforms.filter(F.col("visit_number").isNull()).drop("visit_number")
+    attached = waveforms.filter(F.col("visit_number").isNotNull())
+    lv = location_visits.select(
+        F.col("visit_number").alias("lv_visit"),
+        F.col("location_string"),
+        F.col("admission_datetime"),
+        F.col("discharge_datetime"),
+    )
+    repaired = (
+        orphans.join(
+            lv,
+            (F.col("source_location") == F.col("location_string"))
+            & (F.col("observation_datetime") >= F.col("admission_datetime"))
+            & (
+                F.col("discharge_datetime").isNull()
+                | (F.col("observation_datetime") < F.col("discharge_datetime"))
+            ),
+            "left",
+        )
+        .select(*orphans.columns, F.col("lv_visit").alias("visit_number"))
+    )
+    return attached.unionByName(repaired.select(*attached.columns))

@@ -523,3 +523,113 @@ def q15_order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("value_f"),
     )
+
+
+# --------------------------------------------------------------------------
+# q16: rollup aggregation (subtotal hierarchy)
+# --------------------------------------------------------------------------
+@register(
+    "q16_rollup_pricing",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       round(sum(l_quantity::DECIMAL(12,4))::DOUBLE, 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP subtotals: Spark rollup() and SQL GROUP BY ROLLUP agree on null markers.",
+)
+def q16_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q17: set operations (INTERSECT / EXCEPT)
+# --------------------------------------------------------------------------
+@register(
+    "q17_set_operations",
+    oracle="""
+SELECT
+  (SELECT count(*) FROM (
+     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_totalprice > 150000)) AS n_intersect,
+  (SELECT count(*) FROM (
+     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     EXCEPT
+     SELECT o_custkey FROM orders WHERE o_totalprice > 150000)) AS n_except
+""",
+    doc="INTERSECT/EXCEPT set semantics (distinct), compiled to semi/anti joins.",
+)
+def q17_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    inter = b.intersect(big).count()
+    exc = b.exceptAll(big.distinct()).distinct().count()
+    return spark.createDataFrame([(inter, exc)], "n_intersect long, n_except long")
+
+
+# --------------------------------------------------------------------------
+# q18: exact percentiles (interpolated quantiles)
+# --------------------------------------------------------------------------
+@register(
+    "q18_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Exact interpolated percentiles (Spark percentile == quantile_cont).",
+)
+def q18_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q19: regex extraction + calendar bucketing
+# --------------------------------------------------------------------------
+@register(
+    "q19_brand_weekday_histogram",
+    oracle="""
+SELECT CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) % 5 AS brand_bucket,
+       dayname(l_shipdate) AS ship_day,
+       count(*) AS n,
+       round(sum(l_extendedprice::DECIMAL(12,4))::DOUBLE, 2) AS total_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+""",
+    doc="regexp_extract + day-name bucketing (dayname avoids engine dow-numbering drift).",
+)
+def q19_brand_weekday_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    bucket = (F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int") % 5).alias("brand_bucket")
+    return j.groupBy(
+        bucket, F.date_format("l_shipdate", "EEEE").alias("ship_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("total_price"),
+    )

@@ -222,3 +222,48 @@ def test_location_visit_infers_unseen_previous_location(spark):
     locs = [(r.location_string, r.inferred_admission, r.inferred_discharge) for r in out]
     assert ("B", True, True) in locs
     assert ("A", False, False) in locs and ("C", False, False) in locs
+
+
+def test_orphan_waveform_repair(spark):
+    from emap_spark.operators.locations import repair_orphan_waveforms
+    import datetime
+
+    wf = spark.createDataFrame(
+        [
+            ("A", datetime.datetime(2024, 1, 1, 13, 0), None),       # repairable
+            ("Z", datetime.datetime(2024, 1, 1, 13, 0), None),       # stays orphan
+            ("A", datetime.datetime(2024, 1, 1, 9, 0), "V9"),        # already attached
+        ],
+        "source_location string, observation_datetime timestamp_ntz, visit_number string",
+    )
+    lv = spark.createDataFrame(
+        [("V1", "A", datetime.datetime(2024, 1, 1, 12, 0), None)],
+        "visit_number string, location_string string,"
+        " admission_datetime timestamp_ntz, discharge_datetime timestamp_ntz",
+    )
+    out = {(r.source_location, str(r.observation_datetime)): r.visit_number
+           for r in repair_orphan_waveforms(wf, lv).collect()}
+    assert out[("A", "2024-01-01 13:00:00")] == "V1"   # repaired
+    assert out[("Z", "2024-01-01 13:00:00")] is None   # still orphan
+    assert out[("A", "2024-01-01 09:00:00")] == "V9"   # untouched
+
+
+def test_engine_run_stream_foreachbatch(spark, tmp_path):
+    """Drive EmapEngine through Structured Streaming (run_stream)."""
+    from emap_spark.app import EmapEngine
+    from emap_spark.sources.generators import adt_messages
+
+    adt = adt_messages(spark, n_patients=3)
+    src = str(tmp_path / "adt_in")
+    adt.write.parquet(src)
+    stream = spark.readStream.schema(adt.schema).parquet(src)
+
+    eng = EmapEngine()
+    q = eng.run_stream(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    visits = eng.table("hospital_visit").collect()
+    assert len(visits) == 3
+    assert eng.location_visits().count() == 9  # 3 stays x 3 visits
