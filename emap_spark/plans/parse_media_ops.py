@@ -180,3 +180,122 @@ def q82_location_metadata_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
         F.unix_micros(F.col("valid_until").cast("timestamp")).alias("valid_until_us"),
     )
+
+
+@register(
+    "q83_pending_transfer_match",
+    doc="D7: A15 pending transfers matched to A26 cancels by rank pairing.",
+)
+def q83_pending_transfer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.domains.pending import match_pending_movements
+
+    rows = []
+    for i in range(12):
+        rows.append((f"p{i}", "PENDING_TRANSFER", f"V{i % 4}",
+                     f"2024-01-{1 + i % 9:02d} 10:00:00", f"WARD-{i % 3}"))
+        if i % 2 == 0:  # half the pendings later cancelled
+            rows.append((f"c{i}", "CANCEL_PENDING_TRANSFER", f"V{i % 4}",
+                         f"2024-01-{1 + i % 9:02d} 12:00:00", f"WARD-{i % 3}"))
+    df = spark.createDataFrame(
+        rows,
+        "source_message_id string, message_type string, visit_number string,"
+        " valid_from string, loc string",
+    ).select(
+        "source_message_id", "message_type", "visit_number",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.struct(F.col("loc").alias("value"), F.lit("SAVE").alias("status")).alias("location"),
+    )
+    return match_pending_movements(df).groupBy("cancelled").agg(
+        F.count(F.lit(1)).alias("n_movements"),
+        F.count_distinct(F.col("visit_number")).alias("n_visits"),
+    )
+
+
+@register(
+    "q84_consults_and_questions",
+    doc=(
+        "D13/D16: consult-request upsert by internal id (cancel/close "
+        "flags newer-wins) + question-answer dimension rows (D16 "
+        "RequestAnswer per (question, parent))."
+    ),
+)
+def q84_consults_and_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.domains.observations import process_consults
+    from emap_spark.functions.hl7 import parse_questions
+
+    rows = []
+    for i in range(15):
+        t0 = f"2024-04-{1 + i % 9:02d} 09:00:00"
+        rows.append((f"co-{i}-0", i, f"ENC{i % 5:05d}", "ICU_REVIEW", t0, False, False,
+                     f"urgency->high\nreason->sepsis {i}"))
+        if i % 3 == 0:  # later cancelled
+            t1 = f"2024-04-{1 + i % 9:02d} 17:00:00"
+            rows.append((f"co-{i}-1", i, f"ENC{i % 5:05d}", "ICU_REVIEW", t1, True, False, None))
+    df = spark.createDataFrame(
+        rows,
+        "seq string, internal_id long, encounter string, consult_type string,"
+        " valid_from string, cancelled boolean, closed_on_discharge boolean, notes string",
+    ).select(
+        "seq", "internal_id", "encounter", "consult_type",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_from").cast("timestamp_ntz").alias("scheduled_datetime"),
+        "cancelled", "closed_on_discharge",
+        F.struct(F.col("notes").alias("value"),
+                 F.when(F.col("notes").isNotNull(), "SAVE").otherwise("IGNORE").alias("status")
+                 ).alias("comments"),
+        parse_questions(F.coalesce(F.col("notes"), F.lit(""))).alias("questions"),
+    )
+    res = process_consults(None, df, "2024-06-01 00:00:00")
+    answers = df.select("internal_id", F.explode_outer("questions").alias("question", "answer"))
+    return (
+        res.live()
+        .join(answers, "internal_id", "left")
+        .groupBy("consult_type", "cancelled")
+        .agg(
+            F.count_distinct("internal_id").alias("n_consults"),
+            F.count("question").alias("n_answers"),
+        )
+    )
+
+
+@register(
+    "q85_stream_windowed_rollup",
+    doc=(
+        "Structured Streaming windowed aggregation with watermark over the "
+        "events table (readStream -> window(1h) -> availableNow sink), the "
+        "Spark-native form of the reference's streaming rollups."
+    ),
+)
+def q85_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from emap_spark.sources.tables import load_table
+
+    # stage a ts-normalized copy (the raw file is nanos-precision, which
+    # the file-stream source can't read with a normalized schema)
+    batch = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    stage = tempfile.mkdtemp(prefix="q85_events_")
+    batch.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "q85_out_" + stage.rsplit("_", 1)[-1]  # unique per invocation
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name)
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n",
+    )

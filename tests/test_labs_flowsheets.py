@@ -109,3 +109,30 @@ def test_flowsheet_newer_wins_same_key(spark):
     res = process_flowsheets(None, msgs, "2024-06-01 00:00:00")
     rows = res.live().collect()
     assert len(rows) == 1 and rows[0].value_as_real == 99.0
+
+
+def test_pending_transfer_closest_match(spark):
+    from emap_spark.domains.pending import match_pending_movements
+
+    rows = [
+        ("p1", "PENDING_TRANSFER", "V1", "2024-01-01 10:00:00", "W1"),
+        ("p2", "PENDING_TRANSFER", "V1", "2024-01-01 11:00:00", "W1"),
+        ("c1", "CANCEL_PENDING_TRANSFER", "V1", "2024-01-01 10:30:00", "W1"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "source_message_id string, message_type string, visit_number string,"
+        " valid_from string, loc string",
+    ).select(
+        "source_message_id", "message_type", "visit_number",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.struct(F.col("loc").alias("value"), F.lit("SAVE").alias("status")).alias("location"),
+    )
+    out = sorted(
+        match_pending_movements(df).collect(), key=lambda r: r.event_datetime
+    )
+    # the first pending (closest prior to the cancel) is the cancelled one
+    assert [(str(r.event_datetime), r.cancelled) for r in out] == [
+        ("2024-01-01 10:00:00", True),
+        ("2024-01-01 11:00:00", False),
+    ]
