@@ -99,3 +99,12 @@ def best_guess_valid_from(event_occurred: Column, recorded: Column) -> Column:
 def format_source_id(unid: Column) -> Column:
     """F12: zero-padded %010d sourceMessageId (IdsOperations.java:421)."""
     return F.format_string("%010d", unid)
+
+
+def death_info_consistent(death_indicator: Column, death_datetime: Column) -> Column:
+    """F11: A03 death-flag vs death-time cross-validation
+    (AdtMessageFactory.java:124-158): a death time without the indicator
+    set (or indicator 'Y' with absurd time ordering) is flagged."""
+    has_time = death_datetime.isNotNull()
+    says_dead = death_indicator == "Y"
+    return (says_dead & has_time) | (~says_dead & ~has_time) | (says_dead & ~has_time)

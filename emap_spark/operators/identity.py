@@ -82,3 +82,34 @@ def propagate_opt_out(mrn_table: DataFrame, to_live: DataFrame) -> DataFrame:
         .drop("research_opt_out")
         .withColumnRenamed("group_opt_out", "research_opt_out")
     )
+
+
+def apply_identifier_changes(mrn_table: DataFrame, changes: DataFrame) -> DataFrame:
+    """D3: ChangePatientIdentifiers (A47) — rekey an MRN with
+    colliding-target checks (PersonController.updatePatientIdentifiersOrMerge
+    :382). changes: (old_mrn, new_mrn).
+
+    A change whose target already exists is a collision and is NOT
+    applied (the reference escalates those to a merge); collisions are
+    returned untouched so callers can route them to the merge path.
+    """
+    existing = mrn_table.select(F.col("mrn").alias("new_mrn")).distinct()
+    safe = changes.join(existing, "new_mrn", "left_anti")
+    renamed = (
+        mrn_table.join(safe, mrn_table.mrn == safe.old_mrn, "left")
+        .withColumn("mrn", F.coalesce(F.col("new_mrn"), F.col("mrn")))
+        .drop("old_mrn", "new_mrn")
+    )
+    return renamed
+
+
+def move_visit(visit_table: DataFrame, moves: DataFrame) -> DataFrame:
+    """D3: MoveVisitInformation (A45) — move an encounter between MRNs
+    (VisitController.moveVisitInformation :289-325). moves:
+    (encounter, to_mrn)."""
+    m = moves.select(F.col("encounter").alias("mv_enc"), "to_mrn")
+    return (
+        visit_table.join(m, visit_table.encounter == m.mv_enc, "left")
+        .withColumn("mrn", F.coalesce(F.col("to_mrn"), F.col("mrn")))
+        .drop("mv_enc", "to_mrn")
+    )

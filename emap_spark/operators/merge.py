@@ -130,6 +130,26 @@ def _fold_field(name: str, policy: str, spec: MergeSpec, frame) -> list[Column]:
     return [val.alias(name), contrib.alias(f"__t_{name}")]
 
 
+def _mask_tombstone_fields(updates: DataFrame, spec: MergeSpec, tomb: Column) -> DataFrame:
+    """Null out field contributions on tombstone rows so deletes carry no
+    values into the entity's next incarnation."""
+    cols = []
+    for c in updates.columns:
+        if c in spec.fields:
+            if spec.fields[c] == TRISTATE:
+                value_type = updates.schema[c].dataType["value"].dataType
+                ignored = F.struct(
+                    F.lit(None).cast(value_type).alias("value"),
+                    F.lit(IGNORE).alias("status"),
+                )
+                cols.append(F.when(tomb, ignored).otherwise(F.col(c)).alias(c))
+            else:
+                cols.append(F.when(tomb, F.lit(None)).otherwise(F.col(c)).alias(c))
+        else:
+            cols.append(F.col(c))
+    return updates.select(*cols)
+
+
 def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
     """Reduce a batch of update messages to one candidate row per key.
 
@@ -151,6 +171,10 @@ def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
         F.col("__last_tomb_t").isNull()
         | (F.col(spec.event_time) >= F.col("__last_tomb_t"))
     )
+    # a delete message's field payload must not leak into a later
+    # resurrection: mask its field contributions (delete action only)
+    if spec.tombstone:
+        updates = _mask_tombstone_fields(updates, spec, F.col(spec.tombstone))
 
     if spec.trusted:
         # M6: untrusted messages may only create. Fold trusted and
@@ -385,6 +409,8 @@ def merge_batch_versions(
     # sentinel seq value
     seq_col = F.col(spec.seq) if spec.seq else F.lit(0)
     seq_type = updates.schema[spec.seq].dataType if spec.seq else None
+    if spec.tombstone:
+        updates = _mask_tombstone_fields(updates, spec, tomb)
     upd = updates.select(
         *key,
         *[F.col(f) for f in spec.fields],

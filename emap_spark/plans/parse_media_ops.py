@@ -299,3 +299,20 @@ def q85_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
+
+@register(
+    "q86_oru_vendor_observations",
+    doc=(
+        "S6/S7: per-vendor ORU^R01 routing (LabFunnel) + OBX explode with "
+        "value typing; ABL90 calibration readings dropped."
+    ),
+)
+def q86_oru_vendor_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.sources.hl7_text import observations_from_oru, synthetic_oru_messages
+
+    obs = observations_from_oru(synthetic_oru_messages(spark, n=24))
+    return obs.groupBy("vendor", "value_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.sum("value_as_real"), 2).alias("sum_numeric"),
+    )

@@ -144,3 +144,97 @@ def synthetic_hl7_messages(spark, n: int = 20) -> DataFrame:
         )
         rows.append((i, msg))
     return spark.createDataFrame(rows, "id long, hl7 string")
+
+
+# ---------------------------------------------------------------------------
+# S6/S7: vendor routing + ORU^R01 flowsheet/lab-result parsing
+# ---------------------------------------------------------------------------
+
+# sending-application -> vendor parse path (LabFunnel.java:34-110)
+VENDOR_OF_SENDER = {
+    "WinPath": "WINPATH",
+    "CoPath": "CO_PATH",
+    "ABL90 FLEX Plus": "ABL90_FLEX",
+    "BIO-CONNECT": "BIO_CONNECT",
+    "Bank Manager": "BANK_MANAGER",
+    "EPIC": "EPIC_FLOWSHEET",
+}
+
+
+def route_vendor(raw: Column) -> Column:
+    """MSH-3 sending application -> vendor tag; unknown -> null (skip)."""
+    sender = field(raw, "MSH", 3, 1)
+    out = F.lit(None).cast("string")
+    for s, v in VENDOR_OF_SENDER.items():
+        out = F.when(sender == s, F.lit(v)).otherwise(out)
+    return out
+
+
+def observations_from_oru(df: DataFrame, raw_col: str = "hl7") -> DataFrame:
+    """ORU^R01 -> one row per OBX segment (FlowsheetFactory /
+    LabResultBuilder shape): value typing via OBX-2, calibration
+    readings from the ABL90 path dropped (AblLabBuilder quirk —
+    readings whose id starts with 'cal' are instrument calibration)."""
+    from emap_spark.functions.hl7 import numeric_result, value_type_of
+
+    raw = F.col(raw_col)
+    base = df.select(
+        raw.alias("__raw"),
+        route_vendor(raw).alias("vendor"),
+        field(raw, "MSH", 10).alias("source_message_id"),
+        hl7_ts(field(raw, "MSH", 7)).alias("valid_from"),
+        field(raw, "PID", 3, 1).alias("mrn"),
+        field(raw, "PV1", 19, 1).alias("visit_number"),
+        F.filter(
+            segments(raw), lambda s: s.getItem(0) == F.lit("OBX")
+        ).alias("obx_segs"),
+    ).filter(F.col("vendor").isNotNull())
+    obx = base.withColumn("obx", F.explode("obx_segs")).drop("obx_segs", "__raw")
+    ident = F.try_element_at(F.split(F.try_element_at("obx", F.lit(4)), r"\^"), F.lit(1))
+    raw_val = F.try_element_at("obx", F.lit(6))
+    vtype = value_type_of(F.try_element_at("obx", F.lit(3)), raw_val)
+    num = numeric_result(raw_val)
+    return (
+        obx.select(
+            "vendor",
+            "source_message_id",
+            "valid_from",
+            "mrn",
+            "visit_number",
+            ident.alias("observation_id"),
+            vtype.alias("value_type"),
+            F.when(vtype == "NUMERIC", num["value_as_real"]).alias("value_as_real"),
+            F.when(vtype == "NUMERIC", num["result_operator"]).alias("result_operator"),
+            F.when(vtype != "NUMERIC", raw_val).alias("value_as_text"),
+            F.try_element_at("obx", F.lit(7)).alias("unit"),
+        )
+        # ABL90 calibration-reading quirk: drop instrument calibrations
+        .filter(
+            ~((F.col("vendor") == "ABL90_FLEX") & F.lower("observation_id").startswith("cal"))
+        )
+    )
+
+
+def synthetic_oru_messages(spark, n: int = 12) -> DataFrame:
+    """ORU^R01 fixtures across vendors, incl. ABL90 calibration rows."""
+    rows = []
+    senders = ["EPIC", "WinPath", "ABL90 FLEX Plus", "Unknown Vendor"]
+    for i in range(n):
+        sender = senders[i % 4]
+        ts = f"20240301{8 + i % 12:02d}0000"
+        obx = [
+            f"OBX|1|NM|HR^Heart Rate||{60 + i}|bpm",
+            f"OBX|2|ST|NOTE^Comment||stable {i}|",
+        ]
+        if sender == "ABL90 FLEX Plus":
+            obx.append("OBX|3|NM|cal27^Calibration||1.0|")  # must be dropped
+        msg = "\r".join(
+            [
+                f"MSH|^~\\&|{sender}|UCLH|x|x|{ts}||ORU^R01|ORU{i:06d}|P|2.4",
+                f"PID|1||77{i:04d}^^^MRN",
+                "|".join(["PV1", "1", "I"] + [""] * 16 + [f"55{i:04d}"]),
+                *obx,
+            ]
+        )
+        rows.append((i, msg))
+    return spark.createDataFrame(rows, "id long, hl7 string")

@@ -67,3 +67,52 @@ def test_frame_sampling_plan(spark):
     frames = frame_sample(media, every_ms=10_000).collect()
     vids = media.filter(F.col("kind") == "video").count()
     assert len({r.media_id for r in frames}) == vids
+
+
+def test_oru_vendor_routing_and_calibration_quirk(spark):
+    from emap_spark.sources.hl7_text import observations_from_oru, synthetic_oru_messages
+
+    out = observations_from_oru(synthetic_oru_messages(spark, n=8)).collect()
+    vendors = {r.vendor for r in out}
+    assert vendors == {"EPIC_FLOWSHEET", "WINPATH", "ABL90_FLEX"}  # unknown dropped
+    # ABL90 calibration OBX rows are filtered
+    abl = [r for r in out if r.vendor == "ABL90_FLEX"]
+    assert abl and all(not r.observation_id.lower().startswith("cal") for r in abl)
+    hr = [r for r in out if r.observation_id == "HR"][0]
+    assert hr.value_type == "NUMERIC" and hr.value_as_real >= 60.0 and hr.unit == "bpm"
+    note = [r for r in out if r.observation_id == "NOTE"][0]
+    assert note.value_type == "TEXT" and note.value_as_text.startswith("stable")
+
+
+def test_identifier_changes_and_move_visit(spark):
+    from emap_spark.operators.identity import apply_identifier_changes, move_visit
+    from pyspark.sql import functions as F
+
+    mrns = spark.createDataFrame([("a",), ("b",), ("c",)], "mrn string")
+    changes = spark.createDataFrame(
+        [("a", "a2"), ("c", "b")], "old_mrn string, new_mrn string"
+    )  # c->b collides with existing b: must NOT apply
+    out = sorted(r.mrn for r in apply_identifier_changes(mrns, changes).collect())
+    assert out == ["a2", "b", "c"]
+
+    visits = spark.createDataFrame(
+        [("E1", "a"), ("E2", "b")], "encounter string, mrn string"
+    )
+    moves = spark.createDataFrame([("E1", "b")], "encounter string, to_mrn string")
+    moved = {r.encounter: r.mrn for r in move_visit(visits, moves).collect()}
+    assert moved == {"E1": "b", "E2": "b"}
+
+
+def test_death_info_consistency(spark):
+    from emap_spark.functions.hl7 import death_info_consistent
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Y", "2024-01-01 10:00:00"), ("N", "2024-01-01 10:00:00"), ("N", None), ("Y", None)],
+        "ind string, dt string",
+    ).select(
+        death_info_consistent(
+            F.col("ind"), F.col("dt").cast("timestamp_ntz")
+        ).alias("ok")
+    )
+    assert [r.ok for r in df.collect()] == [True, False, True, True]
