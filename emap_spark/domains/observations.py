@@ -103,3 +103,57 @@ def process_consults(
     """D13/D14 consult + advance-decision shape
     (ConsultationRequestController.java:72-224)."""
     return merge_batch(current, updates, CONSULT_SPEC, stored_from)
+
+
+FORM_SPEC = MergeSpec(
+    key=["form_id"],
+    fields={
+        "form_name": ASSIGN,
+        "encounter": ASSIGN,
+        "mrn": ASSIGN,
+        "last_filed": ASSIGN,
+    },
+    event_time="valid_from",
+    seq="seq",
+    tombstone="is_delete",
+)
+
+ANSWER_SPEC = MergeSpec(
+    key=["form_id", "question"],
+    fields={"answer": TRISTATE},
+    event_time="valid_from",
+    seq="seq",
+)
+
+
+def process_forms(
+    form_current: DataFrame | None,
+    answer_current: DataFrame | None,
+    msgs: DataFrame,
+    stored_from: str,
+) -> tuple[MergeResult, MergeResult]:
+    """D15/D16 (FormController.java:75-229, QuestionController.java:
+    91-145): Form upsert by form instance id (delete-for-visit via
+    tombstone) + FormAnswer upsert per (form, question) with tri-state
+    answers. msgs carry an `answers` map<question,answer> that explodes
+    into the RequestAnswer-shaped child rows."""
+    forms = msgs.select(
+        "form_id", "valid_from", "seq", "form_name", "encounter", "mrn",
+        F.col("valid_from").alias("last_filed"), "is_delete",
+    )
+    answers = msgs.select(
+        "form_id", "valid_from", "seq", F.explode_outer("answers").alias("question", "raw")
+    ).filter(F.col("question").isNotNull()).select(
+        "form_id",
+        "question",
+        "valid_from",
+        "seq",
+        F.struct(
+            F.col("raw").alias("value"),
+            F.when(F.col("raw") == '""', "DELETE").otherwise("SAVE").alias("status"),
+        ).alias("answer"),
+    )
+    return (
+        merge_batch(form_current, forms, FORM_SPEC, stored_from),
+        merge_batch(answer_current, answers, ANSWER_SPEC, stored_from),
+    )

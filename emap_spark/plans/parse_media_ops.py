@@ -316,3 +316,38 @@ def q86_oru_vendor_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_obs"),
         F.round(F.sum("value_as_real"), 2).alias("sum_numeric"),
     )
+
+
+@register(
+    "q87_forms_pipeline",
+    doc=(
+        "D15/D16: Form upsert (delete tombstones) + FormAnswer child rows "
+        "from exploded answer maps with '\"\"' delete sentinels."
+    ),
+)
+def q87_forms_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.domains.observations import process_forms
+
+    rows = []
+    for i in range(20):
+        ans = {"q1": f"v{i}", "q2": "0" if i % 2 else '""'}
+        rows.append((f"fm-{i}-0", f"FORM{i:03d}", ["SMOKING", "DIET"][i % 2],
+                     f"E{i % 6}", f"M{i % 6}", f"2024-05-{1 + i % 25:02d} 10:00:00", False, ans))
+        if i % 4 == 0:
+            rows.append((f"fm-{i}-1", f"FORM{i:03d}", ["SMOKING", "DIET"][i % 2],
+                         f"E{i % 6}", f"M{i % 6}", f"2024-05-{1 + i % 25:02d} 18:00:00", True, None))
+    msgs = spark.createDataFrame(
+        rows,
+        "seq string, form_id string, form_name string, encounter string, mrn string,"
+        " valid_from string, is_delete boolean, answers map<string,string>",
+    ).withColumn("valid_from", F.col("valid_from").cast("timestamp_ntz"))
+    forms, answers = process_forms(None, None, msgs, "2024-06-01 00:00:00")
+    return (
+        forms.live()
+        .join(answers.live(), "form_id", "left")
+        .groupBy("form_name")
+        .agg(
+            F.count_distinct("form_id").alias("n_forms"),
+            F.count("answer").alias("n_live_answers"),
+        )
+    )

@@ -115,3 +115,50 @@ def test_ids_incremental_reader(spark, ids_dir):
     r.commit(hi3)
     df4, hi4 = r.next_batch()
     assert df4.count() == 0 and hi4 is None
+
+
+def test_hoover_windowed_polls(spark, ids_dir):
+    from emap_spark.sources.hoover import HooverSource, QueryStrategy
+
+    data = [(i, datetime.datetime(2024, 1, 1, 0, i)) for i in range(10)]
+    df = spark.createDataFrame(data, "id long, updated timestamp_ntz")
+    path = f"{ids_dir}/h.parquet"
+    df.write.parquet(path)
+    strat = QueryStrategy(
+        name="flowsheets",
+        load=lambda: spark.read.parquet(path),
+        watermark_col="updated",
+        lag_seconds=60,
+    )
+    src = HooverSource(f"{ids_dir}/hoover.json")
+    d1, hi1 = src.poll(strat)
+    assert d1.count() == 10
+    src.commit(strat, hi1)
+    d2, _ = src.poll(strat)
+    # lag margin re-reads the final minute's row (at-least-once, no skips)
+    assert d2.count() == 1
+
+
+def test_forms_and_answers(spark):
+    from emap_spark.domains.observations import process_forms
+
+    rows = [
+        ("f1-0", "F1", "SMOKING", "E1", "M1", "2024-05-01 10:00:00", False,
+         {"smokes": "no", "packs": "0"}),
+        ("f1-1", "F1", "SMOKING", "E1", "M1", "2024-05-02 10:00:00", False,
+         {"smokes": "yes", "packs": '""'}),  # answer deleted via sentinel
+        ("f2-0", "F2", "DIET", "E2", "M2", "2024-05-01 11:00:00", False, {"veg": "yes"}),
+        ("f2-1", "F2", "DIET", "E2", "M2", "2024-05-03 11:00:00", True, None),  # form deleted
+    ]
+    msgs = spark.createDataFrame(
+        rows,
+        "seq string, form_id string, form_name string, encounter string, mrn string,"
+        " valid_from string, is_delete boolean, answers map<string,string>",
+    ).withColumn("valid_from", F.col("valid_from").cast("timestamp_ntz"))
+    forms, answers = process_forms(None, None, msgs, "2024-06-01 00:00:00")
+    live_forms = {r.form_id: r for r in forms.live().collect()}
+    assert set(live_forms) == {"F1"}  # F2 deleted
+    assert str(live_forms["F1"].last_filed).startswith("2024-05-02")  # newest filing wins
+    ans = {(r.form_id, r.question): r.answer for r in answers.live().collect()}
+    assert ans[("F1", "smokes")] == "yes"  # newer wins
+    assert ans[("F1", "packs")] is None  # '""' delete sentinel
