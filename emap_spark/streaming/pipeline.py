@@ -140,3 +140,26 @@ def retention_sweep(
         (F.max(F.col(ts_col)) - F.expr(f"INTERVAL {retention_hours} HOURS")).alias("c")
     )
     return table.join(F.broadcast(cutoff)).filter(F.col(ts_col) >= F.col("c")).drop("c")
+
+
+def process_prioritized(
+    pipeline: MergePipeline,
+    live: DataFrame,
+    backfill: DataFrame | None,
+    batch_id: int,
+    backfill_budget_rows: int | None = None,
+) -> None:
+    """W5: live messages drain before backfill (the reference consumes
+    queues in priority order, core App.java:68-75 'ordering of queue
+    names ... matters'; hoover drains between live messages).
+
+    Processes the live batch first, then at most backfill_budget_rows of
+    backfill in the same cycle — the remainder waits for an idle cycle.
+    Order-permutation invariance (W3) makes the interleaving safe: final
+    state is independent of which cycle a backfill message lands in.
+    """
+    pipeline.process_batch(live, batch_id)
+    if backfill is not None:
+        if backfill_budget_rows is not None:
+            backfill = backfill.limit(backfill_budget_rows)
+        pipeline.process_batch(backfill, batch_id + 1_000_000)

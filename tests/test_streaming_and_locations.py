@@ -267,3 +267,34 @@ def test_engine_run_stream_foreachbatch(spark, tmp_path):
     visits = eng.table("hospital_visit").collect()
     assert len(visits) == 3
     assert eng.location_visits().count() == 9  # 3 stays x 3 visits
+
+
+def test_priority_live_over_backfill(spark):
+    """W5: live batch merges first; backfill interleaving cannot change
+    the final state (order invariance makes the scheduling safe)."""
+    from emap_spark.streaming.pipeline import process_prioritized
+
+    adt = adt_messages(spark, n_patients=3)
+    live = adt.filter(F.col("message_type") == "DISCHARGE")
+    backfill = adt.filter(F.col("message_type") != "DISCHARGE")
+
+    spec = MergeSpec(
+        key=["visit_number"],
+        fields={"location": TRISTATE},
+        event_time="valid_from",
+        seq="source_message_id",
+    )
+    p = MergePipeline({"visit": (spec, lambda df: df)})
+    process_prioritized(p, live, backfill, 0)
+    with_priority = sorted(
+        (r.visit_number, r.location) for r in p.tables["visit"].current.collect()
+    )
+    p2 = MergePipeline({"visit": (spec, lambda df: df)})
+    p2.process_batch(adt, 0)  # everything at once
+    assert with_priority == sorted(
+        (r.visit_number, r.location) for r in p2.tables["visit"].current.collect()
+    )
+    # budget limits backfill drained per cycle
+    p3 = MergePipeline({"visit": (spec, lambda df: df)})
+    process_prioritized(p3, live, backfill, 0, backfill_budget_rows=2)
+    assert p3.metrics[-1].n_input == 2
