@@ -349,3 +349,68 @@ def q30_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# q31: inter-event timing analytics (lead/lag arithmetic)
+# --------------------------------------------------------------------------
+@register(
+    "q31_inter_event_timing",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_gaps,
+       min(gap_us) AS min_gap_us,
+       max(gap_us) AS max_gap_us,
+       (sum(gap_us) // count(*))::BIGINT AS avg_gap_us
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+) WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""",
+    doc="Inter-arrival statistics per stream (integer-exact microseconds).",
+)
+def q31_inter_event_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id", (us("ts") - F.lag(us("ts")).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.expr("sum(gap_us) div count(*)").alias("avg_gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q32: daily active users / distinct-per-bucket
+# --------------------------------------------------------------------------
+@register(
+    "q32_daily_active_users",
+    oracle="""
+SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+       count(DISTINCT user_id) AS dau,
+       count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchasers,
+       count(*) AS n_events
+FROM events
+GROUP BY date_trunc('day', ts)
+""",
+    doc="Distinct-per-bucket rollup (DAU shape).",
+)
+def q32_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            ).alias("purchasers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(us("day").alias("day_us"), "dau", "purchasers", "n_events")
+    )

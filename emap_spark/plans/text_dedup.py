@@ -404,3 +404,64 @@ def q49_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(F.col("s").cast("binary"))).alias("fingerprint"),
         F.countDistinct("s").alias("n_windows"),
     )
+
+
+# --------------------------------------------------------------------------
+# q55: global token frequencies (explode + aggregate)
+# --------------------------------------------------------------------------
+@register(
+    "q55_token_frequencies",
+    oracle="""
+SELECT t AS token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+GROUP BY t
+""",
+    doc="Corpus vocabulary with document frequencies (explode + two-level counts).",
+)
+def q55_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q56: similarity of every doc to a fixed query (search shape)
+# --------------------------------------------------------------------------
+_QUERY_TEXT = "the fast query scan join group filter"
+
+
+@register(
+    "q56_query_similarity_ranking",
+    oracle=f"""
+WITH qt AS (SELECT list_distinct(string_split('{_QUERY_TEXT}', ' ')) AS qw),
+d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dw FROM documents)
+SELECT doc_id,
+       len(list_filter(dw, t -> list_contains(qw, t))) AS n_common,
+       round(len(list_filter(dw, t -> list_contains(qw, t)))::DOUBLE
+             / (len(dw) + len(qw) - len(list_filter(dw, t -> list_contains(qw, t)))), 6) AS jaccard_to_query
+FROM d, qt
+ORDER BY jaccard_to_query DESC, doc_id
+LIMIT 25
+""",
+    doc="Keyword-search ranking: per-doc Jaccard against a fixed query term set.",
+)
+def q56_query_similarity_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _words(_docs(spark, sf_dir))
+    qw = sorted(set(_QUERY_TEXT.split(" ")))
+    qlit = ", ".join(f"'{w}'" for w in qw)
+    dw = F.array_distinct(F.col("w"))
+    common = F.expr(
+        f"size(filter(array_distinct(w), t -> array_contains(array({qlit}), t)))"
+    )
+    jac = F.round(
+        common.cast("double") / (F.size(dw) + F.lit(len(qw)) - common), 6
+    )
+    return (
+        d.select("doc_id", common.alias("n_common"), jac.alias("jaccard_to_query"))
+        .orderBy(F.col("jaccard_to_query").desc(), F.col("doc_id"))
+        .limit(25)
+        .select("doc_id", F.col("n_common").cast("long").alias("n_common"), "jaccard_to_query")
+    )
