@@ -351,3 +351,44 @@ def q87_forms_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("answer").alias("n_live_answers"),
         )
     )
+
+
+@register(
+    "q88_stream_dedupe_within_watermark",
+    doc=(
+        "W4 streaming form: dropDuplicatesWithinWatermark over a stream "
+        "with injected duplicate deliveries — the Structured Streaming "
+        "native at-least-once guard (state bounded by the watermark, "
+        "unlike the batch dropDuplicates which keys forever)."
+    ),
+)
+def q88_stream_dedupe_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from emap_spark.sources.tables import load_table
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .limit(500)
+    )
+    doubled = base.unionByName(base)  # every message delivered twice
+    stage = tempfile.mkdtemp(prefix="q88_events_")
+    doubled.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(doubled.schema).parquet(stage)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_after_dedupe"))
+    )
+    name = "q88_out_" + stage.rsplit("_", 1)[-1]
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select("event_type", "n_after_dedupe")
