@@ -165,6 +165,41 @@ def collate_batch(
     )
 
 
+def _retain_unemitted(new: pd.DataFrame, emitted_until) -> pd.DataFrame:
+    """Buffer retention after emitting chunks: keep every unemitted sample.
+
+    A message straddling the emitted-chunk boundary keeps its unemitted
+    tail — trim the already-emitted leading samples and advance its
+    timestamp accordingly (the reference WaveformCollator never discards
+    buffered samples; a naive ``ts >= emitted_until`` filter dropped the
+    straddling message's tail)."""
+    if emitted_until is None:
+        return new
+    rate = int(new["sampling_rate"].iloc[0])
+    sample_us = 1_000_000.0 / rate
+    eu_us = emitted_until.value // 1000
+    kept_ts: list = []
+    kept_vals: list = []
+    for ts, vals in zip(new["observation_time"], new["values"]):
+        vals = list(vals)
+        n_drop = int(round((eu_us - ts.value // 1000) / sample_us))
+        if n_drop >= len(vals):
+            continue  # fully emitted
+        if n_drop > 0:
+            vals = vals[n_drop:]
+            ts = ts + pd.Timedelta(microseconds=n_drop * sample_us)
+        kept_ts.append(ts)
+        kept_vals.append(vals)
+    out = pd.DataFrame(
+        {
+            "observation_time": pd.Series(kept_ts, dtype="datetime64[ns]"),
+            "values": pd.Series(kept_vals, dtype=object),
+        }
+    )
+    out["sampling_rate"] = rate
+    return out
+
+
 def collate_stream(
     messages: DataFrame,
     target_samples: int = TARGET_SAMPLES,
@@ -229,20 +264,18 @@ def collate_stream(
                 if emitted
                 else None
             )
-            keep = (
-                new[new["observation_time"] >= emitted_until]
-                if emitted_until is not None
-                else new
-            )
+            keep = _retain_unemitted(new, emitted_until)
             keep = keep.sort_values("observation_time").drop_duplicates(
                 subset=["observation_time"], keep="first"
             )
+            # pure-Python values only: numpy scalars in the state tuple fail
+            # JVM-side unpickling (razorvine has no numpy.dtype constructor)
             state.update(
                 (
                     [int(t.value // 1000) for t in keep["observation_time"]],
-                    [list(v) for v in keep["values"]],
+                    [[float(x) for x in v] for v in keep["values"]],
                     int(new["sampling_rate"].iloc[0]),
-                    new["unit"].iloc[0],
+                    str(new["unit"].iloc[0]),
                 )
             )
             state.setTimeoutDuration(wait_limit_seconds * 1000)

@@ -11,7 +11,7 @@ import tempfile
 import pytest
 from pyspark.sql import Row
 
-from emap_spark.streaming.collation import collate_stream
+from emap_spark.streaming.collation import _retain_unemitted, collate_stream
 
 
 @pytest.fixture()
@@ -70,3 +70,85 @@ def test_collate_stream_emits_full_chunks(spark, tmpdir):
     assert [r.n_samples for r in out] == [10, 10, 10]
     assert out[0].values_array == [float(v) for v in range(10)]
     assert all(r.is_final_partial == "full" for r in out)
+
+
+def test_retain_unemitted_trims_straddling_message():
+    """Regression: a message straddling the emitted-chunk boundary must
+    keep its unemitted tail samples (was dropped entirely before)."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01")
+    rate = 10  # 100 ms / sample
+    msgs = pd.DataFrame(
+        {
+            "observation_time": [t0, t0 + pd.Timedelta(milliseconds=500)],
+            "values": [[0.0, 1.0, 2.0, 3.0, 4.0], [5.0, 6.0, 7.0, 8.0, 9.0]],
+            "sampling_rate": [rate, rate],
+        }
+    )
+    # an 8-sample chunk was emitted: boundary falls inside message 2
+    emitted_until = t0 + pd.Timedelta(milliseconds=800)
+    keep = _retain_unemitted(msgs, emitted_until)
+    assert len(keep) == 1
+    assert list(keep["values"].iloc[0]) == [8.0, 9.0]
+    assert keep["observation_time"].iloc[0] == emitted_until
+    # fully-emitted boundary: message entirely consumed -> dropped
+    keep2 = _retain_unemitted(msgs, t0 + pd.Timedelta(milliseconds=1000))
+    assert len(keep2) == 0
+    # boundary before everything -> keep all samples untrimmed
+    keep3 = _retain_unemitted(msgs, t0)
+    assert [len(v) for v in keep3["values"]] == [5, 5]
+
+
+def test_collate_stream_no_sample_loss_on_straddle(spark, tmpdir):
+    """End-to-end: message sizes (5) not dividing target (8) across two
+    micro-batches; every input sample must come out exactly once."""
+    import time
+
+    def msg(i):
+        return Row(
+            source_location="L1",
+            source_stream_id="S1",
+            sampling_rate=10,
+            unit="mV",
+            observation_time=datetime.datetime(2024, 1, 1, 0, 0, 0)
+            + datetime.timedelta(microseconds=i * 500_000),
+            values=[float(v) for v in range(i * 5, i * 5 + 5)],
+        )
+
+    first = spark.createDataFrame([msg(0), msg(1)])
+    src = f"{tmpdir}/in"
+    first.write.parquet(src)
+    stream = spark.readStream.schema(first.schema).parquet(src)
+    q = (
+        collate_stream(stream, target_samples=8, wait_limit_seconds=6)
+        .writeStream.format("memory")
+        .queryName("collated_straddle")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        wrote_second = False
+        out = []
+        while time.time() < deadline:
+            out = spark.sql("select * from collated_straddle").collect()
+            if out and not wrote_second:
+                # first full chunk (8 samples) emitted; now send message 3
+                spark.createDataFrame([msg(2)]).write.mode("append").parquet(src)
+                wrote_second = True
+            if sum(r.n_samples for r in out) >= 15:
+                break
+            if q.exception():
+                raise AssertionError(q.exception())
+            time.sleep(1)
+    finally:
+        q.stop()
+    out = sorted(out, key=lambda r: r.observation_datetime)
+    all_vals = [v for r in out for v in r.values_array]
+    # 15 input samples -> 8-sample full chunk + 7-sample timeout flush,
+    # in order, nothing lost at the straddled boundary (samples 8, 9)
+    assert all_vals == [float(v) for v in range(15)]
+    assert [r.n_samples for r in out] == [8, 7]
+    assert [r.is_final_partial for r in out] == ["full", "timeout"]
