@@ -19,8 +19,11 @@ step 4) rather than merged incrementally.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import os
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from emap_spark.lineage import cut
 from emap_spark.operators.locations import infer_location_visits, occupancy
 from emap_spark.operators.merge import ASSIGN, FILL_IF_NULL, TRISTATE, MergeSpec, as_of
 from emap_spark.streaming.pipeline import MergePipeline
@@ -128,9 +131,10 @@ VISIT_SPEC = MergeSpec(
 
 
 class EmapEngine:
-    def __init__(self, granularity: str = "message") -> None:
+    def __init__(self, granularity: str = "message", storage_root: str | None = None) -> None:
         # message granularity = the reference's per-change audit trail
         # (as_of works at any t); "batch" trades that for fewer rows
+        self.storage_root = storage_root
         self.pipeline = MergePipeline(
             {
                 "mrn": (MRN_SPEC, _route_mrn),
@@ -139,13 +143,30 @@ class EmapEngine:
             },
             granularity=granularity,
             validator=F.col("mrn").isNotNull() | F.col("visit_number").isNotNull(),
+            storage_root=os.path.join(storage_root, "pipeline") if storage_root else None,
         )
-        self._movement_history: DataFrame | None = None
-        self._merge_history: DataFrame | None = None
+        # movement/merge history is an append-only event LOG, not merged
+        # state: per batch we append one deduped part (durable mode: one
+        # parquet dir per batch id, idempotent on replay) and defer the
+        # cross-batch dedupe to read time. The previous design re-unioned
+        # and re-deduplicated the whole history every batch — O(n²) over a
+        # stream's life and driver-pinned; a log is O(batch) per batch.
+        self._movement_parts: list[DataFrame] = []
+        self._merge_parts: list[DataFrame] = []
+        self._spark: SparkSession | None = None
 
     # -- ingestion ---------------------------------------------------------
+    def load(self, spark: SparkSession) -> None:
+        """Restart path: reattach to durable state (no-op in memory mode)."""
+        self._spark = spark
+        self.pipeline.load(spark)
+
     def process_batch(self, adt_batch: DataFrame, batch_id: int = 0) -> None:
-        self.pipeline.process_batch(adt_batch, batch_id)
+        self._spark = adt_batch.sparkSession
+        if self.storage_root is not None:
+            self.pipeline.load(self._spark)
+            if batch_id in self.pipeline.applied_batches:
+                return  # restart replayed a committed batch
         moves = adt_batch.filter(F.col("message_type").isin(*ARRIVAL_OR_MOVE))
         cols = [
             "source_message_id",
@@ -156,28 +177,58 @@ class EmapEngine:
             "previous_location",
         ]
         moves = moves.select(*cols).dropDuplicates(["source_message_id"])
-        if self._movement_history is None:
-            self._movement_history = moves.localCheckpoint(eager=True)
-        else:
-            self._movement_history = (
-                self._movement_history.unionByName(moves)
-                .dropDuplicates(["source_message_id"])
-                .localCheckpoint(eager=True)
-            )
         merges = (
             adt_batch.filter(
                 (F.col("message_type") == "MERGE") & F.col("retired_mrn").isNotNull()
             )
             .select("retired_mrn", "mrn", "source_message_id")
             .dropDuplicates(["source_message_id"])
-            .drop("source_message_id")
         )
-        if self._merge_history is None:
-            self._merge_history = merges.localCheckpoint(eager=True)
-        else:
-            self._merge_history = (
-                self._merge_history.unionByName(merges).distinct().localCheckpoint(eager=True)
+        if self.storage_root is not None:
+            # history parts land BEFORE the pipeline commit marker so a
+            # crash between the two replays (idempotently) rather than
+            # skipping the history write
+            moves.write.mode("overwrite").parquet(
+                os.path.join(self.storage_root, f"movement_history/batch={batch_id}")
             )
+            merges.write.mode("overwrite").parquet(
+                os.path.join(self.storage_root, f"merge_history/batch={batch_id}")
+            )
+        else:
+            self._movement_parts.append(cut(moves))
+            self._merge_parts.append(cut(merges))
+        self.pipeline.process_batch(adt_batch, batch_id)
+
+    def _movement_history(self) -> DataFrame | None:
+        if self.storage_root is not None:
+            d = os.path.join(self.storage_root, "movement_history")
+            if not os.path.isdir(d):
+                return None
+            return (
+                self._spark.read.parquet(d)
+                .drop("batch")
+                .dropDuplicates(["source_message_id"])
+            )
+        if not self._movement_parts:
+            return None
+        out = self._movement_parts[0]
+        for p in self._movement_parts[1:]:
+            out = out.unionByName(p)
+        return out.dropDuplicates(["source_message_id"])
+
+    def _merge_history(self) -> DataFrame | None:
+        if self.storage_root is not None:
+            d = os.path.join(self.storage_root, "merge_history")
+            if not os.path.isdir(d):
+                return None
+            parts = self._spark.read.parquet(d).drop("batch")
+        elif self._merge_parts:
+            parts = self._merge_parts[0]
+            for p in self._merge_parts[1:]:
+                parts = parts.unionByName(p)
+        else:
+            return None
+        return parts.dropDuplicates(["source_message_id"]).drop("source_message_id")
 
     def run_stream(self, stream_df: DataFrame, checkpoint_dir: str, **kw):
         """Streaming mode: same per-batch function under foreachBatch."""
@@ -204,15 +255,17 @@ class EmapEngine:
         chains collapsed by pointer doubling (operators/identity.py)."""
         from emap_spark.operators.identity import mrn_to_live
 
-        if self._merge_history is None:
+        merges = self._merge_history()
+        if merges is None:
             base = self.table("mrn").select("mrn")
             return base.select("mrn", F.col("mrn").alias("live_mrn"))
-        return mrn_to_live(self.table("mrn").select("mrn"), self._merge_history)
+        return mrn_to_live(self.table("mrn").select("mrn"), merges)
 
     def location_visits(self) -> DataFrame:
-        if self._movement_history is None:
+        history = self._movement_history()
+        if history is None:
             raise ValueError("no movement messages processed yet")
-        return infer_location_visits(self._movement_history)
+        return infer_location_visits(history)
 
     def occupancy(self, t) -> DataFrame:
         return occupancy(self.location_visits(), t)

@@ -11,27 +11,47 @@ custom piece 5).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
+from emap_spark.lineage import cut
 
-def resolve_identity(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+
+def resolve_identity(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """edges: (retired, survivor) merge pairs. Returns (mrn, live_mrn)
     for every mrn appearing anywhere, with chains fully collapsed.
 
-    Cycle guard: a merge that would point an mrn (transitively) at
-    itself resolves to the smallest member, so the loop always
-    terminates.
+    Pointer doubling bounded by ceil(log2(n)) + 1 (a chain cannot be
+    longer than the node count); each iteration cuts lineage via a
+    parquet roundtrip (see emap_spark.lineage for why not
+    localCheckpoint) and exits early once the mapping stabilizes.
+
+    Cycle tiebreak: mutual/circular merges have no well-defined
+    survivor, so every member of a cycle-tainted component resolves to
+    the component's smallest member (keeps mrn_to_live / opt-out
+    propagation on ONE live mrn per identity group).
     """
+    edges = edges.filter(
+        F.col("retired").isNotNull()
+        & F.col("survivor").isNotNull()
+        & (F.col("retired") != F.col("survivor"))
+    ).groupBy("retired").agg(F.min("survivor").alias("survivor"))
     nodes = (
         edges.select(F.col("retired").alias("u"))
         .unionByName(edges.select(F.col("survivor").alias("u")))
         .distinct()
     )
-    m = nodes.join(edges, nodes.u == edges.retired, "left").select(
-        "u", F.coalesce(F.col("survivor"), F.col("u")).alias("live")
+    m = cut(
+        nodes.join(edges, nodes.u == edges.retired, "left").select(
+            "u", F.coalesce(F.col("survivor"), F.col("u")).alias("live")
+        )
     )
-    for _ in range(max_iter):
-        m2 = (
+    n = m.count()
+    bound = min(max_iter, math.ceil(math.log2(n + 1)) + 1) if n else 0
+    for _ in range(bound):
+        prev = m
+        m = cut(
             m.alias("a")
             .join(m.alias("b"), F.col("a.live") == F.col("b.u"))
             .select(
@@ -42,14 +62,60 @@ def resolve_identity(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 .alias("live"),
             )
         )
-        changed = not m2.alias("x").join(
-            m.alias("y"),
+        changed = not m.alias("x").join(
+            prev.alias("y"),
             (F.col("x.u") == F.col("y.u")) & (F.col("x.live") != F.col("y.live")),
             "left_semi",
         ).isEmpty()
-        m = m2.localCheckpoint(eager=True)
         if not changed:
             break
+
+    # Cycle canonicalization: an acyclic converged mapping is idempotent
+    # (live(live(u)) == live(u)). With the hop guard above, every node in
+    # (or pointing transitively into) a merge cycle keeps an unstable
+    # 2-hop image, so `flagged` is exactly the cycle-tainted node set —
+    # tiny in practice (cycles are degenerate input). Min-label
+    # propagation restricted to the flagged subgraph canonicalizes each
+    # such component to its smallest member; acyclic chains keep their
+    # true survivor.
+    two_hop = (
+        m.alias("a")
+        .join(m.alias("b"), F.col("a.live") == F.col("b.u"))
+        .select(
+            F.col("a.u").alias("u"),
+            F.col("a.live").alias("live"),
+            F.col("b.live").alias("live2"),
+        )
+    )
+    flagged = two_hop.filter(F.col("live") != F.col("live2")).select("u")
+    if not flagged.isEmpty():
+        flagged = cut(flagged)
+        mf = m.join(flagged, "u", "left_semi")
+        sym = cut(
+            mf.select(F.col("u").alias("x"), F.col("live").alias("y"))
+            .unionByName(mf.select(F.col("live").alias("x"), F.col("u").alias("y")))
+            .filter(F.col("x") != F.col("y"))
+            .distinct()
+        )
+        lab = mf.select("u", F.least("u", "live").alias("lab"))
+        for _ in range(max_iter):
+            neigh = sym.join(lab, sym["y"] == lab["u"]).select(
+                sym["x"].alias("u"), F.col("lab")
+            )
+            prev_lab = lab
+            lab = cut(
+                lab.unionByName(neigh).groupBy("u").agg(F.min("lab").alias("lab"))
+            )
+            changed = not lab.alias("x").join(
+                prev_lab.alias("y"),
+                (F.col("x.u") == F.col("y.u")) & (F.col("x.lab") != F.col("y.lab")),
+                "left_semi",
+            ).isEmpty()
+            if not changed:
+                break
+        m = m.join(lab, "u", "left").select(
+            "u", F.coalesce(F.col("lab"), F.col("live")).alias("live")
+        )
     return m.select(F.col("u").alias("mrn"), F.col("live").alias("live_mrn"))
 
 

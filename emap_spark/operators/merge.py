@@ -42,6 +42,8 @@ from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from emap_spark.lineage import cut
+
 # Field policies
 ASSIGN = "assign"  # plain field: newest message's value (even if null)
 FILL_IF_NULL = "fill_if_null"  # write if currently null, else only if newer
@@ -509,8 +511,9 @@ def replay(
     for i, b in enumerate(batches):
         t = stored_from_times[i] if stored_from_times else "2020-01-01 00:00:00"
         res = merge(current, b, spec, t)
-        # cut lineage growth for long replays
-        current = res.current.localCheckpoint(eager=True)
+        # cut lineage growth for long replays (parquet roundtrip — see
+        # emap_spark.lineage for why not localCheckpoint)
+        current = cut(res.current)
         audits.append(res.audit)
     audit = audits[0]
     for a in audits[1:]:

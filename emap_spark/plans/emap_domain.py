@@ -151,23 +151,34 @@ def q62_identity_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("dst"), F.col("user_id")).alias("live"),
         )
     )
-    # chains shrink strictly (dst = src-1), so 2^k doubling covers any
-    # chain of length <= 2^k; iterate until converged with a driver check
-    # on a dimension-sized frame (SURVEY §4: identity closure is the one
-    # sanctioned driver loop).
-    for _ in range(20):
-        m2 = (
+    # Edges are u -> u-1, so a chain is a run of consecutive signup ids:
+    # ONE scalar aggregation sizes the doubling loop (ceil(log2(longest
+    # run))) and each iteration is a single self-join — no per-iteration
+    # convergence probe (each probe was a full Spark job). Extra
+    # iterations past convergence are no-ops (roots map to themselves).
+    import math
+
+    from pyspark.sql import Window as W
+
+    runs = (
+        signups.withColumn(
+            "grp", F.col("user_id") - F.row_number().over(W.orderBy("user_id"))
+        )
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("longest"))
+        .collect()
+    )
+    longest = runs[0]["longest"] or 0
+    iters = math.ceil(math.log2(longest + 1)) if longest else 0
+    from emap_spark.lineage import cut
+
+    for _ in range(iters):
+        m = cut(
             m.alias("a")
             .join(m.alias("b"), F.col("a.live") == F.col("b.u"))
             .select(F.col("a.u").alias("u"), F.col("b.live").alias("live"))
         )
-        if m2.alias("x").join(
-            m.alias("y"),
-            (F.col("x.u") == F.col("y.u")) & (F.col("x.live") != F.col("y.live")),
-            "left_semi",
-        ).isEmpty():
-            break
-        m = m2.localCheckpoint(eager=True)
     return m.select(F.col("u").alias("user_id"), F.col("live").alias("live_user_id"))
 
 

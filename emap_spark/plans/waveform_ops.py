@@ -1,9 +1,16 @@
-"""Rows-only driver entries for the streaming/waveform/location operators
+"""Driver entries for the streaming/waveform/location operators
 (SURVEY §2.1 S12, §2.4 D6/D19, §2.5 W1/W7, §2.6 Q6/Q7). These run the
-real operators on deterministic generated input — they are not
-SQL-expressible over the parquet tables (stateful collation, interval
-reconstruction), so the driver records the weaker rows-only check
-(contract documented in __spark_entry__.py).
+REAL operators (stateful collation, interval inference, retention) on
+deterministic generated input; each has a DuckDB oracle that re-derives
+the same input from range() arithmetic and recomputes the expected
+output independently in SQL, so the driver's hash gate covers the
+operator end-to-end.
+
+Determinism notes: sample values are round(sin, 6) at generation (libm
+vs JVM sin agree far below 1e-6), float sums are exposed as exact
+integer micro-units, and timestamps as epoch-µs BIGINTs. Integer
+division mirrors Spark's double->long truncation (DuckDB CAST rounds,
+`//` floors — floor == truncate for the non-negative values here).
 """
 
 from __future__ import annotations
@@ -16,34 +23,136 @@ from emap_spark.sources.generators import adt_messages, waveform_stream
 from emap_spark.streaming.collation import collate_batch, gap_report
 from emap_spark.streaming.pipeline import retention_sweep
 
+_EPOCH_2024 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in µs
+
+# Shared SQL: regenerate the sine-wave message stream for (P patients,
+# rate R, S seconds, 5 samples/msg), chunk it exactly like the collator
+# (islands break on dropped messages; chunks of `target` samples within
+# an island; chunk c of an island starts island_start + c*target/rate).
+def _chunk_sql(
+    n_patients: int,
+    rate: int,
+    seconds: int,
+    target: int,
+    drop_where: str = "FALSE",
+) -> str:
+    mpp = (seconds * rate) // 5
+    return f"""
+msgs AS (
+  SELECT (i % {n_patients}) AS patient,
+         (i // {n_patients}) * 5 AS k0,
+         ((i // {n_patients}) * 5 * 1000000) // {rate} AS obs_us
+  FROM range({n_patients} * {mpp}) t(i)
+),
+kept AS (SELECT * FROM msgs WHERE NOT ({drop_where})),
+isl AS (
+  SELECT *, CASE WHEN k0 - lag(k0) OVER (PARTITION BY patient ORDER BY k0) = 5
+                 THEN 0 ELSE 1 END AS brk
+  FROM kept
+),
+isl2 AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY patient ORDER BY k0) AS island
+  FROM isl
+),
+samples AS (
+  SELECT patient, island, k0 + j AS k
+  FROM isl2, range(5) s(j)
+),
+ranked AS (
+  SELECT patient, island, k,
+         (row_number() OVER (PARTITION BY patient, island ORDER BY k) - 1) // {target}
+           AS chunk
+  FROM samples
+),
+lastisl AS (SELECT patient, max(island) AS last_island FROM isl2 GROUP BY patient),
+chunks AS (
+  SELECT r.patient, r.island, r.chunk,
+         count(*) AS n_samples,
+         SUM(CAST(round(abs(round(100 * sin(2 * pi() * r.k / {rate}.0), 6))
+                        * 1000000) AS BIGINT)) AS abs_sum_micro
+  FROM ranked r GROUP BY r.patient, r.island, r.chunk
+),
+islstart AS (
+  SELECT patient, island, (min(k) * 1000000) // {rate} AS isl_start_us
+  FROM samples GROUP BY patient, island
+),
+bounds AS (
+  SELECT c.patient, c.island, c.chunk, c.n_samples, c.abs_sum_micro,
+         {_EPOCH_2024} + s.isl_start_us
+           + c.chunk * {target * 1_000_000 // rate} AS start_us,
+         {_EPOCH_2024} + s.isl_start_us
+           + c.chunk * {target * 1_000_000 // rate}
+           + (c.n_samples * 1000000) // {rate} AS end_us,
+         CASE WHEN c.n_samples = {target} THEN 'full'
+              WHEN c.island = l.last_island THEN 'timeout'
+              ELSE 'gap' END AS is_final_partial
+  FROM chunks c
+  JOIN islstart s USING (patient, island)
+  JOIN lastisl l USING (patient)
+)
+"""
+
+
+_LOC = "printf('T%02dE^T%02dE BY02^BY02-%02d', patient, patient, patient)"
+
+_Q70_ORACLE = f"""
+WITH {_chunk_sql(4, 300, 60, 3000)}
+SELECT {_LOC} AS source_location,
+       '52912' AS source_stream_id,
+       start_us AS obs_us,
+       n_samples::BIGINT AS n_samples,
+       is_final_partial,
+       abs_sum_micro::BIGINT AS abs_sum_micro
+FROM bounds
+"""
+
 
 @register(
     "q70_waveform_collation",
+    oracle=_Q70_ORACLE,
     doc=(
         "W1 collation over the S12 sine generator: 4 patients x 300 Hz x "
         "60 s in 5-sample HL7-sized messages -> 3000-sample array rows "
-        "(the reference's 10 s @300 Hz row target)."
+        "(the reference's 10 s @300 Hz row target); oracle re-chunks the "
+        "regenerated sample stream in SQL."
     ),
 )
 def q70_waveform_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = waveform_stream(spark, n_patients=4, sampling_rate=300, seconds=60)
-    collated = collate_batch(
-        msgs.withColumnRenamed("observation_time", "observation_time"), target_samples=3000
-    )
+    collated = collate_batch(msgs, target_samples=3000)
     return collated.select(
         "source_location",
         "source_stream_id",
-        "observation_datetime",
+        F.unix_micros(F.col("observation_datetime").cast("timestamp")).alias("obs_us"),
         "n_samples",
         "is_final_partial",
-        F.round(F.aggregate("values_array", F.lit(0.0), lambda a, x: a + F.abs(x)), 3).alias(
-            "abs_sum"
-        ),
+        F.aggregate(
+            "values_array",
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.round(F.abs(x) * 1_000_000).cast("long"),
+        ).alias("abs_sum_micro"),
     )
+
+
+_Q71_ORACLE = f"""
+WITH {_chunk_sql(2, 300, 30, 3000,
+                       drop_where="patient = 0 AND obs_us BETWEEN 10000000 AND 12000000")},
+seq AS (
+  SELECT *, lag(end_us) OVER (PARTITION BY patient ORDER BY start_us) AS prev_end_us
+  FROM bounds
+)
+SELECT {_LOC} AS source_location,
+       '52912' AS source_stream_id,
+       start_us, end_us, prev_end_us,
+       (start_us - prev_end_us) AS gap_us
+FROM seq
+WHERE prev_end_us IS NOT NULL AND abs(start_us - prev_end_us) > 2000
+"""
 
 
 @register(
     "q71_waveform_gap_report",
+    oracle=_Q71_ORACLE,
     doc="Q6 gap detection on a stream with a dropped message window.",
 )
 def q71_waveform_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,16 +169,72 @@ def q71_waveform_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_report(collate_batch(gappy, target_samples=3000))
 
 
+_Q72_ORACLE = """
+SELECT printf('ENC%05d', i) AS visit_number,
+       printf(v.fmt, i % 5) AS location_string,
+       epoch_us(make_timestamp(2024, 1, CAST(1 + (i % 20) + v.ad AS INT),
+                               v.ah, 0, 0)) AS admission_us,
+       epoch_us(make_timestamp(2024, 1, CAST(1 + (i % 20) + v.dd AS INT),
+                               v.dh, 0, 0)) AS discharge_us,
+       FALSE AS inferred_admission,
+       FALSE AS inferred_discharge
+FROM range(25) t(i),
+     (VALUES ('T%dE^BY01^BED-1', 0, 8, 0, 12),
+             ('T%dE^BY02^BED-2', 0, 12, 0, 18),
+             ('T%dE^BY03^BED-3', 0, 18, 1, 10)) v(fmt, ad, ah, dd, dh)
+"""
+
+
 @register(
     "q72_location_visit_inference",
+    oracle=_Q72_ORACLE,
     doc="D6 recompute: admit/transfer/discharge history -> interval rows.",
 )
 def q72_location_visit_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return infer_location_visits(adt_messages(spark, n_patients=25))
+    lv = infer_location_visits(adt_messages(spark, n_patients=25))
+    return lv.select(
+        "visit_number",
+        "location_string",
+        F.unix_micros(F.col("admission_datetime").cast("timestamp")).alias("admission_us"),
+        F.unix_micros(F.col("discharge_datetime").cast("timestamp")).alias("discharge_us"),
+        "inferred_admission",
+        "inferred_discharge",
+    )
+
+
+_Q73_ORACLE = """
+WITH chunks AS (
+  SELECT printf('T%dE^BY02^BED-2', pl) AS source_location, c.c
+  FROM range(5) t(pl), range(3) c(c)
+),
+lv AS (
+  SELECT printf('T%dE^BY02^BED-2', p % 5) AS location_string,
+         printf('ENC%05d', p) AS visit_number,
+         make_timestamp(2024, 1, CAST(1 + p AS INT), 12, 0, 0) AS adm,
+         make_timestamp(2024, 1, CAST(1 + p AS INT), 18, 0, 0) AS dis
+  FROM range(10) t(p)
+),
+att AS (
+  SELECT ch.source_location, l.visit_number
+  FROM chunks ch
+  LEFT JOIN lv l
+    ON ch.source_location = l.location_string
+   AND make_timestamp(2024, 1, 1, 12, 30, 0) + to_microseconds(ch.c * 10000000)
+       >= l.adm
+   AND make_timestamp(2024, 1, 1, 12, 30, 0) + to_microseconds(ch.c * 10000000)
+       < l.dis
+)
+SELECT source_location,
+       count(*)::BIGINT AS n_rows,
+       count(visit_number)::BIGINT AS n_attached,
+       SUM(CASE WHEN visit_number IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+FROM att GROUP BY source_location
+"""
 
 
 @register(
     "q73_waveform_visit_attach",
+    oracle=_Q73_ORACLE,
     doc=(
         "D19 point-in-time attach: collated waveform rows interval-join to "
         "the LocationVisit covering (location, observation_time); unmatched "
@@ -105,8 +270,25 @@ def q73_waveform_visit_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q74_ORACLE = """
+WITH msgs AS (
+  SELECT (i % 2) AS patient,
+         ((i // 2) * 5 * 1000000) // 50 AS obs_us
+  FROM range(2 * 1200) t(i)
+),
+mx AS (SELECT max(obs_us) AS m FROM msgs)
+SELECT printf('T%02dE^T%02dE BY02^BY02-%02d', patient, patient, patient)
+         AS source_location,
+       count(*)::BIGINT AS n_before,
+       SUM(CASE WHEN obs_us >= (SELECT m FROM mx) THEN 1 ELSE 0 END)::BIGINT
+         AS n_after
+FROM msgs GROUP BY patient
+"""
+
+
 @register(
     "q74_waveform_retention",
+    oracle=_Q74_ORACLE,
     doc="K4/W7 retention sweep baselined on max(observation_datetime).",
 )
 def q74_waveform_retention(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,6 +27,20 @@ def test_identity_chain_closure(spark):
     assert out == {"a": "c", "b": "c", "c": "c", "d": "c"}
 
 
+def test_identity_cycle_canonicalizes_to_min_member(spark):
+    """Mutual merges (a<->b) have no survivor; the whole component must
+    resolve to its smallest member so the identity group shares one live
+    MRN (opt-out propagation / mrn_to_live splitting fix)."""
+    edges = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("z", "b"), ("p", "q"), ("q", "r")],
+        "retired string, survivor string",
+    )
+    out = {r.mrn: r.live_mrn for r in resolve_identity(edges).collect()}
+    # cycle component {a, b, z} -> min "a"; acyclic chain keeps survivor
+    assert out["a"] == "a" and out["b"] == "a" and out["z"] == "a"
+    assert out["p"] == "r" and out["q"] == "r" and out["r"] == "r"
+
+
 def test_mrn_to_live_and_opt_out(spark):
     mrns = spark.createDataFrame(
         [("a", False), ("b", False), ("c", True), ("x", False)],
