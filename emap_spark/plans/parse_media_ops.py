@@ -1,6 +1,10 @@
-"""Rows-only driver entries: HL7 text parsing (S3-S5) and multimodal
-binary-column operators. Deterministic generated input; not
-SQL-expressible over the driver's parquet views."""
+"""Driver entries: HL7 text parsing (S3-S5), multimodal binary-column
+operators, and the domain pipelines (D7-D17). Each runs the REAL
+operator on deterministic generated input; the DuckDB oracle re-derives
+the same input with range() arithmetic and recomputes the expected
+final state independently in SQL (same determinism rules as
+waveform_ops: epoch-us timestamps, integer micro-units for float sums,
+BIGINT casts where DuckDB would widen to HUGEINT)."""
 
 from __future__ import annotations
 
@@ -17,11 +21,27 @@ from emap_spark.registry import register
 from emap_spark.sources.hl7_text import adt_from_hl7, synthetic_hl7_messages
 
 
+_Q75_ORACLE = """
+SELECT printf('MSG%08d', i) AS source_message_id,
+       ['ADMIT','TRANSFER','DISCHARGE','UPDATE_PATIENT_INFO'][(i % 4) + 1]
+         AS message_type,
+       printf('4018%04d', i) AS mrn,
+       printf('1234%04d', i) AS visit_number,
+       'I' AS patient_class,
+       'T42E' AS location,
+       epoch_us(make_timestamp(2013, 1, CAST(1 + (i % 27) AS INT),
+                               CAST(i % 9 AS INT), 30, 0)) AS valid_from_us
+FROM range(40) t(i)
+"""
+
+
 @register(
     "q75_hl7_parse_route",
+    oracle=_Q75_ORACLE,
     doc=(
         "S3-S5: raw pipe-delimited HL7 -> typed ADT interchange rows, all "
-        "JVM-side (split/transform/filter column expressions, no UDF)."
+        "JVM-side (split/transform/filter column expressions, no UDF); "
+        "oracle regenerates the fixture fields arithmetically."
     ),
 )
 def q75_hl7_parse_route(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,20 +53,74 @@ def q75_hl7_parse_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "visit_number",
         F.col("patient_class")["value"].alias("patient_class"),
         F.col("location")["value"].alias("location"),
-        "valid_from",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
     )
+
+
+# synthetic media payloads are the 64 utf-8 bytes of a sha256 hex string,
+# so byte lengths are constant and the metadata rollup is closed-form
+_Q76_ORACLE = """
+WITH m AS (
+  SELECT i,
+         ['image','audio','video'][(i % 3) + 1] AS kind,
+         CASE WHEN i % 3 = 0 THEN 64 END AS width,
+         CASE WHEN i % 3 <> 0 THEN ((i % 60) + 1) * 1000 END AS duration_ms
+  FROM range(120) t(i)
+)
+SELECT kind, count(*)::BIGINT AS n_items,
+       (count(*) * 64)::BIGINT AS total_bytes,
+       max(width)::BIGINT AS max_width,
+       max(duration_ms)::BIGINT AS max_duration_ms
+FROM m GROUP BY kind
+"""
 
 
 @register(
     "q76_media_metadata",
+    oracle=_Q76_ORACLE,
     doc="Multimodal: typed-metadata rollup over binary media columns.",
 )
 def q76_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media_metadata(synthetic_media(spark, n=120))
+    return media_metadata(synthetic_media(spark, n=120)).select(
+        "kind",
+        "n_items",
+        "total_bytes",
+        F.col("max_width").cast("long").alias("max_width"),
+        F.col("max_duration_ms").cast("long").alias("max_duration_ms"),
+    )
+
+
+# payload = utf-8 bytes of sha256-hex(id); checksum = md5(payload);
+# feature[j] = float32((digest_byte[j]/255)*2-1) over sha256(payload).
+# DuckDB recomputes both hashes and decodes the hex pairs; the l1 norm
+# is exposed in exact integer micro-units (per-element rounding) so
+# float32 quantization is bit-identical on both sides.
+_Q77_ORACLE = """
+WITH m AS (
+  SELECT i, ['image','audio','video'][(i % 3) + 1] AS kind,
+         sha256(CAST(i AS VARCHAR)) AS payload_hex
+  FROM range(60) t(i)
+),
+d AS (SELECT i, kind, payload_hex, sha256(payload_hex) AS h2 FROM m),
+terms AS (
+  SELECT d.i,
+         CAST(round(abs(CAST(CAST(
+                 (((strpos('0123456789abcdef', substr(d.h2, j * 2 + 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substr(d.h2, j * 2 + 2, 1)) - 1)
+                  / 255.0) * 2 - 1
+               AS FLOAT) AS DOUBLE)) * 1000000) AS BIGINT) AS t
+  FROM d, range(8) r(j)
+)
+SELECT d.i AS media_id, d.kind, 64::BIGINT AS n_bytes,
+       md5(d.payload_hex) AS checksum,
+       s.l1 AS feature_l1_micro
+FROM d JOIN (SELECT i, SUM(t)::BIGINT AS l1 FROM terms GROUP BY i) s USING (i)
+"""
 
 
 @register(
     "q77_media_decode_features",
+    oracle=_Q77_ORACLE,
     doc=(
         "Multimodal: mapInPandas decode (stubbed codec, real Arrow "
         "plumbing) + feature extraction into array<float> for ANN."
@@ -63,26 +137,56 @@ def q77_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kind",
             "n_bytes",
             "checksum",
-            F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + F.abs(x)), 4).alias(
-                "feature_l1"
-            ),
+            F.aggregate(
+                "feature",
+                F.lit(0).cast("long"),
+                lambda a, x: a + F.round(F.abs(x.cast("double")) * 1_000_000).cast("long"),
+            ).alias("feature_l1_micro"),
         )
     )
 
 
+_Q78_ORACLE = """
+SELECT i AS media_id,
+       (((i % 60) + 1) * 1000 // 5000 + 1)::BIGINT AS n_frames,
+       ((((i % 60) + 1) * 1000 // 5000) * 5000)::BIGINT AS last_frame_ms
+FROM range(30) t(i) WHERE i % 3 = 2
+"""
+
+
 @register(
     "q78_video_frame_plan",
+    oracle=_Q78_ORACLE,
     doc="Multimodal: frame-sampling plan (explode) for video rows.",
 )
 def q78_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthetic_media(spark, n=30)
     return frame_sample(media, every_ms=5000).groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames"), F.max("frame_ms").alias("last_frame_ms")
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ms").cast("long").alias("last_frame_ms"),
     )
+
+
+# 25 orders, every 5th tombstoned by the epic delete sentinel; live
+# orders carry NA (numeric, corrected to 141.5+i%5 by the newer msg),
+# COMM (text, from the initial msg) and PDFR (pdf, from the update)
+_Q79_ORACLE = """
+WITH live AS (
+  SELECT i, ['FBC','UE','LFT'][(i % 3) + 1] AS battery_code,
+         141.5 + (i % 5) AS na
+  FROM range(25) t(i) WHERE i % 5 <> 0
+)
+SELECT battery_code, v.value_type, count(*)::BIGINT AS n_results,
+       CASE WHEN v.value_type = 'NUMERIC' THEN round(SUM(na), 2) END
+         AS sum_numeric
+FROM live, (VALUES ('NUMERIC'), ('TEXT'), ('PDF')) v(value_type)
+GROUP BY battery_code, v.value_type
+"""
 
 
 @register(
     "q79_labs_pipeline",
+    oracle=_Q79_ORACLE,
     doc=(
         "D9-D11 labs: nested LabOrderMsg explode -> sample/order/result "
         "merges incl. epic delete-sentinel tombstones and newer-wins "
@@ -106,8 +210,23 @@ def q79_labs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 60 vitals, value type and observation type both cycle with i%3 (HR
+# numeric, BP text, NOTE date); all 60 keys distinct -> 20 live rows per
+# type with exactly one value column populated
+_Q80_ORACLE = """
+SELECT ['HR','BP','NOTE'][(i % 3) + 1] AS observation_type,
+       count(*)::BIGINT AS n_obs,
+       SUM(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_numeric,
+       SUM(CASE WHEN i % 3 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_text,
+       SUM(CASE WHEN i % 3 = 2 THEN 1 ELSE 0 END)::BIGINT AS n_date
+FROM range(60) t(i)
+GROUP BY observation_type
+"""
+
+
 @register(
     "q80_flowsheets_pipeline",
+    oracle=_Q80_ORACLE,
     doc="D8 flowsheets: typed value dispatch into visit_observation.",
 )
 def q80_flowsheets_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,8 +242,22 @@ def q80_flowsheets_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# chains 3k+2 -> 3k+1 -> 3k partition MRN00000..38 into 13 groups of 3;
+# MRN00039 is a singleton; opt-out ORs over each group (i%7==0 members)
+_Q81_ORACLE = """
+WITH g AS (
+  SELECT (i // 3) * 3 AS live, count(*) AS n, bool_or(i % 7 = 0) AS oo
+  FROM range(40) t(i) GROUP BY 1
+)
+SELECT printf('MRN%05d', live) AS live_mrn, oo AS research_opt_out,
+       n::BIGINT AS n_members
+FROM g
+"""
+
+
 @register(
     "q81_identity_merge_closure",
+    oracle=_Q81_ORACLE,
     doc=(
         "D2/D18 via the engine: MERGE (A40) messages -> MrnToLive with "
         "chains collapsed + opt-out OR-propagation across merged sets."
@@ -153,8 +286,23 @@ def q81_identity_merge_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# states arrive newest-first; the chain sorted by valid_from is
+# (Neuro closed @day0) -> (Cardio active @day1) -> (General active @day2,
+# open-ended); valid_until = next state's valid_from
+_Q82_ORACLE = """
+SELECT printf('D%02d', d) AS department,
+       ['Neuro','Cardio','General'][j + 1] AS speciality,
+       CASE WHEN j = 0 THEN 'closed' ELSE 'active' END AS status,
+       1704067200000000 + j * 86400000000 AS valid_from_us,
+       CASE WHEN j < 2 THEN 1704067200000000 + (j + 1) * 86400000000 END
+         AS valid_until_us
+FROM range(10) t(d), range(3) s(j)
+"""
+
+
 @register(
     "q82_location_metadata_scd",
+    oracle=_Q82_ORACLE,
     doc="D17 SCD: out-of-order department state messages -> contiguous state chains.",
 )
 def q82_location_metadata_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,8 +330,18 @@ def q82_location_metadata_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# every even-i pending gets a same-day cancel at a unique (visit,
+# location, day) triple, so each cancel pairs with its own pending
+_Q83_ORACLE = """
+SELECT (i % 2 = 0) AS cancelled, count(*)::BIGINT AS n_movements,
+       count(DISTINCT i % 4)::BIGINT AS n_visits
+FROM range(12) t(i) GROUP BY 1
+"""
+
+
 @register(
     "q83_pending_transfer_match",
+    oracle=_Q83_ORACLE,
     doc="D7: A15 pending transfers matched to A26 cancels by rank pairing.",
 )
 def q83_pending_transfer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,8 +369,18 @@ def q83_pending_transfer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 15 consults; every 3rd cancelled by a newer message (cancelled=true
+# wins); each initial message contributes 2 parsed question-answers
+_Q84_ORACLE = """
+SELECT 'ICU_REVIEW' AS consult_type, v.c AS cancelled,
+       v.n::BIGINT AS n_consults, v.a::BIGINT AS n_answers
+FROM (VALUES (TRUE, 5, 10), (FALSE, 10, 20)) v(c, n, a)
+"""
+
+
 @register(
     "q84_consults_and_questions",
+    oracle=_Q84_ORACLE,
     doc=(
         "D13/D16: consult-request upsert by internal id (cancel/close "
         "flags newer-wins) + question-answer dimension rows (D16 "
@@ -258,8 +426,19 @@ def q84_consults_and_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the STREAM plumbing (watermark, window state, availableNow sink) is
+# the operator under test; the final aggregate itself is day-bucket
+# counts, which DuckDB recomputes directly over the same table
+_Q85_ORACLE = """
+SELECT epoch_us(date_trunc('day', ts)) AS window_start_us, event_type,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 @register(
     "q85_stream_windowed_rollup",
+    oracle=_Q85_ORACLE,
     doc=(
         "Structured Streaming windowed aggregation with watermark over the "
         "events table (readStream -> window(1h) -> availableNow sink), the "
@@ -301,8 +480,25 @@ def q85_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# senders cycle EPIC/WinPath/ABL90/Unknown; Unknown is filtered by the
+# vendor router and ABL90 calibration OBX rows are dropped, leaving one
+# NM + one ST observation per kept message
+_Q86_ORACLE = """
+WITH base AS (
+  SELECT i, ['EPIC_FLOWSHEET','WINPATH','ABL90_FLEX'][(i % 4) + 1] AS vendor
+  FROM range(24) t(i) WHERE i % 4 < 3
+)
+SELECT vendor, v.vt AS value_type, count(*)::BIGINT AS n_obs,
+       CASE WHEN v.vt = 'NUMERIC'
+            THEN round(SUM(CAST(60 + i AS DOUBLE)), 2) END AS sum_numeric
+FROM base, (VALUES ('NUMERIC'), ('TEXT')) v(vt)
+GROUP BY vendor, v.vt
+"""
+
+
 @register(
     "q86_oru_vendor_observations",
+    oracle=_Q86_ORACLE,
     doc=(
         "S6/S7: per-vendor ORU^R01 routing (LabFunnel) + OBX explode with "
         "value typing; ABL90 calibration readings dropped."
@@ -318,8 +514,18 @@ def q86_oru_vendor_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# every 4th form tombstoned (all even, SMOKING); live SMOKING forms keep
+# only q1 (q2 hit the '""' delete sentinel), DIET forms keep q1+q2
+_Q87_ORACLE = """
+SELECT v.name AS form_name, v.f::BIGINT AS n_forms,
+       v.a::BIGINT AS n_live_answers
+FROM (VALUES ('SMOKING', 5, 5), ('DIET', 10, 20)) v(name, f, a)
+"""
+
+
 @register(
     "q87_forms_pipeline",
+    oracle=_Q87_ORACLE,
     doc=(
         "D15/D16: Form upsert (delete tombstones) + FormAnswer child rows "
         "from exploded answer maps with '\"\"' delete sentinels."
@@ -353,8 +559,17 @@ def q87_forms_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# duplicate deliveries are injected by doubling the 500-row prefix; the
+# deduped per-type counts equal the plain counts over that prefix
+_Q88_ORACLE = """
+WITH sel AS (SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 500)
+SELECT event_type, count(*)::BIGINT AS n_after_dedupe FROM sel GROUP BY event_type
+"""
+
+
 @register(
     "q88_stream_dedupe_within_watermark",
+    oracle=_Q88_ORACLE,
     doc=(
         "W4 streaming form: dropDuplicatesWithinWatermark over a stream "
         "with injected duplicate deliveries — the Structured Streaming "
@@ -370,6 +585,7 @@ def q88_stream_dedupe_within_watermark(spark: SparkSession, sf_dir: str) -> Data
     base = (
         load_table(spark, sf_dir, "events")
         .withColumn("ts", F.col("ts").cast("timestamp"))
+        .orderBy("event_id")  # deterministic subset (event_id is unique)
         .limit(500)
     )
     doubled = base.unionByName(base)  # every message delivered twice
