@@ -25,7 +25,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from emap_spark.lineage import cut
 from emap_spark.operators.locations import infer_location_visits, occupancy
-from emap_spark.operators.merge import ASSIGN, FILL_IF_NULL, TRISTATE, MergeSpec, as_of
+from emap_spark.operators.merge import (
+    ASSIGN,
+    FILL_IF_NULL,
+    TRISTATE,
+    TRISTATE_FILL,
+    MergeSpec,
+    as_of,
+)
 from emap_spark.streaming.pipeline import MergePipeline
 
 ARRIVAL_OR_MOVE = (
@@ -36,12 +43,35 @@ ARRIVAL_OR_MOVE = (
     "CANCEL_ADMIT",
     "CANCEL_TRANSFER",
     "CANCEL_DISCHARGE",
+    "SWAP_LOCATIONS",
+    "PENDING_TRANSFER",
+    "CANCEL_PENDING_TRANSFER",
 )
+
+# identity-rekeying messages captured in the identity history log
+# (PersonController.mergeMrns :93-131, updatePatientIdentifiersOrMerge
+# :382, VisitController.moveVisitInformation :289-325)
+IDENTITY_TYPES = ("MERGE", "CHANGE_IDENTIFIERS", "MOVE_VISIT")
+
+# message types that must never create (or mutate fields of) a visit row:
+# UPDATE_PATIENT_INFO per VisitController.java:124-186; identity messages
+# rekey existing rows; pending movements are plans, not stays
+NON_VISIT_TYPES = (
+    "UPDATE_PATIENT_INFO",
+    "IMPLIED_ADT",
+    "DELETE_PERSON",
+    "PENDING_TRANSFER",
+    "CANCEL_PENDING_TRANSFER",
+) + IDENTITY_TYPES
 
 
 def _route_mrn(batch: DataFrame) -> DataFrame:
-    """D1: every identified message upserts the Mrn row."""
-    return batch.filter(F.col("mrn").isNotNull()).select(
+    """D1: every identified message upserts the Mrn row — except A47,
+    whose mrn is a rekey TARGET applied at read time (creating it would
+    trip the collision guard of apply_identifier_changes)."""
+    return batch.filter(
+        F.col("mrn").isNotNull() & (F.col("message_type") != "CHANGE_IDENTIFIERS")
+    ).select(
         "mrn",
         F.col("valid_from"),
         F.col("source_message_id").alias("seq"),
@@ -51,8 +81,12 @@ def _route_mrn(batch: DataFrame) -> DataFrame:
 
 
 def _route_demographic(batch: DataFrame) -> DataFrame:
-    """D4: demographics ride on any ADT message carrying them."""
-    return batch.filter(F.col("mrn").isNotNull()).select(
+    """D4: demographics ride on any ADT message carrying them. A29
+    DELETE_PERSON tombstones the row (PersonController
+    deletePersonInformation — M9 delete-with-audit)."""
+    return batch.filter(
+        F.col("mrn").isNotNull() & (F.col("message_type") != "CHANGE_IDENTIFIERS")
+    ).select(
         "mrn",
         "valid_from",
         F.col("source_message_id").alias("seq"),
@@ -60,17 +94,57 @@ def _route_demographic(batch: DataFrame) -> DataFrame:
         "name_family",
         "sex",
         "birth_datetime",
+        "death_indicator",
         "death_datetime",
+        (F.col("message_type") == "DELETE_PERSON").alias("is_delete"),
+    )
+
+
+def _ts_tristate(value, status) -> F.Column:
+    return F.struct(
+        value.cast("timestamp_ntz").alias("value"), status.alias("status")
     )
 
 
 def _route_visit(batch: DataFrame) -> DataFrame:
-    """D5: visit lifecycle. UPDATE_PATIENT_INFO never creates a visit
-    (VisitController.java:124-186) — drop it from the create path; admit
-    sets admission, discharge sets discharge + backfills admission."""
+    """D5: visit lifecycle (VisitController.java:124-238).
+
+    - admit/discharge datetimes are TRISTATE_FILL: a SAVE fills a null
+      slot regardless of age (addPresentationAdmissionOrDischargeTime),
+      CANCEL_ADMIT / CANCEL_DISCHARGE emit DELETE (removeIfExists, M8 ->
+      D5) which clears newer-wins, so cancel-before-discharge permutes
+      safely;
+    - CANCEL_DISCHARGE also clears disposition/destination
+      (removeDischargeInformation);
+    - UPDATE_PATIENT_INFO and identity/pending messages never create or
+      mutate visits."""
+    mtype = F.col("message_type")
     b = batch.filter(
-        F.col("visit_number").isNotNull()
-        & (F.col("message_type") != "UPDATE_PATIENT_INFO")
+        F.col("visit_number").isNotNull() & ~mtype.isin(*NON_VISIT_TYPES)
+    )
+    ignore_ts = _ts_tristate(F.lit(None), F.lit("IGNORE"))
+    admission = (
+        F.when(mtype == "CANCEL_ADMIT", _ts_tristate(F.lit(None), F.lit("DELETE")))
+        .when(
+            F.col("admission_datetime")["status"] != "IGNORE",
+            F.col("admission_datetime"),
+        )
+        .when(mtype == "ADMIT", _ts_tristate(F.col("valid_from"), F.lit("SAVE")))
+        .otherwise(ignore_ts)
+    )
+    discharge = (
+        F.when(
+            mtype == "CANCEL_DISCHARGE", _ts_tristate(F.lit(None), F.lit("DELETE"))
+        )
+        .when(
+            F.col("discharge_datetime")["status"] != "IGNORE",
+            F.col("discharge_datetime"),
+        )
+        .when(mtype == "DISCHARGE", _ts_tristate(F.col("valid_from"), F.lit("SAVE")))
+        .otherwise(ignore_ts)
+    )
+    cleared_str = F.struct(
+        F.lit(None).cast("string").alias("value"), F.lit("DELETE").alias("status")
     )
     return b.select(
         F.col("visit_number").alias("encounter"),
@@ -78,21 +152,17 @@ def _route_visit(batch: DataFrame) -> DataFrame:
         F.col("source_message_id").alias("seq"),
         F.col("mrn"),
         F.col("patient_class"),
-        F.when(F.col("message_type") == "REGISTER", F.col("valid_from")).alias(
+        F.when(mtype == "REGISTER", F.col("valid_from")).alias(
             "presentation_datetime"
         ),
-        F.when(F.col("message_type") == "ADMIT", F.col("valid_from"))
-        .when(
-            (F.col("message_type") == "DISCHARGE")
-            & (F.col("admission_datetime")["status"] == "SAVE"),
-            F.col("admission_datetime")["value"],
-        )
-        .alias("admission_datetime"),
-        F.when(F.col("message_type") == "DISCHARGE", F.col("valid_from")).alias(
-            "discharge_datetime"
-        ),
-        F.col("discharge_disposition"),
-        F.col("discharge_destination"),
+        admission.alias("admission_datetime"),
+        discharge.alias("discharge_datetime"),
+        F.when(mtype == "CANCEL_DISCHARGE", cleared_str)
+        .otherwise(F.col("discharge_disposition"))
+        .alias("discharge_disposition"),
+        F.when(mtype == "CANCEL_DISCHARGE", cleared_str)
+        .otherwise(F.col("discharge_destination"))
+        .alias("discharge_destination"),
     )
 
 
@@ -109,10 +179,12 @@ DEMOGRAPHIC_SPEC = MergeSpec(
         "name_family": TRISTATE,
         "sex": TRISTATE,
         "birth_datetime": TRISTATE,
+        "death_indicator": TRISTATE,
         "death_datetime": TRISTATE,
     },
     event_time="valid_from",
     seq="seq",
+    tombstone="is_delete",
 )
 VISIT_SPEC = MergeSpec(
     key=["encounter"],
@@ -120,8 +192,8 @@ VISIT_SPEC = MergeSpec(
         "mrn": ASSIGN,
         "patient_class": TRISTATE,
         "presentation_datetime": FILL_IF_NULL,
-        "admission_datetime": FILL_IF_NULL,
-        "discharge_datetime": FILL_IF_NULL,
+        "admission_datetime": TRISTATE_FILL,
+        "discharge_datetime": TRISTATE_FILL,
         "discharge_disposition": TRISTATE,
         "discharge_destination": TRISTATE,
     },
@@ -179,9 +251,20 @@ class EmapEngine:
         moves = moves.select(*cols).dropDuplicates(["source_message_id"])
         merges = (
             adt_batch.filter(
-                (F.col("message_type") == "MERGE") & F.col("retired_mrn").isNotNull()
+                F.col("message_type").isin(*IDENTITY_TYPES)
+                & (
+                    F.col("retired_mrn").isNotNull()
+                    | F.col("retired_visit_number").isNotNull()
+                )
             )
-            .select("retired_mrn", "mrn", "source_message_id")
+            .select(
+                "message_type",
+                "retired_mrn",
+                "mrn",
+                "retired_visit_number",
+                "visit_number",
+                "source_message_id",
+            )
             .dropDuplicates(["source_message_id"])
         )
         if self.storage_root is not None:
@@ -241,7 +324,8 @@ class EmapEngine:
     # -- read surface ------------------------------------------------------
     def table(self, name: str) -> DataFrame:
         state = self.pipeline.tables[name]
-        return state.current.filter(~F.col("is_deleted")).drop("is_deleted")
+        meta = [c for c in state.current.columns if c.startswith("__")]
+        return state.current.filter(~F.col("is_deleted")).drop("is_deleted", *meta)
 
     def audit(self, name: str) -> DataFrame | None:
         return self.pipeline.tables[name].audit()
@@ -256,10 +340,83 @@ class EmapEngine:
         from emap_spark.operators.identity import mrn_to_live
 
         merges = self._merge_history()
+        if merges is not None:
+            merges = merges.filter(F.col("message_type") == "MERGE")
+            if merges.isEmpty():
+                merges = None
         if merges is None:
             base = self.table("mrn").select("mrn")
             return base.select("mrn", F.col("mrn").alias("live_mrn"))
         return mrn_to_live(self.table("mrn").select("mrn"), merges)
+
+    def planned_movements(self) -> DataFrame:
+        """D7: pending transfers (A15) rank-matched with their cancels
+        (A26) from the movement history log."""
+        from emap_spark.domains.pending import match_pending_movements
+
+        history = self._movement_history()
+        if history is None:
+            raise ValueError("no movement messages processed yet")
+        return match_pending_movements(history)
+
+    def hospital_visits_resolved(self) -> DataFrame:
+        """D3: hospital_visit with A45 moves and A47 mrn rekeying applied
+        at read time (the merge table is keyed by encounter; rekeying is
+        a dimension-sized mapping join, not a state rewrite)."""
+        from emap_spark.operators.identity import apply_identifier_changes, move_visit
+
+        visits = self.table("hospital_visit")
+        hist = self._merge_history()
+        if hist is None:
+            return visits
+        moves = hist.filter(
+            (F.col("message_type") == "MOVE_VISIT")
+            & F.col("retired_visit_number").isNotNull()
+        ).select(
+            F.col("retired_visit_number").alias("encounter"),
+            F.col("mrn").alias("to_mrn"),
+            F.col("visit_number").alias("new_encounter"),
+        )
+        out = move_visit(visits, moves.select("encounter", "to_mrn"))
+        # a move also renames the encounter itself when A45 carries one
+        renames = moves.filter(F.col("new_encounter").isNotNull()).select(
+            F.col("encounter").alias("old_enc"), "new_encounter"
+        )
+        out = (
+            out.join(renames, out.encounter == renames.old_enc, "left")
+            .withColumn("encounter", F.coalesce("new_encounter", F.col("encounter")))
+            .drop("old_enc", "new_encounter")
+        )
+        changes = hist.filter(
+            (F.col("message_type") == "CHANGE_IDENTIFIERS")
+            & F.col("retired_mrn").isNotNull()
+        ).select(F.col("retired_mrn").alias("old_mrn"), F.col("mrn").alias("new_mrn"))
+        if not changes.isEmpty():
+            remap = changes.select("old_mrn", "new_mrn")
+            out = (
+                out.join(remap, out.mrn == remap.old_mrn, "left")
+                .withColumn("mrn", F.coalesce("new_mrn", F.col("mrn")))
+                .drop("old_mrn", "new_mrn")
+            )
+        return out
+
+    def mrn_rekeyed(self) -> DataFrame:
+        """D3: mrn table with A47 identifier changes applied (collision
+        targets left untouched — the reference escalates those to merge,
+        PersonController.updatePatientIdentifiersOrMerge :382)."""
+        from emap_spark.operators.identity import apply_identifier_changes
+
+        hist = self._merge_history()
+        base = self.table("mrn")
+        if hist is None:
+            return base
+        changes = hist.filter(
+            (F.col("message_type") == "CHANGE_IDENTIFIERS")
+            & F.col("retired_mrn").isNotNull()
+        ).select(F.col("retired_mrn").alias("old_mrn"), F.col("mrn").alias("new_mrn"))
+        if changes.isEmpty():
+            return base
+        return apply_identifier_changes(base, changes)
 
     def location_visits(self) -> DataFrame:
         history = self._movement_history()

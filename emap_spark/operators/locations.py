@@ -30,7 +30,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-ARRIVAL_TYPES = ("ADMIT", "TRANSFER")
+# SWAP_LOCATIONS rows are per-patient moves (each A17 half carries that
+# patient's new location), so they open intervals exactly like transfers
+ARRIVAL_TYPES = ("ADMIT", "TRANSFER", "SWAP_LOCATIONS")
 CANCEL_OF = {
     "CANCEL_ADMIT": "ADMIT",
     "CANCEL_TRANSFER": "TRANSFER",

@@ -48,6 +48,14 @@ from emap_spark.lineage import cut
 ASSIGN = "assign"  # plain field: newest message's value (even if null)
 FILL_IF_NULL = "fill_if_null"  # write if currently null, else only if newer
 TRISTATE = "tristate"  # {value,status} struct; SAVE/DELETE/IGNORE
+# TRISTATE + fill-if-null SAVE semantics (M5+M8 combined): a SAVE applies
+# when the current slot is null OR the message is newer; a DELETE applies
+# only when newer. This is the reference's visit admission/discharge
+# datetime behavior: addPresentationAdmissionOrDischargeTime fills
+# missing times "regardless of the valid from date"
+# (VisitController.java:163-186) while CancelAdmit/CancelDischarge clear
+# them via removeIfExists (:225-238, M8).
+TRISTATE_FILL = "tristate_fill"
 
 SAVE, DELETE, IGNORE = "SAVE", "DELETE", "IGNORE"
 
@@ -96,8 +104,10 @@ class MergeResult:
     audit: DataFrame  # superseded versions produced by THIS merge
 
     def live(self) -> DataFrame:
-        """Public view: live rows only (M9 tombstones filtered)."""
-        return self.current.filter(~F.col("is_deleted")).drop("is_deleted")
+        """Public view: live rows only (M9 tombstones filtered), merge
+        metadata (__fill_del markers) stripped."""
+        meta = [c for c in self.current.columns if c.startswith("__")]
+        return self.current.filter(~F.col("is_deleted")).drop("is_deleted", *meta)
 
 
 def _fold_field(name: str, policy: str, spec: MergeSpec, frame) -> list[Column]:
@@ -127,6 +137,29 @@ def _fold_field(name: str, policy: str, spec: MergeSpec, frame) -> list[Column]:
         )
         picked = F.last(mask, ignorenulls=True).over(frame)
         val, contrib = picked["v"], picked["t"]
+    elif policy == TRISTATE_FILL:
+        # keep the winning status (merge_batch picks fill-vs-newer by it)
+        # plus the newest DELETE time in the batch: the delete marker is
+        # persisted in the current frame (__fill_del_<name>) so that a
+        # late-arriving OLDER save cannot re-fill a slot a newer
+        # cancellation erased — "null because deleted" and "null because
+        # never set" are different states (M8 routed into D5)
+        st = F.col(name)["status"]
+        mask = F.when(
+            st != IGNORE,
+            F.struct(
+                F.when(st == SAVE, F.col(name)["value"]).alias("v"),
+                t.alias("t"),
+                st.alias("st"),
+            ),
+        )
+        picked = F.last(mask, ignorenulls=True).over(frame)
+        return [
+            picked["v"].alias(name),
+            picked["t"].alias(f"__t_{name}"),
+            picked["st"].alias(f"__st_{name}"),
+            F.max(F.when(st == DELETE, t)).over(frame).alias(f"__fill_del_{name}"),
+        ]
     else:
         raise ValueError(f"unknown policy {policy!r} for field {name!r}")
     return [val.alias(name), contrib.alias(f"__t_{name}")]
@@ -138,7 +171,7 @@ def _mask_tombstone_fields(updates: DataFrame, spec: MergeSpec, tomb: Column) ->
     cols = []
     for c in updates.columns:
         if c in spec.fields:
-            if spec.fields[c] == TRISTATE:
+            if spec.fields[c] in (TRISTATE, TRISTATE_FILL):
                 value_type = updates.schema[c].dataType["value"].dataType
                 ignored = F.struct(
                     F.lit(None).cast(value_type).alias("value"),
@@ -236,7 +269,14 @@ def empty_current(spark, updates: DataFrame, spec: MergeSpec) -> DataFrame:
     sel.append(F.col("__event_time").alias("valid_from"))
     sel.append(F.col("__event_time").alias("stored_from"))
     sel.append(F.lit(False).alias("is_deleted"))
+    for name, policy in spec.fields.items():
+        if policy == TRISTATE_FILL:
+            sel.append(F.col(f"__fill_del_{name}"))
     return folded.select(*sel).limit(0)
+
+
+def _fill_del_cols(spec: MergeSpec) -> list[str]:
+    return [f"__fill_del_{n}" for n, p in spec.fields.items() if p == TRISTATE_FILL]
 
 
 def merge_batch(
@@ -255,6 +295,9 @@ def merge_batch(
     spark = updates.sparkSession
     if current is None:
         current = empty_current(spark, updates, spec)
+    for c in _fill_del_cols(spec):  # tolerate pre-marker current frames
+        if c not in current.columns:
+            current = current.withColumn(c, F.lit(None).cast("timestamp_ntz"))
 
     cand = fold_updates(updates, spec)
 
@@ -275,6 +318,7 @@ def merge_batch(
 
     out_fields: list[Column] = [F.col(k) for k in key]
     change_terms: list[Column] = []
+    fill_meta: list[Column] = []
     for name, policy in spec.fields.items():
         cur_v = F.col(f"cur.{name}")
         cnd_v = F.col(f"cnd.{name}")
@@ -298,6 +342,34 @@ def merge_batch(
                 ~cur_exists | cur_deleted | (cnd_t >= F.col("cur.valid_from"))
             )
             new_v = F.when(field_applies, cnd_v).otherwise(cur_v)
+        elif policy == TRISTATE_FILL:
+            # SAVE fills a null slot regardless of age (VisitController
+            # addPresentationAdmissionOrDischargeTime) UNLESS a newer
+            # DELETE erased it (the stored marker keeps "null because
+            # cancelled" distinct from "never set"); else newer-wins.
+            # DELETE (cancellation, M8) is strictly newer-wins.
+            cnd_st = F.col(f"cnd.__st_{name}")
+            cnd_del = F.col(f"cnd.__fill_del_{name}")
+            cur_del = F.col(f"cur.__fill_del_{name}")
+            newer = cnd_t >= F.col("cur.valid_from")
+            no_newer_delete = cur_del.isNull() | (cnd_t >= cur_del)
+            field_applies = cnd_applies & cnd_t.isNotNull() & (
+                ~cur_exists
+                | cur_deleted
+                | F.when(
+                    cnd_st == SAVE, (cur_v.isNull() & no_newer_delete) | newer
+                ).otherwise(newer)
+            )
+            new_v = F.when(field_applies, cnd_v).otherwise(cur_v)
+            new_del = F.greatest(
+                F.when(~(cur_deleted & cnd_applies), cur_del),
+                F.when(
+                    cnd_applies
+                    & (~cur_exists | cur_deleted | (cnd_del >= F.col("cur.valid_from"))),
+                    cnd_del,
+                ),
+            )
+            fill_meta.append(new_del.alias(f"__fill_del_{name}"))
         else:  # pragma: no cover
             raise ValueError(policy)
         # a resurrected or fresh entity never inherits old field values
@@ -327,6 +399,7 @@ def merge_batch(
         new_valid_from.alias("valid_from"),
         new_stored_from.alias("stored_from"),
         new_deleted.alias("is_deleted"),
+        *fill_meta,
         (cur_exists & changed).alias("__audit_me"),
         changed.alias("__changed"),
         *[F.col(f"cur.{name}").alias(f"__old_{name}") for name in spec.fields],
@@ -344,7 +417,10 @@ def merge_batch(
         F.col("valid_from").alias("valid_until"),
         F.lit(stored_from).cast("timestamp_ntz").alias("stored_until"),
     )
-    new_current = merged.select(*key, *spec.fields, "valid_from", "stored_from", "is_deleted")
+    new_current = merged.select(
+        *key, *spec.fields, "valid_from", "stored_from", "is_deleted",
+        *_fill_del_cols(spec),
+    )
     return MergeResult(current=new_current, audit=audit)
 
 
@@ -363,13 +439,24 @@ def _fold_field_cum(name: str, policy: str, spec: MergeSpec, frame) -> list[Colu
     elif policy == FILL_IF_NULL:
         mask = F.when(F.col(name).isNotNull(), F.struct(F.col(name).alias("v"), t.alias("t")))
         picked = F.last(mask, ignorenulls=True).over(frame)
-    elif policy == TRISTATE:
+    elif policy in (TRISTATE, TRISTATE_FILL):
+        # TRISTATE_FILL shares the sequential fold: an older SAVE sorted
+        # before the seed survives it exactly when the slot is null-and-
+        # never-deleted — the seed encodes such slots as IGNORE, but a
+        # slot erased by a cancellation is seeded as DELETE (via the
+        # __fill_del marker) so older saves cannot re-fill it.
         st = F.col(name)["status"]
         mask = F.when(
             st != IGNORE,
             F.struct(F.when(st == SAVE, F.col(name)["value"]).alias("v"), t.alias("t")),
         )
         picked = F.last(mask, ignorenulls=True).over(frame)
+        if policy == TRISTATE_FILL:
+            return [
+                picked["v"].alias(name),
+                picked["t"].alias(f"__t_{name}"),
+                F.max(F.when(st == DELETE, t)).over(frame).alias(f"__fill_del_{name}"),
+            ]
     else:
         raise ValueError(f"unknown policy {policy!r} for field {name!r}")
     return [picked["v"].alias(name), picked["t"].alias(f"__t_{name}")]
@@ -395,13 +482,12 @@ def merge_batch_versions(
     Sequential-fold-by-event-time IS newer-wins: messages older than the
     seed land before it and are overwritten by it.
     """
-    if spec.trusted:
-        raise NotImplementedError(
-            "trusted-source precedence requires batch-granularity merge_batch"
-        )
     spark = updates.sparkSession
     if current is None:
         current = empty_current(spark, updates, spec)
+    for c in _fill_del_cols(spec):  # tolerate pre-marker current frames
+        if c not in current.columns:
+            current = current.withColumn(c, F.lit(None).cast("timestamp_ntz"))
 
     key = spec.key
     tomb = F.col(spec.tombstone) if spec.tombstone else F.lit(False)
@@ -421,14 +507,31 @@ def merge_batch_versions(
         tomb.alias("__tomb"),
         F.lit(False).alias("__seed"),
         F.lit(stored_from).cast("timestamp_ntz").alias("__stored"),
+        (F.col(spec.trusted) if spec.trusted else F.lit(True)).alias("__trusted"),
     )
     seed_fields = []
     for f, policy in spec.fields.items():
-        if policy == TRISTATE:
+        if policy == TRISTATE_FILL:
+            # null-because-cancelled slots replay their DELETE from the
+            # stored marker; null-because-never-set stays IGNORE so an
+            # older SAVE can still fill it
             seed_fields.append(
                 tristate(
                     F.col(f),
-                    F.when(F.col(f).isNotNull(), F.lit(SAVE)).otherwise(F.lit(IGNORE)),
+                    F.when(F.col(f).isNotNull(), F.lit(SAVE))
+                    .when(F.col(f"__fill_del_{f}").isNotNull(), F.lit(DELETE))
+                    .otherwise(F.lit(IGNORE)),
+                ).alias(f)
+            )
+        elif policy == TRISTATE:
+            # TRISTATE is strictly newer-wins (RowState.java:140-150): the
+            # seed reasserts null slots as DELETE so an older SAVE sorted
+            # before it cannot fill them — mirroring merge_batch's
+            # cnd_t >= cur.valid_from guard
+            seed_fields.append(
+                tristate(
+                    F.col(f),
+                    F.when(F.col(f).isNotNull(), F.lit(SAVE)).otherwise(F.lit(DELETE)),
                 ).alias(f)
             )
         else:
@@ -442,11 +545,36 @@ def merge_batch_versions(
         F.col("is_deleted").alias("__tomb"),
         F.lit(True).alias("__seed"),
         F.col("stored_from").alias("__stored"),
+        F.lit(True).alias("__trusted"),
     )
     seeded = upd.unionByName(seed)
 
     # total order: event time, seed-before-updates at equal times, seq
     _order = [F.col(spec.event_time), F.col("__seed").desc(), F.col("__seq")]
+
+    if spec.trusted:
+        # M6 at message granularity (visitShouldBeUpdated,
+        # VisitController.java:188-204): an untrusted message may only
+        # CREATE the entity — it applies iff it is the very first event in
+        # the key's total order and no seed (existing entity) is present.
+        # Trusted messages always apply. Skipped messages contribute no
+        # version (the reference writes no audit row for skipped updates),
+        # so they are dropped before the fold — which keeps the result
+        # permutation-invariant (the filter depends only on the total
+        # order, not arrival order).
+        wfull = W.partitionBy(*key)
+        seeded = (
+            seeded.withColumn(
+                "__m6_rn", F.row_number().over(W.partitionBy(*key).orderBy(*_order))
+            )
+            .withColumn("__m6_seeded", F.max(F.col("__seed").cast("int")).over(wfull))
+            .filter(
+                F.col("__trusted")
+                | ((F.col("__m6_rn") == 1) & (F.col("__m6_seeded") == 0))
+            )
+            .drop("__m6_rn", "__m6_seeded")
+        )
+
     w = W.partitionBy(*key).orderBy(*_order)
     cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     # tombstones split the history into epochs; folding restarts per epoch
@@ -470,8 +598,15 @@ def merge_batch_versions(
     )
     states = seeded.select(*cols)
 
-    # a row's state signature; consecutive duplicates are non-changes
-    sig = F.struct(*[F.col(f) for f in spec.fields], F.col("is_deleted"))
+    # a row's state signature; consecutive duplicates are non-changes.
+    # __fill_del markers ARE state: a cancellation of an already-null
+    # slot changes no visible field but must still advance the marker
+    # (else a later older SAVE re-fills the cancelled slot).
+    sig = F.struct(
+        *[F.col(f) for f in spec.fields],
+        F.col("is_deleted"),
+        *[F.col(c) for c in _fill_del_cols(spec)],
+    )
     wk = W.partitionBy(*key).orderBy(F.col("valid_from"), F.col("__seed").desc(), F.col("__seq"))
     # first row per key: lag is NULL, eqNullSafe(struct, NULL) is false,
     # so __changed is true — no special case needed
@@ -483,7 +618,9 @@ def merge_batch_versions(
     )
 
     out_cols = [*key, *spec.fields, "valid_from", "stored_from", "is_deleted"]
-    new_current = versions.filter(F.col("__rk") == 1).select(*out_cols)
+    new_current = versions.filter(F.col("__rk") == 1).select(
+        *out_cols, *_fill_del_cols(spec)
+    )
     audit = versions.filter(F.col("__rk") > 1).select(
         *out_cols,
         F.col("valid_until"),
@@ -526,7 +663,8 @@ def as_of(result_current: DataFrame, audit: DataFrame, t) -> DataFrame:
     (AuditCore.isValidAsOf, informdb/AuditCore.java:83-97):
     storedUntil is null (current) or row version valid at t."""
     t = F.lit(t).cast("timestamp_ntz")
-    cur = result_current.filter(~F.col("is_deleted")).withColumn(
+    meta = [c for c in result_current.columns if c.startswith("__")]
+    cur = result_current.drop(*meta).filter(~F.col("is_deleted")).withColumn(
         "valid_until", F.lit(None).cast("timestamp_ntz")
     )
     old = audit.filter(~F.col("is_deleted")).drop("stored_until")

@@ -28,7 +28,7 @@ SELECT printf('MSG%08d', i) AS source_message_id,
        printf('4018%04d', i) AS mrn,
        printf('1234%04d', i) AS visit_number,
        'I' AS patient_class,
-       'T42E' AS location,
+       printf('T42E^T42E BY02^BY02-%02d', i) AS location,
        epoch_us(make_timestamp(2013, 1, CAST(1 + (i % 27) AS INT),
                                CAST(i % 9 AS INT), 30, 0)) AS valid_from_us
 FROM range(40) t(i)
@@ -54,6 +54,66 @@ def q75_hl7_parse_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("patient_class")["value"].alias("patient_class"),
         F.col("location")["value"].alias("location"),
         F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+    )
+
+
+# S5 full trigger breadth: the fixture cycles all 20 routed triggers
+# twice (n=40); the oracle is the expected routing table — per-type row
+# counts plus MRG rekeying ids, PV1-44/45 captures, and NHS extraction.
+_Q89_ORACLE = """
+SELECT * FROM (VALUES
+  ('ADMIT',                   2, 0, 0, 2, 0, 2),
+  ('CANCEL_ADMIT',            2, 0, 0, 0, 0, 2),
+  ('CANCEL_DISCHARGE',        2, 0, 0, 0, 0, 2),
+  ('CANCEL_PENDING_TRANSFER', 2, 0, 0, 0, 0, 2),
+  ('CANCEL_TRANSFER',         2, 0, 0, 0, 0, 2),
+  ('CHANGE_IDENTIFIERS',      2, 2, 0, 0, 0, 2),
+  ('DELETE_PERSON',           2, 0, 0, 0, 0, 2),
+  ('DISCHARGE',               2, 0, 0, 0, 2, 2),
+  ('IMPLIED_ADT',             2, 0, 0, 0, 0, 2),
+  ('MERGE',                   2, 2, 0, 0, 0, 2),
+  ('MOVE_VISIT',              2, 2, 2, 0, 0, 2),
+  ('PENDING_TRANSFER',        2, 0, 0, 0, 0, 2),
+  ('REGISTER',                2, 0, 0, 0, 0, 2),
+  ('SWAP_LOCATIONS',          4, 0, 0, 0, 0, 4),
+  ('TRANSFER',                6, 0, 0, 0, 0, 6),
+  ('UPDATE_PATIENT_INFO',     6, 0, 0, 0, 0, 6)
+) t(message_type, n, n_retired_mrn, n_retired_visit, n_admit_ts,
+    n_discharge_ts, n_nhs)
+ORDER BY message_type
+"""
+
+
+@register(
+    "q89_hl7_adt_breadth",
+    oracle=_Q89_ORACLE,
+    doc=(
+        "S5 complete trigger routing (AdtMessageFactory.java:191-285): all "
+        "20 trigger events incl. MRG rekeying segments, A17 two-group swap "
+        "expansion, PV1-42 pending locations, PV1-44/45 admission/discharge "
+        "captures, and PID-3 NHS-authority extraction."
+    ),
+)
+def q89_hl7_adt_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.sources.hl7_text import synthetic_hl7_adt_full
+
+    adt = adt_from_hl7(synthetic_hl7_adt_full(spark, n=40))
+    one = F.lit(1)
+    return (
+        adt.groupBy("message_type")
+        .agg(
+            F.count(one).cast("int").alias("n"),
+            F.count("retired_mrn").cast("int").alias("n_retired_mrn"),
+            F.count("retired_visit_number").cast("int").alias("n_retired_visit"),
+            F.sum((F.col("admission_datetime")["status"] == "SAVE").cast("int"))
+            .cast("int")
+            .alias("n_admit_ts"),
+            F.sum((F.col("discharge_datetime")["status"] == "SAVE").cast("int"))
+            .cast("int")
+            .alias("n_discharge_ts"),
+            F.count("nhs_number").cast("int").alias("n_nhs"),
+        )
+        .orderBy("message_type")
     )
 
 

@@ -20,18 +20,35 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from emap_spark.functions.hl7 import best_guess_valid_from, tristate_from_hl7
 
-# HL7 trigger event -> interchange message type (AdtMessageFactory switch)
+# HL7 trigger event -> interchange message type: the FULL
+# AdtMessageFactory.buildAdtMessageSubclass switch
+# (AdtMessageFactory.java:191-285). A14/A38 (scheduling) are not
+# implemented in the reference either; unknown triggers are dropped.
 TRIGGER_TO_TYPE = {
     "A01": "ADMIT",
     "A02": "TRANSFER",
+    "A06": "TRANSFER",  # change outpatient->inpatient handled as transfer
+    "A07": "TRANSFER",  # change inpatient->outpatient handled as transfer
     "A03": "DISCHARGE",
     "A04": "REGISTER",
+    "A05": "IMPLIED_ADT",  # pre-admit parsed as implied/update only
     "A08": "UPDATE_PATIENT_INFO",
+    "A28": "UPDATE_PATIENT_INFO",
+    "A31": "UPDATE_PATIENT_INFO",
     "A11": "CANCEL_ADMIT",
     "A12": "CANCEL_TRANSFER",
     "A13": "CANCEL_DISCHARGE",
+    "A15": "PENDING_TRANSFER",
+    "A17": "SWAP_LOCATIONS",
+    "A26": "CANCEL_PENDING_TRANSFER",
+    "A29": "DELETE_PERSON",
     "A40": "MERGE",
+    "A45": "MOVE_VISIT",
+    "A47": "CHANGE_IDENTIFIERS",
 }
+
+CANCEL_TRIGGERS = ("A11", "A12", "A13", "A26")
+MRG_TRIGGERS = ("A40", "A45", "A47")  # carry an MRG previous-identifier segment
 
 
 def segments(raw: Column) -> Column:
@@ -42,18 +59,30 @@ def segments(raw: Column) -> Column:
     )
 
 
-def segment_fields(raw: Column, seg_id: str) -> Column:
-    """First segment with the given id -> its fields array (1-based HL7
-    numbering: fields[0] is the segment id itself)."""
+def nth_segment_fields(raw: Column, seg_id: str, occurrence: int = 1) -> Column:
+    """n-th segment with the given id -> its fields array (1-based HL7
+    numbering: fields[0] is the segment id itself). occurrence>1 reaches
+    repeated groups, e.g. the second PID/PV1 pair in an A17 swap."""
     segs = F.filter(segments(raw), lambda s: s.getItem(0) == seg_id)
-    return F.try_element_at(segs, F.lit(1))
+    return F.try_element_at(segs, F.lit(occurrence))
 
 
-def field(raw: Column, seg_id: str, n: int, component: int | None = None) -> Column:
-    """SEG-n (optionally component m via ^). MSH numbering is shifted by
-    one because MSH-1 is the field separator itself."""
+def segment_fields(raw: Column, seg_id: str) -> Column:
+    return nth_segment_fields(raw, seg_id, 1)
+
+
+def field(
+    raw: Column,
+    seg_id: str,
+    n: int,
+    component: int | None = None,
+    occurrence: int = 1,
+) -> Column:
+    """SEG-n (optionally component m via ^; optionally of the k-th
+    repeated segment). MSH numbering is shifted by one because MSH-1 is
+    the field separator itself."""
     idx = n - 1 if seg_id == "MSH" else n
-    f = F.try_element_at(segment_fields(raw, seg_id), F.lit(idx + 1))
+    f = F.try_element_at(nth_segment_fields(raw, seg_id, occurrence), F.lit(idx + 1))
     if component is not None:
         f = F.try_element_at(F.split(f, r"\^"), F.lit(component))
     return f
@@ -78,44 +107,96 @@ def explode_segments(df: DataFrame, raw_col: str, seg_id: str) -> DataFrame:
     return df.withColumn("segment", F.explode(segs))
 
 
-def adt_from_hl7(df: DataFrame, raw_col: str = "hl7") -> DataFrame:
-    """Route + build: one parsed ADT interchange row per raw HL7 message
-    (unknown trigger events are filtered out, mirroring the factory's
-    unsupported-message skip)."""
-    raw = F.col(raw_col)
+def tristate_ts(rawf: Column) -> Column:
+    """Tri-state over an HL7 TS field: missing -> IGNORE, '\"\"' -> DELETE
+    (cancellation erase), else SAVE with the parsed timestamp."""
+    status = (
+        F.when(rawf.isNull() | (rawf == ""), F.lit("IGNORE"))
+        .when(rawf == '""', F.lit("DELETE"))
+        .otherwise(F.lit("SAVE"))
+    )
+    return F.struct(
+        F.when(status == "SAVE", hl7_ts(rawf)).alias("value"), status.alias("status")
+    )
+
+
+def nhs_number_from_pid3(raw: Column, occurrence: int = 1) -> Column:
+    """PID-3 repetition (~) whose assigning authority (component 4) is
+    NHS -> its id component (PatientIdentifierUtils in the reference's
+    hl7-reader resolves MRN/NHS by authority, not position)."""
+    reps = F.split(field(raw, "PID", 3, occurrence=occurrence), "~")
+    nhs = F.filter(
+        reps, lambda r: F.try_element_at(F.split(r, r"\^"), F.lit(4)) == "NHS"
+    )
+    return F.try_element_at(
+        F.split(F.try_element_at(nhs, F.lit(1)), r"\^"), F.lit(1)
+    )
+
+
+def _adt_projection(raw: Column, occ: int) -> list:
+    """Full ADT_SCHEMA projection for the occ-th PID/PV1 group (occ=2 is
+    the second patient of an A17 swap; all other segments are shared)."""
     trigger = field(raw, "MSH", 9, 2)
     msg_type = F.lit(None).cast("string")
     for trig, mtype in TRIGGER_TO_TYPE.items():
         msg_type = F.when(trigger == trig, F.lit(mtype)).otherwise(msg_type)
 
-    event_occurred = hl7_ts(field(raw, "EVN", 2))
+    # EVN-6 is the time the event actually occurred; EVN-2 the recorded
+    # time (AdtMessageBuilder: bestGuessAtValidFrom prefers occurred)
+    event_occurred = F.coalesce(hl7_ts(field(raw, "EVN", 6)), hl7_ts(field(raw, "EVN", 2)))
     recorded = hl7_ts(field(raw, "MSH", 7))
-    return (
-        df.select(
-            F.coalesce(field(raw, "MSH", 10), F.lit("?")).alias("source_message_id"),
-            field(raw, "MSH", 4, 1).alias("source_system"),
-            best_guess_valid_from(event_occurred, recorded).alias("valid_from"),
-            msg_type.alias("message_type"),
-            field(raw, "PID", 3, 1).alias("mrn"),
-            field(raw, "PID", 3, 4).alias("nhs_number_source"),
-            field(raw, "PV1", 19, 1).alias("visit_number"),
-            tristate_from_hl7(field(raw, "PV1", 2, 1)).alias("patient_class"),
-            tristate_from_hl7(field(raw, "PV1", 3, 1)).alias("location"),
-            tristate_from_hl7(field(raw, "PV1", 6, 1)).alias("previous_location"),
-            event_occurred.alias("event_occurred"),
-            recorded.alias("recorded_datetime"),
-            tristate_from_hl7(field(raw, "PID", 5, 2)).alias("name_given"),
-            tristate_from_hl7(field(raw, "PID", 5, 1)).alias("name_family"),
-            tristate_from_hl7(field(raw, "PID", 8, 1)).alias("sex"),
-            F.struct(
-                hl7_ts(field(raw, "PID", 7)).alias("value"),
-                F.when(field(raw, "PID", 7).isNull() | (field(raw, "PID", 7) == ""), "IGNORE")
-                .otherwise("SAVE")
-                .alias("status"),
-            ).alias("birth_datetime"),
-        )
-        .filter(F.col("message_type").isNotNull())
-    )
+    # A15/A26 carry the planned destination in PV1-42 (pending location)
+    pend_loc = field(raw, "PV1", 42, occurrence=occ)
+    cur_loc = field(raw, "PV1", 3, occurrence=occ)
+    loc = F.when(
+        trigger.isin("A15", "A26"),
+        F.coalesce(F.nullif(pend_loc, F.lit("")), cur_loc),
+    ).otherwise(cur_loc)
+    msg_id = F.coalesce(field(raw, "MSH", 10), F.lit("?"))
+    if occ > 1:
+        msg_id = F.concat(msg_id, F.lit("-B"))
+    death_raw = field(raw, "PID", 29)
+    return [
+        msg_id.alias("source_message_id"),
+        field(raw, "MSH", 4, 1).alias("source_system"),
+        best_guess_valid_from(event_occurred, recorded).alias("valid_from"),
+        msg_type.alias("message_type"),
+        field(raw, "PID", 3, 1, occurrence=occ).alias("mrn"),
+        nhs_number_from_pid3(raw, occ).alias("nhs_number"),
+        field(raw, "PV1", 19, 1, occurrence=occ).alias("visit_number"),
+        tristate_from_hl7(field(raw, "PV1", 2, 1, occurrence=occ)).alias("patient_class"),
+        tristate_from_hl7(loc).alias("location"),
+        tristate_from_hl7(field(raw, "PV1", 6, occurrence=occ)).alias("previous_location"),
+        event_occurred.alias("event_occurred"),
+        recorded.alias("recorded_datetime"),
+        tristate_ts(field(raw, "PV1", 44, occurrence=occ)).alias("admission_datetime"),
+        tristate_ts(field(raw, "PV1", 45, occurrence=occ)).alias("discharge_datetime"),
+        tristate_from_hl7(field(raw, "PV1", 36, occurrence=occ)).alias("discharge_disposition"),
+        tristate_from_hl7(field(raw, "PV1", 37, 1, occurrence=occ)).alias("discharge_destination"),
+        tristate_from_hl7(field(raw, "PID", 5, 2, occurrence=occ)).alias("name_given"),
+        tristate_from_hl7(field(raw, "PID", 5, 1, occurrence=occ)).alias("name_family"),
+        tristate_ts(field(raw, "PID", 7, occurrence=occ)).alias("birth_datetime"),
+        tristate_from_hl7(field(raw, "PID", 8, 1, occurrence=occ)).alias("sex"),
+        tristate_from_hl7(field(raw, "PID", 30, occurrence=occ)).alias("death_indicator"),
+        tristate_ts(death_raw).alias("death_datetime"),
+        field(raw, "MRG", 1, 1).alias("retired_mrn"),
+        field(raw, "MRG", 5, 1).alias("retired_visit_number"),
+    ]
+
+
+def adt_from_hl7(df: DataFrame, raw_col: str = "hl7") -> DataFrame:
+    """Route + build: parsed ADT interchange rows per raw HL7 message
+    (unknown trigger events are filtered out, mirroring the factory's
+    unsupported-message skip; AdtMessageFactory.java:191-285). An A17
+    swap carries two PID/PV1 groups and emits TWO rows — each patient's
+    PV1-3 already holds their new location, so each row is one move."""
+    raw = F.col(raw_col)
+    trigger = field(raw, "MSH", 9, 2)
+    first = df.select(*_adt_projection(raw, 1))
+    second = df.filter(
+        (trigger == "A17") & nth_segment_fields(raw, "PID", 2).isNotNull()
+    ).select(*_adt_projection(raw, 2))
+    return first.unionByName(second).filter(F.col("message_type").isNotNull())
 
 
 def synthetic_hl7_messages(spark, n: int = 20) -> DataFrame:
@@ -143,6 +224,77 @@ def synthetic_hl7_messages(spark, n: int = 20) -> DataFrame:
             ]
         )
         rows.append((i, msg))
+    return spark.createDataFrame(rows, "id long, hl7 string")
+
+
+# the reference's full ADT trigger surface, cycled by the breadth fixture
+ALL_TRIGGERS = (
+    "A01", "A02", "A03", "A04", "A05", "A06", "A07", "A08", "A11", "A12",
+    "A13", "A15", "A17", "A26", "A28", "A29", "A31", "A40", "A45", "A47",
+)
+
+
+def synthetic_hl7_adt_full(spark, n: int = 40) -> DataFrame:
+    """Deterministic raw-HL7 fixtures covering EVERY routed trigger event
+    (shaped like hl7-reader/src/test/resources/Adt/*.txt): MRG segments on
+    A40/A45/A47, pending location PV1-42 on A15/A26, two PID/PV1 groups
+    on A17, death fields on A03, EVN-6 occurred times on cancels."""
+    rows = []
+    for i in range(n):
+        trig = ALL_TRIGGERS[i % len(ALL_TRIGGERS)]
+        mrn, enc = f"M{i:05d}", f"E{i:05d}"
+        day, hh = 1 + i % 27, 8 + i % 10
+        recorded = f"202403{day:02d}{hh:02d}0000"
+        occurred = f"202403{day:02d}{hh:02d}1500"
+
+        def pv1(mrn_i: int, extra: dict[int, str]) -> str:
+            f = [""] * 46
+            f[0], f[1], f[2] = "PV1", "1", "I"
+            f[3] = f"T{mrn_i % 5:02d}^BY01^BED-{mrn_i % 9}"
+            f[6] = f"T{(mrn_i + 1) % 5:02d}^BY02^BED-{(mrn_i + 1) % 9}"
+            f[19] = f"E{mrn_i:05d}"
+            for k, v in extra.items():
+                f[k] = v
+            return "|".join(f)
+
+        def pid(mrn_s: str, idx: int, extra: dict[int, str]) -> str:
+            f = [""] * 31
+            f[0], f[1] = "PID", "1"
+            f[3] = f"{mrn_s}^^^MRN~NHS{idx:07d}^^^NHS"
+            f[5] = f"Fam{idx}^Giv{idx}"
+            f[7] = "19800101"
+            f[8] = "F" if idx % 2 == 0 else "M"
+            for k, v in extra.items():
+                f[k] = v
+            return "|".join(f)
+
+        pv1_extra: dict[int, str] = {}
+        pid_extra: dict[int, str] = {}
+        segs = [
+            f"MSH|^~\\&|EPIC|UCLH|x|x|{recorded}||ADT^{trig}|FULL{i:06d}|P|2.4",
+            f"EVN|{trig}|{recorded}||||{occurred}",
+        ]
+        if trig == "A01":
+            pv1_extra[44] = occurred
+        if trig == "A03":
+            pv1_extra[36] = "HOME"
+            pv1_extra[37] = "GP^referral"
+            pv1_extra[45] = occurred
+            if (i // 20) % 2 == 0:  # first A03 deceased, second not
+                pid_extra[29] = occurred
+                pid_extra[30] = "Y"
+        if trig in ("A15", "A26"):
+            pv1_extra[42] = f"T99^PEND^BED-{i % 5}"
+        segs.append(pid(mrn, i, pid_extra))
+        segs.append(pv1(i, pv1_extra))
+        if trig in ("A40", "A47"):
+            segs.append(f"MRG|OLD{i:05d}^^^MRN")
+        if trig == "A45":
+            segs.append(f"MRG|{mrn}^^^MRN||||OLDE{i:05d}")
+        if trig == "A17":
+            segs.append(pid(f"M{i:05d}B", i + 1000, {}))
+            segs.append(pv1(i + 1, {}))
+        rows.append((i, "\r".join(segs)))
     return spark.createDataFrame(rows, "id long, hl7 string")
 
 

@@ -38,10 +38,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        # Branch on the schema actually read, not on the conf having taken
+        # effect: a concurrently-analyzed plan (e.g. an Observation listener)
+        # can see the file as TIMESTAMP before the conf applies.
+        if isinstance(df.schema["ts"].dataType, LongType):
+            ts = F.timestamp_micros(F.expr("ts div 1000"))
+        else:
+            ts = F.col("ts")
+        return df.withColumn("ts", ts.cast("timestamp_ntz"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
