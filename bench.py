@@ -33,8 +33,11 @@ HEADLINE = [
     "q20_latest_event_per_user",
     "q22_user_current_state",
     "q26_sessionization",
-    "q45_jaccard_near_dup_pairs",
+    # q45 (all-pairs Jaccard) is deliberately NOT benchmarked: it exists
+    # as the oracle baseline only; q57 is the production dedup pipeline
+    # (LSH candidates + exact verify on candidates).
     "q47_minhash_lsh_pairs",
+    "q57_lsh_near_dup_verified",
     "q48_simhash",
     "q50_knn_bruteforce",
     "q60_merge_engine_snapshot",

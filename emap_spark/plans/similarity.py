@@ -112,6 +112,74 @@ _SQL_BUCKET = (
 )
 
 
+def _sign_bucket(bits: int) -> Column:
+    bucket = None
+    for j in range(bits):
+        term = F.when(F.element_at("embedding", j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("long")
+
+
+# production sizing: 16 sign bits (~65k buckets) + multi-probe for
+# recall; the registered oracle query runs the toy 8-bit single-probe
+PROD_ANN_BITS = 16
+PROD_ANN_PROBES = 8
+
+
+def sign_lsh_ann(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    bits: int = LSH_BITS,
+    top_k: int = TOP_K,
+    n_probes: int = 1,
+) -> DataFrame:
+    """Sign-LSH bucketed ANN, parameterized (bits, multi-probe).
+
+    Each query probes its own hyperoctant bucket plus `n_probes - 1`
+    Hamming-1 neighbors (one sign bit flipped) — the standard multi-probe
+    recall fix for LSH without extra tables. Candidates come from an
+    equi-join on bucket (hash join, ~N/2^bits per probe); at scale,
+    bucket doubles as the corpus partition key so probes prune
+    partitions.
+    """
+    b = emb.select("vec_id", "embedding", _sign_bucket(bits).alias("bucket"))
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << j))
+            for j in range(min(n_probes - 1, bits))
+        ],
+    )
+    q = (
+        b.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            "bucket",
+            F.explode(probes).alias("probe"),
+        )
+    )
+    c = b.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
+                 F.col("bucket").alias("cbucket"))
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("cbucket") == F.col("probe")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.round(_dot("qe", "ce") / (_norm("qe") * _norm("ce")), 4).alias("cosine_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("query_id", "neighbor_id", "bucket", "cosine_sim")
+    )
+
+
 @register(
     "q51_ann_lsh_bucketed",
     oracle=f"""
@@ -132,37 +200,13 @@ FROM (
     doc=(
         "ANN via sign-LSH: candidates restricted to the query's hyperoctant "
         "bucket (equi join on bucket -> hash join, ~N/2^bits candidates per "
-        "query; bucket doubles as a partition key at scale)."
+        "query; bucket doubles as a partition key at scale; multi-probe "
+        "via the n_probes parameter of sign_lsh_ann)."
     ),
 )
 def q51_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
-    bucket = None
-    for j in range(LSH_BITS):
-        term = F.when(F.element_at("embedding", j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    b = e.select("vec_id", "embedding", bucket.cast("long").alias("bucket"))
-    q = b.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
-    )
-    c = b.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
-                 F.col("bucket").alias("cbucket"))
-    scored = (
-        F.broadcast(q)
-        .join(c, (F.col("cbucket") == F.col("bucket")) & (F.col("neighbor_id") != F.col("query_id")))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "bucket",
-            F.round(_dot("qe", "ce") / (_norm("qe") * _norm("ce")), 4).alias("cosine_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("query_id", "neighbor_id", "bucket", "cosine_sim")
-    )
+    # oracle-sized instance: 8 bits, single probe, top-5
+    return sign_lsh_ann(_emb(spark, sf_dir), N_QUERIES, LSH_BITS, 5, n_probes=1)
 
 
 # --------------------------------------------------------------------------

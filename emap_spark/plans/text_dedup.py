@@ -241,7 +241,7 @@ def q45_jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cols() -> list:
+def _minhash_cols(n_hashes: int = N_MINHASH) -> list:
     """MinHash signature: h_i = min over shingles of md5(i || ':' || s).
 
     Lexicographic min over hex strings is a valid random-permutation
@@ -250,8 +250,77 @@ def _minhash_cols() -> list:
     """
     return [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))).alias(f"h{i}")
-        for i in range(N_MINHASH)
+        for i in range(n_hashes)
     ]
+
+
+# Parameterized MinHash/LSH operators (the production API). The
+# registered oracle queries below run them at toy width (8 hashes /
+# 2 bands — sized so the DuckDB oracle SQL stays writable); production
+# defaults are 128 hashes / 16 bands (~0.9 Jaccard threshold knee).
+PROD_MINHASH = 128
+PROD_BANDS = 16
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = PROD_MINHASH) -> DataFrame:
+    """(doc_id, s) shingles -> one row per doc with h0..h{n-1}."""
+    return shingles.groupBy("doc_id").agg(*_minhash_cols(n_hashes))
+
+
+def lsh_band_keys(sig: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    """Signature -> (doc_id, bkey) band keys, one exchange: the band
+    array is exploded from a single aggregated signature subtree."""
+    rows_per = n_hashes // n_bands
+    keys = [
+        F.md5(
+            F.concat(*[F.col(f"h{b * rows_per + r}") for r in range(rows_per)]).cast(
+                "binary"
+            )
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*keys)).alias("bkey"))
+
+
+def lsh_candidate_pairs(
+    shingles: DataFrame, n_hashes: int = PROD_MINHASH, n_bands: int = PROD_BANDS
+) -> DataFrame:
+    """Docs sharing >=1 LSH band — the linear-shuffle candidate join
+    (bucket equi-join on bkey; at 100 TB bkey doubles as the partition
+    key so each bucket joins co-located)."""
+    bands = lsh_band_keys(minhash_signatures(shingles, n_hashes), n_hashes, n_bands)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verify_candidates(
+    shingles: DataFrame, candidates: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact Jaccard on CANDIDATE pairs only: cost is linear in candidate
+    shingle volume, never all-pairs."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        candidates.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("doc_a", "doc_b", "n_common", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
 
 
 _MINHASH_SQL_COLS = ", ".join(
@@ -310,26 +379,52 @@ FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
     ),
 )
 def q47_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _shingles(spark, sf_dir).groupBy("doc_id").agg(*_minhash_cols())
-    # one pass over the signatures: explode the band-key array instead of
-    # unioning two copies of the (expensive) signature subtree, so the
-    # aggregation runs once and the self-join reuses one exchange
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.md5(F.concat("h0", "h1", "h2", "h3").cast("binary")),
-                F.md5(F.concat("h4", "h5", "h6", "h7").cast("binary")),
-            )
-        ).alias("bkey"),
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # oracle-sized instance of the parameterized operator (8 hashes /
+    # 2 bands of 4 — identical band keys to the SQL above)
+    return lsh_candidate_pairs(_shingles(spark, sf_dir), N_MINHASH, 2)
+
+
+# --------------------------------------------------------------------------
+# q57: LSH candidates + exact verify (the full production dedup pipeline)
+# --------------------------------------------------------------------------
+@register(
+    "q57_lsh_near_dup_verified",
+    oracle=f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id, {_MINHASH_SQL_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, md5(h0 || h1 || h2 || h3) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, md5(h4 || h5 || h6 || h7) AS bkey FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+""",
+    doc=(
+        "Candidate generation (LSH banding, linear shuffle) + exact "
+        "Jaccard verification restricted to candidates — the plan you "
+        "actually run at 100 TB; q45's all-pairs join is oracle-only."
+    ),
+)
+def q57_lsh_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    return verify_candidates(sh, lsh_candidate_pairs(sh, N_MINHASH, 2))
 
 
 # --------------------------------------------------------------------------
@@ -352,6 +447,31 @@ SELECT doc_id, ({assemble})::BIGINT AS simhash FROM bits
 """
 
 
+# production sizing: 32 bits (one per md5 hex char — the ceiling of this
+# hex-digit vote scheme; beyond 32 switch to per-4-bit nibble extraction)
+PROD_SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, bits: int = PROD_SIMHASH_BITS) -> DataFrame:
+    """(doc_id, text) -> (doc_id, simhash): per bit position, sign of the
+    summed +/-1 votes from each token's md5 hex digit. One shuffle."""
+    assert bits <= 32, "hex-digit vote scheme yields at most 32 bits"
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    hi = ("8", "9", "a", "b", "c", "d", "e", "f")
+    bit_sums = [
+        F.sum(
+            F.when(F.substring(F.md5(F.col("t").cast("binary")), j + 1, 1).isin(*hi), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    assemble = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        assemble = term if assemble is None else assemble + term
+    return agg.select("doc_id", assemble.cast("long").alias("simhash"))
+
+
 @register(
     "q48_simhash",
     oracle=_simhash_sql(),
@@ -361,21 +481,7 @@ SELECT doc_id, ({assemble})::BIGINT AS simhash FROM bits
     ),
 )
 def q48_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    hi = ("8", "9", "a", "b", "c", "d", "e", "f")
-    bit_sums = [
-        F.sum(
-            F.when(F.substring(F.md5(F.col("t").cast("binary")), j + 1, 1).isin(*hi), 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    bits = toks.groupBy("doc_id").agg(*bit_sums)
-    assemble = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        assemble = term if assemble is None else assemble + term
-    return bits.select("doc_id", assemble.cast("long").alias("simhash"))
+    return simhash(_docs(spark, sf_dir), SIMHASH_BITS)  # oracle-sized
 
 
 # --------------------------------------------------------------------------

@@ -69,7 +69,7 @@ _PRIORITY = [
     "q72_location_visit_inference", "q73_waveform_visit_attach",
     "q74_waveform_retention",
     # parse + domain pipelines (S3-S7, D7-D17, W4)
-    "q75_hl7_parse_route", "q76_media_metadata",
+    "q75_hl7_parse_route", "q89_hl7_adt_breadth", "q76_media_metadata",
     "q77_media_decode_features", "q78_video_frame_plan",
     "q79_labs_pipeline", "q80_flowsheets_pipeline",
     "q81_identity_merge_closure", "q82_location_metadata_scd",
@@ -85,7 +85,8 @@ _PRIORITY = [
     "q40_token_stats", "q41_quality_score", "q42_lang_source_profile",
     "q43_exact_dup_groups", "q44_dedup_survivors",
     "q45_jaccard_near_dup_pairs", "q46_minhash_signatures",
-    "q47_minhash_lsh_pairs", "q48_simhash", "q49_doc_fingerprint",
+    "q47_minhash_lsh_pairs", "q57_lsh_near_dup_verified",
+    "q48_simhash", "q49_doc_fingerprint",
     "q50_knn_bruteforce", "q51_ann_lsh_bucketed",
     "q52_vector_stats", "q53_label_centroids",
     "q55_token_frequencies", "q56_query_similarity_ranking",

@@ -1,0 +1,92 @@
+"""Production-width parameterized dedup/ANN operators (VERDICT round-1
+item 9): the oracle queries run toy widths; these tests exercise the
+128-hash/16-band MinHash-LSH, 32-bit SimHash, and multi-probe ANN paths
+at realistic parameters on planted-near-dup corpora."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from emap_spark.plans.similarity import sign_lsh_ann
+from emap_spark.plans.text_dedup import (
+    PROD_BANDS,
+    PROD_MINHASH,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    verify_candidates,
+)
+
+
+def _corpus(spark, n_base=30, words_per_doc=80):
+    rng = random.Random(7)
+    vocab = [f"w{k}" for k in range(500)]
+    rows = []
+    for i in range(n_base):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(words_per_doc)]
+        rows.append((i, " ".join(words)))
+        if i < 8:  # plant a near-dup: same text, one word changed
+            mutated = list(words)
+            mutated[40] = "MUTANT"
+            rows.append((1000 + i, " ".join(mutated)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingles_of(docs):
+    w = docs.withColumn("w", F.split("text", " "))
+    sh = F.expr(
+        "array_distinct(transform(sequence(1, size(w)-2),"
+        " i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"
+    )
+    return w.select("doc_id", F.explode(sh).alias("s"))
+
+
+def test_prod_width_lsh_recall_and_precision(spark):
+    docs = _corpus(spark)
+    sh = _shingles_of(docs)
+    sig = minhash_signatures(sh, PROD_MINHASH)
+    assert len(sig.columns) == 1 + PROD_MINHASH
+
+    cands = lsh_candidate_pairs(sh, PROD_MINHASH, PROD_BANDS)
+    verified = verify_candidates(sh, cands, threshold=0.5)
+    found = {(r.doc_a, r.doc_b) for r in verified.collect()}
+    planted = {(i, 1000 + i) for i in range(8)}
+    # recall: a 1-word mutation of an 80-word doc shares ~96% of shingles;
+    # at 128/16 (8 rows/band) collision probability is ~1 per band
+    assert planted <= found
+    # precision: random docs share almost no shingles; verify kills them
+    assert found == planted
+
+
+def test_multiprobe_ann_finds_hamming1_neighbor(spark):
+    rng = random.Random(11)
+    dim = 16
+    q = [1.0 + 0.1 * k for k in range(dim)]
+    planted = list(q)
+    planted[0] = -0.01  # flips sign bit 0 only; cosine stays ~0.99
+    rows = [(0, q), (900, planted)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(1, 200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    single = sign_lsh_ann(emb, n_queries=1, bits=8, top_k=5, n_probes=1)
+    multi = sign_lsh_ann(emb, n_queries=1, bits=8, top_k=5, n_probes=8)
+    single_ids = {r.neighbor_id for r in single.collect()}
+    multi_ids = {r.neighbor_id for r in multi.collect()}
+    # the near-duplicate lives one flipped sign bit away: invisible to a
+    # single probe, recovered by multi-probe
+    assert 900 not in single_ids
+    assert 900 in multi_ids
+    assert multi_ids >= single_ids
+
+
+def test_simhash_32bit_near_dup_distance(spark):
+    docs = _corpus(spark, n_base=10)
+    sh = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    near = [ham(sh[i], sh[1000 + i]) for i in range(8)]
+    far = [ham(sh[i], sh[j]) for i in range(8) for j in range(i + 1, 8)]
+    assert max(near) <= 4  # one-word mutation flips at most a few bits
+    assert sum(far) / len(far) > 8  # unrelated docs sit near 16/32 bits
