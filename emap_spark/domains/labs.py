@@ -57,6 +57,33 @@ ORDER_SPEC = MergeSpec(
     tombstone="is_delete",
 )
 
+# D11: micro child tables. Isolates key on isolate_id because code and
+# name can change (LabIsolateMsg.java:20-24); sensitivities key on the
+# antimicrobial agent under their isolate
+# (LabResultController.java:153-213). reporting_datetime is exposed in
+# the read view as the row's valid_from — the time of the last applied
+# sensitivity change — rather than merged as a field (the reference
+# bumps reportingDatetime only when the sensitivity value changes).
+ISOLATE_SPEC = MergeSpec(
+    key=["external_lab_number", "battery_code", "test_code", "isolate_id"],
+    fields={
+        "isolate_code": ASSIGN,
+        "isolate_name": ASSIGN,
+        "culture_type": TRISTATE,
+        "quantity": TRISTATE,
+        "clinical_information": TRISTATE,
+    },
+    event_time="valid_from",
+    seq="seq",
+)
+
+SENSITIVITY_SPEC = MergeSpec(
+    key=["external_lab_number", "battery_code", "test_code", "isolate_id", "agent"],
+    fields={"sensitivity": ASSIGN},
+    event_time="valid_from",
+    seq="seq",
+)
+
 RESULT_SPEC = MergeSpec(
     key=["external_lab_number", "battery_code", "test_code"],
     fields={
@@ -145,7 +172,60 @@ def split_lab_messages(msgs: DataFrame) -> dict[str, DataFrame]:
             "result_last_modified"
         ),
     )
-    return {"lab_sample": samples, "lab_order": orders, "lab_result": results}
+    iso = r.filter(F.col("res")["isolate"].isNotNull()).select(
+        "external_lab_number",
+        "battery_code",
+        F.col("res")["test_code"].alias("test_code"),
+        "valid_from",
+        "seq",
+        F.col("res")["isolate"].alias("iso"),
+    )
+    isolates = iso.select(
+        "external_lab_number",
+        "battery_code",
+        "test_code",
+        F.col("iso")["isolate_id"].alias("isolate_id"),
+        "valid_from",
+        "seq",
+        F.col("iso")["isolate_code"].alias("isolate_code"),
+        F.col("iso")["isolate_name"].alias("isolate_name"),
+        F.col("iso")["culture_type"].alias("culture_type"),
+        F.col("iso")["quantity"].alias("quantity"),
+        F.col("iso")["clinical_information"].alias("clinical_information"),
+    )
+    sensitivities = (
+        iso.select(
+            "external_lab_number",
+            "battery_code",
+            "test_code",
+            F.col("iso")["isolate_id"].alias("isolate_id"),
+            "valid_from",
+            "seq",
+            F.explode(F.col("iso")["sensitivities"]).alias("sens"),
+        )
+        # a sensitivity with no agent is unknown -> skipped
+        # (LabResultController.updateOrCreateSensitivity:190-193)
+        .filter(F.col("sens")["agent"].isNotNull())
+        .select(
+            "external_lab_number",
+            "battery_code",
+            "test_code",
+            "isolate_id",
+            F.col("sens")["agent"].alias("agent"),
+            F.coalesce(F.col("sens")["result_time"], F.col("valid_from")).alias(
+                "valid_from"
+            ),
+            "seq",
+            F.col("sens")["sensitivity"].alias("sensitivity"),
+        )
+    )
+    return {
+        "lab_sample": samples,
+        "lab_order": orders,
+        "lab_result": results,
+        "lab_isolate": isolates,
+        "lab_sensitivity": sensitivities,
+    }
 
 
 def process_lab_orders(
@@ -153,12 +233,14 @@ def process_lab_orders(
     msgs: DataFrame,
     stored_from: str,
 ) -> dict[str, MergeResult]:
-    """Apply one batch of lab-order messages to the three lab tables."""
+    """Apply one batch of lab-order messages to the five lab tables."""
     updates = split_lab_messages(msgs)
     specs = {
         "lab_sample": SAMPLE_SPEC,
         "lab_order": ORDER_SPEC,
         "lab_result": RESULT_SPEC,
+        "lab_isolate": ISOLATE_SPEC,
+        "lab_sensitivity": SENSITIVITY_SPEC,
     }
     return {
         name: merge_batch(current.get(name), updates[name], specs[name], stored_from)

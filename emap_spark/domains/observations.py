@@ -15,7 +15,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from emap_spark.operators.merge import ASSIGN, TRISTATE, MergeResult, MergeSpec, merge_batch
+from emap_spark.operators.merge import (
+    ASSIGN,
+    FILL_IF_NULL,
+    TRISTATE,
+    MergeResult,
+    MergeSpec,
+    merge_batch,
+)
 
 OBSERVATION_SPEC = MergeSpec(
     key=["encounter", "observation_type", "observation_datetime"],
@@ -67,10 +74,34 @@ CONDITION_SPEC = MergeSpec(
         "onset_date": ASSIGN,
         "resolution_date": ASSIGN,
         "comment": TRISTATE,
+        "severity": TRISTATE,
     },
     event_time="valid_from",
     seq="seq",
     tombstone="is_delete",
+)
+
+# D12 children. AllergenReaction is REPLACE-SET: each allergy message
+# deletes every reaction recorded at-or-before its time and re-adds its
+# own list (PatientConditionController.java:213-240) — i.e. the newest
+# message's reaction array wins wholesale, which is exactly ASSIGN on
+# the array; the read view explodes it.
+REACTION_SPEC = MergeSpec(
+    key=["mrn", "condition_type", "internal_id"],
+    fields={"reactions": ASSIGN},
+    event_time="valid_from",
+    seq="seq",
+    tombstone="is_delete",
+)
+
+# ConditionVisits link table (:346): a condition message carrying a
+# visit adds an (condition, visit) edge; links accumulate (add-only),
+# first_linked records the earliest linking message.
+CONDITION_VISIT_SPEC = MergeSpec(
+    key=["mrn", "condition_type", "internal_id", "encounter"],
+    fields={"first_linked": FILL_IF_NULL},
+    event_time="valid_from",
+    seq="seq",
 )
 
 CONSULT_SPEC = MergeSpec(
@@ -89,12 +120,62 @@ CONSULT_SPEC = MergeSpec(
 
 
 def process_conditions(
-    current: DataFrame | None, updates: DataFrame, stored_from: str
-) -> MergeResult:
-    """D12 patient conditions (PatientConditionController.java:95-476):
-    updates must carry the CONDITION_SPEC columns + is_delete for the
-    hoover delete-all-then-readd pattern."""
-    return merge_batch(current, updates, CONDITION_SPEC, stored_from)
+    current: dict[str, DataFrame | None],
+    msgs: DataFrame,
+    stored_from: str,
+) -> dict[str, MergeResult]:
+    """D12 patient conditions + children
+    (PatientConditionController.java:95-476): CONDITION_SCHEMA messages
+    -> patient_condition upsert (tombstone = the hoover
+    delete-all-then-readd pattern), allergen_reaction replace-set, and
+    condition_visits links. One pass over the batch; each merge
+    shuffles on its own business key."""
+    key = ["mrn", "condition_type", "internal_id"]
+    base = msgs.select(
+        *key,
+        "valid_from",
+        F.col("source_message_id").alias("seq"),
+        "status",
+        "onset_date",
+        "resolution_date",
+        "comment",
+        "severity",
+        "reactions",
+        "visit_number",
+        "is_delete",
+    )
+    conditions = base.drop("reactions", "visit_number")
+    reactions = base.filter(
+        (F.col("condition_type") == "PATIENT_ALLERGY") | F.col("is_delete")
+    ).select(*key, "valid_from", "seq", "reactions", "is_delete")
+    links = base.filter(F.col("visit_number").isNotNull() & ~F.col("is_delete")).select(
+        *key,
+        F.col("visit_number").alias("encounter"),
+        "valid_from",
+        "seq",
+        F.col("valid_from").alias("first_linked"),
+    )
+    return {
+        "patient_condition": merge_batch(
+            current.get("patient_condition"), conditions, CONDITION_SPEC, stored_from
+        ),
+        "allergen_reaction": merge_batch(
+            current.get("allergen_reaction"), reactions, REACTION_SPEC, stored_from
+        ),
+        "condition_visits": merge_batch(
+            current.get("condition_visits"), links, CONDITION_VISIT_SPEC, stored_from
+        ),
+    }
+
+
+def allergen_reactions_view(reaction_state: DataFrame) -> DataFrame:
+    """Exploded read view: one row per (condition, reaction)."""
+    return reaction_state.select(
+        "mrn",
+        "condition_type",
+        "internal_id",
+        F.explode("reactions").alias("reaction"),
+    )
 
 
 def process_consults(

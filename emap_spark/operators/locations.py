@@ -105,41 +105,105 @@ def infer_location_visits(adt: DataFrame) -> DataFrame:
     wv = W.partitionBy("visit_number").orderBy("valid_from", "source_message_id")
     seq = (
         moves.withColumn("next_type", F.lead("message_type").over(wv))
+        .withColumn("next_base", F.lead("base_type").over(wv))
         .withColumn("next_t", F.lead("valid_from").over(wv))
+        .withColumn("next_loc", F.lead("loc").over(wv))
         .withColumn("next_prev_loc", F.lead("prev_loc").over(wv))
-        .withColumn("prev_known_loc", F.lag("loc").over(wv))
+        .withColumn(
+            "prev_arrival_loc",
+            F.last(
+                F.when(F.col("base_type").isin(*ARRIVAL_TYPES), F.col("loc")),
+                ignorenulls=True,
+            ).over(wv.rowsBetween(W.unboundedPreceding, -1)),
+        )
     )
 
+    # inferred-interval offsets mirror inferPreviousLocationData
+    # (:477-517): the gap stay squeezed before a closing event occupies
+    # [t-3s, t-2s]; a stay whose end is only implied closes at t-2s; a
+    # discharge that OPENS its own stay admits at t-1s — all duration-
+    # bearing, all flagged, never colliding with real event times.
+    s1, s2, s3 = (F.expr(f"INTERVAL {n} SECONDS") for n in (1, 2, 3))
+
     arrivals = seq.filter(F.col("base_type").isin(*ARRIVAL_TYPES))
+    # the next event implies this stay ended EARLIER than the event when
+    # (a) it squeezed an unseen previous location in between, or (b) it
+    # is a discharge that happened somewhere else
+    gap_next = F.col("next_prev_loc").isNotNull() & (
+        F.col("next_prev_loc") != F.col("loc")
+    )
+    discharge_elsewhere = (
+        (F.col("next_base") == "DISCHARGE")
+        & F.col("next_loc").isNotNull()
+        & (F.col("next_loc") != F.col("loc"))
+    )
+    implied_end = gap_next | discharge_elsewhere
     intervals = arrivals.select(
         "visit_number",
         F.col("loc").alias("location_string"),
         F.col("valid_from").alias("admission_datetime"),
-        F.when(F.col("next_type").isNotNull(), F.col("next_t")).alias("discharge_datetime"),
+        F.when(
+            F.col("next_type").isNotNull(),
+            F.when(implied_end, F.col("next_t") - s2).otherwise(F.col("next_t")),
+        ).alias("discharge_datetime"),
         F.lit(False).alias("inferred_admission"),
-        # a DISCHARGE or TRANSFER closing the stay is explicit; an open end is null
-        F.lit(False).alias("inferred_discharge"),
+        F.when(F.col("next_type").isNotNull(), implied_end)
+        .otherwise(F.lit(False))
+        .alias("inferred_discharge"),
     )
 
     # gap repair: the next event's previous_location names a location we
     # never saw an arrival for -> inferred interval squeezed between the
     # known stay and the next event (inferPreviousLocationData :477-517)
     inferred = (
-        seq.filter(
-            F.col("base_type").isin(*ARRIVAL_TYPES)
-            & F.col("next_prev_loc").isNotNull()
-            & (F.col("next_prev_loc") != F.col("loc"))
-        )
+        arrivals.filter(gap_next)
         .select(
             "visit_number",
             F.col("next_prev_loc").alias("location_string"),
-            F.col("next_t").alias("admission_datetime"),
-            F.col("next_t").alias("discharge_datetime"),
+            (F.col("next_t") - s3).alias("admission_datetime"),
+            (F.col("next_t") - s2).alias("discharge_datetime"),
             F.lit(True).alias("inferred_admission"),
             F.lit(True).alias("inferred_discharge"),
         )
     )
-    return intervals.unionByName(inferred)
+
+    # discharge-opens-stay (:424-475 + createLocationWithInferredAdmit):
+    # a discharge at a location with no open stay materializes the stay
+    # it closes, with an inferred admission one second before
+    discharges = seq.filter(F.col("base_type") == "DISCHARGE")
+    opens = discharges.filter(
+        F.col("loc").isNotNull()
+        & (
+            F.col("prev_arrival_loc").isNull()
+            | (F.col("prev_arrival_loc") != F.col("loc"))
+        )
+    ).select(
+        "visit_number",
+        F.col("loc").alias("location_string"),
+        (F.col("valid_from") - s1).alias("admission_datetime"),
+        F.col("valid_from").alias("discharge_datetime"),
+        F.lit(True).alias("inferred_admission"),
+        F.lit(False).alias("inferred_discharge"),
+    )
+    # an orphan discharge (no arrivals at all) may still name an unseen
+    # previous location -> squeeze its gap stay in as well
+    orphan_gaps = discharges.filter(
+        F.col("prev_arrival_loc").isNull()
+        & F.col("prev_loc").isNotNull()
+        & (F.col("prev_loc") != F.col("loc"))
+    ).select(
+        "visit_number",
+        F.col("prev_loc").alias("location_string"),
+        (F.col("valid_from") - s3).alias("admission_datetime"),
+        (F.col("valid_from") - s2).alias("discharge_datetime"),
+        F.lit(True).alias("inferred_admission"),
+        F.lit(True).alias("inferred_discharge"),
+    )
+    return (
+        intervals.unionByName(inferred)
+        .unionByName(opens)
+        .unionByName(orphan_gaps)
+    )
 
 
 def occupancy(location_visits: DataFrame, at) -> DataFrame:

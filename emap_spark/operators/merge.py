@@ -47,15 +47,25 @@ from emap_spark.lineage import cut
 # Field policies
 ASSIGN = "assign"  # plain field: newest message's value (even if null)
 FILL_IF_NULL = "fill_if_null"  # write if currently null, else only if newer
-TRISTATE = "tristate"  # {value,status} struct; SAVE/DELETE/IGNORE
-# TRISTATE + fill-if-null SAVE semantics (M5+M8 combined): a SAVE applies
-# when the current slot is null OR the message is newer; a DELETE applies
-# only when newer. This is the reference's visit admission/discharge
-# datetime behavior: addPresentationAdmissionOrDischargeTime fills
-# missing times "regardless of the valid from date"
-# (VisitController.java:163-186) while CancelAdmit/CancelDischarge clear
-# them via removeIfExists (:225-238, M8).
+# {value,status} struct; SAVE/DELETE/IGNORE. Semantics: per-field
+# last-non-IGNORE-write-wins in EVENT-time order. The reference guards
+# tri-state assignment with the entity-level validFrom (RowState usage in
+# controllers: isEntityCreated() || validFrom.isAfter(...)), which makes
+# the stored value depend on ARRIVAL order whenever a newer message
+# IGNOREs a field an older message SAVEs. We keep a per-field
+# last-write time (__ts_<field> in the current frame) instead, so every
+# field independently converges to the value of its newest SAVE/DELETE —
+# the result the reference reaches when messages arrive in event order,
+# now guaranteed for every arrival order (W3).
+# This one rule subsumes the reference's admission/discharge fill quirk
+# (VisitController.java:163-186 fills a null slot regardless of entity
+# age; cancellations clear it via removeIfExists :225-238): a SAVE
+# against a never-written slot applies at any age, a SAVE older than the
+# field's last DELETE stays rejected.
+TRISTATE = "tristate"
+# alias kept for spec readability where the fill quirk is the intent
 TRISTATE_FILL = "tristate_fill"
+TRISTATES = (TRISTATE, TRISTATE_FILL)
 
 SAVE, DELETE, IGNORE = "SAVE", "DELETE", "IGNORE"
 
@@ -127,7 +137,9 @@ def _fold_field(name: str, policy: str, spec: MergeSpec, frame) -> list[Column]:
         mask = F.when(F.col(name).isNotNull(), F.struct(F.col(name).alias("v"), t.alias("t")))
         picked = F.last(mask, ignorenulls=True).over(frame)
         val, contrib = picked["v"], picked["t"]
-    elif policy == TRISTATE:
+    elif policy in TRISTATES:
+        # last non-IGNORE action in the batch: value (null for DELETE)
+        # plus its event time — the candidate's per-field write time
         st = F.col(name)["status"]
         mask = F.when(
             st != IGNORE,
@@ -137,29 +149,6 @@ def _fold_field(name: str, policy: str, spec: MergeSpec, frame) -> list[Column]:
         )
         picked = F.last(mask, ignorenulls=True).over(frame)
         val, contrib = picked["v"], picked["t"]
-    elif policy == TRISTATE_FILL:
-        # keep the winning status (merge_batch picks fill-vs-newer by it)
-        # plus the newest DELETE time in the batch: the delete marker is
-        # persisted in the current frame (__fill_del_<name>) so that a
-        # late-arriving OLDER save cannot re-fill a slot a newer
-        # cancellation erased — "null because deleted" and "null because
-        # never set" are different states (M8 routed into D5)
-        st = F.col(name)["status"]
-        mask = F.when(
-            st != IGNORE,
-            F.struct(
-                F.when(st == SAVE, F.col(name)["value"]).alias("v"),
-                t.alias("t"),
-                st.alias("st"),
-            ),
-        )
-        picked = F.last(mask, ignorenulls=True).over(frame)
-        return [
-            picked["v"].alias(name),
-            picked["t"].alias(f"__t_{name}"),
-            picked["st"].alias(f"__st_{name}"),
-            F.max(F.when(st == DELETE, t)).over(frame).alias(f"__fill_del_{name}"),
-        ]
     else:
         raise ValueError(f"unknown policy {policy!r} for field {name!r}")
     return [val.alias(name), contrib.alias(f"__t_{name}")]
@@ -171,7 +160,7 @@ def _mask_tombstone_fields(updates: DataFrame, spec: MergeSpec, tomb: Column) ->
     cols = []
     for c in updates.columns:
         if c in spec.fields:
-            if spec.fields[c] in (TRISTATE, TRISTATE_FILL):
+            if spec.fields[c] in TRISTATES:
                 value_type = updates.schema[c].dataType["value"].dataType
                 ignored = F.struct(
                     F.lit(None).cast(value_type).alias("value"),
@@ -270,13 +259,14 @@ def empty_current(spark, updates: DataFrame, spec: MergeSpec) -> DataFrame:
     sel.append(F.col("__event_time").alias("stored_from"))
     sel.append(F.lit(False).alias("is_deleted"))
     for name, policy in spec.fields.items():
-        if policy == TRISTATE_FILL:
-            sel.append(F.col(f"__fill_del_{name}"))
+        if policy in TRISTATES:
+            sel.append(F.col(f"__t_{name}").alias(f"__ts_{name}"))
     return folded.select(*sel).limit(0)
 
 
-def _fill_del_cols(spec: MergeSpec) -> list[str]:
-    return [f"__fill_del_{n}" for n, p in spec.fields.items() if p == TRISTATE_FILL]
+def _ts_cols(spec: MergeSpec) -> list[str]:
+    """Per-field last-write-time metadata columns kept in current."""
+    return [f"__ts_{n}" for n, p in spec.fields.items() if p in TRISTATES]
 
 
 def merge_batch(
@@ -295,7 +285,7 @@ def merge_batch(
     spark = updates.sparkSession
     if current is None:
         current = empty_current(spark, updates, spec)
-    for c in _fill_del_cols(spec):  # tolerate pre-marker current frames
+    for c in _ts_cols(spec):  # tolerate pre-metadata current frames
         if c not in current.columns:
             current = current.withColumn(c, F.lit(None).cast("timestamp_ntz"))
 
@@ -315,6 +305,11 @@ def merge_batch(
     # M6: untrusted candidates only act when the entity does not exist yet
     # (a tombstone row still counts as existing).
     cnd_applies = cnd_exists & (F.col("cnd.__trusted") | ~cur_exists)
+    new_deleted = F.when(
+        cnd_applies & F.col("cnd.__tombstone") & cnd_newer, F.lit(True)
+    ).otherwise(
+        F.when(cnd_applies & cnd_newer, F.lit(False)).otherwise(cur_deleted)
+    )
 
     out_fields: list[Column] = [F.col(k) for k in key]
     change_terms: list[Column] = []
@@ -335,53 +330,36 @@ def merge_batch(
                 | (cnd_t >= F.col("cur.valid_from"))
             )
             new_v = F.when(field_applies, cnd_v).otherwise(cur_v)
-        elif policy == TRISTATE:
-            # tri-state assign is newer-wins only (RowState.java:140-150):
-            # an older SAVE must not refill a field a newer DELETE erased
+        elif policy in TRISTATES:
+            # per-field last-write-wins: the batch's newest non-IGNORE
+            # action applies iff it is not older than the field's stored
+            # last-write time. A never-written field accepts any age —
+            # which IS the reference's admission/discharge fill quirk
+            # (VisitController.java:163-186) — while a field erased by a
+            # newer DELETE rejects older SAVEs (M8, removeIfExists).
+            cur_ts = F.col(f"cur.__ts_{name}")
             field_applies = cnd_applies & cnd_t.isNotNull() & (
-                ~cur_exists | cur_deleted | (cnd_t >= F.col("cur.valid_from"))
+                ~cur_exists | cur_deleted | cur_ts.isNull() | (cnd_t >= cur_ts)
             )
             new_v = F.when(field_applies, cnd_v).otherwise(cur_v)
-        elif policy == TRISTATE_FILL:
-            # SAVE fills a null slot regardless of age (VisitController
-            # addPresentationAdmissionOrDischargeTime) UNLESS a newer
-            # DELETE erased it (the stored marker keeps "null because
-            # cancelled" distinct from "never set"); else newer-wins.
-            # DELETE (cancellation, M8) is strictly newer-wins.
-            cnd_st = F.col(f"cnd.__st_{name}")
-            cnd_del = F.col(f"cnd.__fill_del_{name}")
-            cur_del = F.col(f"cur.__fill_del_{name}")
-            newer = cnd_t >= F.col("cur.valid_from")
-            no_newer_delete = cur_del.isNull() | (cnd_t >= cur_del)
-            field_applies = cnd_applies & cnd_t.isNotNull() & (
-                ~cur_exists
-                | cur_deleted
-                | F.when(
-                    cnd_st == SAVE, (cur_v.isNull() & no_newer_delete) | newer
-                ).otherwise(newer)
+            new_ts = (
+                F.when(new_deleted, F.lit(None).cast("timestamp_ntz"))
+                .when(cur_deleted & cnd_applies, cnd_t)
+                .when(field_applies, cnd_t)
+                .otherwise(cur_ts)
             )
-            new_v = F.when(field_applies, cnd_v).otherwise(cur_v)
-            new_del = F.greatest(
-                F.when(~(cur_deleted & cnd_applies), cur_del),
-                F.when(
-                    cnd_applies
-                    & (~cur_exists | cur_deleted | (cnd_del >= F.col("cur.valid_from"))),
-                    cnd_del,
-                ),
-            )
-            fill_meta.append(new_del.alias(f"__fill_del_{name}"))
+            fill_meta.append(new_ts.alias(f"__ts_{name}"))
         else:  # pragma: no cover
             raise ValueError(policy)
-        # a resurrected or fresh entity never inherits old field values
+        # a resurrected or fresh entity never inherits old field values;
+        # a row that stays (or becomes) a tombstone carries none at all —
+        # field payloads on deletes are masked, and keeping stale values
+        # would make the tombstone row depend on arrival order
         new_v = F.when(cur_deleted & cnd_applies, cnd_v).otherwise(new_v)
+        new_v = F.when(new_deleted, F.lit(None)).otherwise(new_v)
         out_fields.append(new_v.alias(name))
         change_terms.append(~new_v.eqNullSafe(cur_v))
 
-    new_deleted = F.when(
-        cnd_applies & F.col("cnd.__tombstone") & cnd_newer, F.lit(True)
-    ).otherwise(
-        F.when(cnd_applies & cnd_newer, F.lit(False)).otherwise(cur_deleted)
-    )
     new_valid_from = F.when(
         cnd_applies & cnd_newer, F.col("cnd.__event_time")
     ).otherwise(F.col("cur.valid_from"))
@@ -419,7 +397,7 @@ def merge_batch(
     )
     new_current = merged.select(
         *key, *spec.fields, "valid_from", "stored_from", "is_deleted",
-        *_fill_del_cols(spec),
+        *_ts_cols(spec),
     )
     return MergeResult(current=new_current, audit=audit)
 
@@ -439,24 +417,19 @@ def _fold_field_cum(name: str, policy: str, spec: MergeSpec, frame) -> list[Colu
     elif policy == FILL_IF_NULL:
         mask = F.when(F.col(name).isNotNull(), F.struct(F.col(name).alias("v"), t.alias("t")))
         picked = F.last(mask, ignorenulls=True).over(frame)
-    elif policy in (TRISTATE, TRISTATE_FILL):
-        # TRISTATE_FILL shares the sequential fold: an older SAVE sorted
-        # before the seed survives it exactly when the slot is null-and-
-        # never-deleted — the seed encodes such slots as IGNORE, but a
-        # slot erased by a cancellation is seeded as DELETE (via the
-        # __fill_del marker) so older saves cannot re-fill it.
+    elif policy in TRISTATES:
+        # per-field sequential fold: the running value is the newest
+        # non-IGNORE action at-or-before this row. Current state enters
+        # the fold as per-field pseudo-seed rows positioned at each
+        # field's stored last-write time (__ts_<field>), so an update
+        # between that time and the entity's validFrom lands exactly
+        # where the event order puts it.
         st = F.col(name)["status"]
         mask = F.when(
             st != IGNORE,
             F.struct(F.when(st == SAVE, F.col(name)["value"]).alias("v"), t.alias("t")),
         )
         picked = F.last(mask, ignorenulls=True).over(frame)
-        if policy == TRISTATE_FILL:
-            return [
-                picked["v"].alias(name),
-                picked["t"].alias(f"__t_{name}"),
-                F.max(F.when(st == DELETE, t)).over(frame).alias(f"__fill_del_{name}"),
-            ]
     else:
         raise ValueError(f"unknown policy {policy!r} for field {name!r}")
     return [picked["v"].alias(name), picked["t"].alias(f"__t_{name}")]
@@ -485,7 +458,7 @@ def merge_batch_versions(
     spark = updates.sparkSession
     if current is None:
         current = empty_current(spark, updates, spec)
-    for c in _fill_del_cols(spec):  # tolerate pre-marker current frames
+    for c in _ts_cols(spec):  # tolerate pre-metadata current frames
         if c not in current.columns:
             current = current.withColumn(c, F.lit(None).cast("timestamp_ntz"))
 
@@ -506,51 +479,89 @@ def merge_batch_versions(
         seq_col.alias("__seq"),
         tomb.alias("__tomb"),
         F.lit(False).alias("__seed"),
+        F.lit(False).alias("__anchor"),
         F.lit(stored_from).cast("timestamp_ntz").alias("__stored"),
         (F.col(spec.trusted) if spec.trusted else F.lit(True)).alias("__trusted"),
     )
-    seed_fields = []
-    for f, policy in spec.fields.items():
-        if policy == TRISTATE_FILL:
-            # null-because-cancelled slots replay their DELETE from the
-            # stored marker; null-because-never-set stays IGNORE so an
-            # older SAVE can still fill it
-            seed_fields.append(
-                tristate(
-                    F.col(f),
-                    F.when(F.col(f).isNotNull(), F.lit(SAVE))
-                    .when(F.col(f"__fill_del_{f}").isNotNull(), F.lit(DELETE))
-                    .otherwise(F.lit(IGNORE)),
-                ).alias(f)
-            )
-        elif policy == TRISTATE:
-            # TRISTATE is strictly newer-wins (RowState.java:140-150): the
-            # seed reasserts null slots as DELETE so an older SAVE sorted
-            # before it cannot fill them — mirroring merge_batch's
-            # cnd_t >= cur.valid_from guard
-            seed_fields.append(
-                tristate(
-                    F.col(f),
-                    F.when(F.col(f).isNotNull(), F.lit(SAVE)).otherwise(F.lit(DELETE)),
-                ).alias(f)
-            )
-        else:
-            seed_fields.append(F.col(f))
     seed_seq = F.lit(None).cast(seq_type) if seq_type is not None else F.lit(0)
+
+    def _seed_meta(event_time: Column, anchor: bool, tomb_col: Column) -> list[Column]:
+        return [
+            event_time.alias(spec.event_time),
+            seed_seq.alias("__seq"),
+            tomb_col.alias("__tomb"),
+            F.lit(True).alias("__seed"),
+            F.lit(anchor).alias("__anchor"),
+            F.col("stored_from").alias("__stored"),
+            F.lit(True).alias("__trusted"),
+        ]
+
+    def _ignore_tristate(g: str) -> Column:
+        vt = updates.schema[g].dataType["value"].dataType
+        return tristate(F.lit(None).cast(vt), F.lit(IGNORE)).alias(g)
+
+    # ANCHOR seed: one row per current entity carrying is_deleted +
+    # plain (ASSIGN/FILL) fields; tri-state fields ride in as per-field
+    # PSEUDO seeds below. The anchor sits at the LATEST of the entity
+    # validFrom and every per-field last-write time so it always folds
+    # after all pseudo seeds — its running state is the full pre-batch
+    # snapshot (a no-op action, e.g. a cancel of an already-null slot,
+    # can leave a field time past the last visible state change).
+    anchor_fields = [
+        _ignore_tristate(f) if policy in TRISTATES else F.col(f)
+        for f, policy in spec.fields.items()
+    ]
+    anchor_t = F.greatest(F.col("valid_from"), *[F.col(c) for c in _ts_cols(spec)]) \
+        if _ts_cols(spec) else F.col("valid_from")
     seed = current.select(
         *key,
-        *seed_fields,
-        F.col("valid_from").alias(spec.event_time),
-        seed_seq.alias("__seq"),
-        F.col("is_deleted").alias("__tomb"),
-        F.lit(True).alias("__seed"),
-        F.col("stored_from").alias("__stored"),
-        F.lit(True).alias("__trusted"),
+        *anchor_fields,
+        *_seed_meta(anchor_t, True, F.col("is_deleted")),
     )
+    # PSEUDO seeds: each tri-state field re-enters the fold at ITS OWN
+    # stored last-write time, as the SAVE/DELETE it last absorbed —
+    # updates between that time and the entity validFrom then land
+    # exactly where event order puts them (per-field last-write-wins,
+    # invariant under any batch split). Rows with no last-write time
+    # (field never touched) seed nothing, so any-age SAVEs can fill.
+    pseudo_frames = []
+    for f, policy in spec.fields.items():
+        if policy not in TRISTATES:
+            continue
+        fields_f = [
+            (
+                tristate(
+                    F.col(g),
+                    F.when(F.col(g).isNotNull(), F.lit(SAVE)).otherwise(F.lit(DELETE)),
+                ).alias(g)
+                if g == f
+                else (
+                    _ignore_tristate(g)
+                    if p in TRISTATES
+                    else F.lit(None).cast(updates.schema[g].dataType).alias(g)
+                )
+            )
+            for g, p in spec.fields.items()
+        ]
+        pseudo_frames.append(
+            current.filter(F.col(f"__ts_{f}").isNotNull() & ~F.col("is_deleted")).select(
+                *key,
+                *fields_f,
+                *_seed_meta(F.col(f"__ts_{f}"), False, F.lit(False)),
+            )
+        )
     seeded = upd.unionByName(seed)
+    for p in pseudo_frames:
+        seeded = seeded.unionByName(p)
 
-    # total order: event time, seed-before-updates at equal times, seq
-    _order = [F.col(spec.event_time), F.col("__seed").desc(), F.col("__seq")]
+    # total order: event time, seeds-before-updates at equal times
+    # (pseudo seeds before the anchor), then seq
+    _order = [
+        F.col(spec.event_time),
+        F.col("__seed").desc(),
+        F.col("__anchor"),
+        F.col("__seq"),
+    ]
 
     if spec.trusted:
         # M6 at message granularity (visitShouldBeUpdated,
@@ -594,32 +605,50 @@ def merge_batch_versions(
             F.first(F.col("__stored")).over(cume).alias("stored_from"),
             F.col("__seq").alias("__seq"),
             F.col("__seed").alias("__seed"),
+            F.col("__anchor").alias("__anchor"),
+            F.col("__epoch").alias("__epoch"),
         ]
     )
     states = seeded.select(*cols)
-
-    # a row's state signature; consecutive duplicates are non-changes.
-    # __fill_del markers ARE state: a cancellation of an already-null
-    # slot changes no visible field but must still advance the marker
-    # (else a later older SAVE re-fills the cancelled slot).
-    sig = F.struct(
-        *[F.col(f) for f in spec.fields],
-        F.col("is_deleted"),
-        *[F.col(c) for c in _fill_del_cols(spec)],
+    # pseudo seeds exist to drive the fold windows; they are not states
+    # of their own (the anchor carries the pre-batch snapshot)
+    states = states.filter(~F.col("__seed") | F.col("__anchor"))
+    # final per-field last-write times for the next batch's pseudo seeds:
+    # the cumulative contribution time at the END of each key's last
+    # epoch (window column, so it rides on whichever row becomes current
+    # even when the newest action changed nothing visible)
+    wfull_e = (
+        W.partitionBy(*key, "__epoch")
+        .orderBy(F.col("valid_from"), F.col("__seed").desc(), F.col("__anchor"), F.col("__seq"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
-    wk = W.partitionBy(*key).orderBy(F.col("valid_from"), F.col("__seed").desc(), F.col("__seq"))
+    for name, policy in spec.fields.items():
+        if policy in TRISTATES:
+            states = states.withColumn(
+                f"__ts_{name}", F.last(F.col(f"__t_{name}")).over(wfull_e)
+            )
+
+    # a row's state signature; consecutive duplicates are non-changes
+    sig = F.struct(*[F.col(f) for f in spec.fields], F.col("is_deleted"))
+    wk = W.partitionBy(*key).orderBy(
+        F.col("valid_from"), F.col("__seed").desc(), F.col("__anchor"), F.col("__seq")
+    )
     # first row per key: lag is NULL, eqNullSafe(struct, NULL) is false,
     # so __changed is true — no special case needed
     states = states.withColumn("__changed", ~sig.eqNullSafe(F.lag(sig).over(wk)))
     versions = states.filter(F.col("__changed"))
-    wv = W.partitionBy(*key).orderBy(F.col("valid_from"), F.col("__seed").desc(), F.col("__seq"))
+    wv = W.partitionBy(*key).orderBy(
+        F.col("valid_from"), F.col("__seed").desc(), F.col("__anchor"), F.col("__seq")
+    )
     versions = versions.withColumn("valid_until", F.lead("valid_from").over(wv)).withColumn(
-        "__rk", F.row_number().over(W.partitionBy(*key).orderBy(F.col("valid_from").desc(), F.col("__seed"), F.col("__seq").desc()))
+        "__rk", F.row_number().over(W.partitionBy(*key).orderBy(
+            F.col("valid_from").desc(), F.col("__seed"), F.col("__anchor").desc(), F.col("__seq").desc()
+        ))
     )
 
     out_cols = [*key, *spec.fields, "valid_from", "stored_from", "is_deleted"]
     new_current = versions.filter(F.col("__rk") == 1).select(
-        *out_cols, *_fill_del_cols(spec)
+        *out_cols, *_ts_cols(spec)
     )
     audit = versions.filter(F.col("__rk") > 1).select(
         *out_cols,

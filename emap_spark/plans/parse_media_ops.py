@@ -270,6 +270,112 @@ def q79_labs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# D11 micro: 12 culture orders, isolate updated by a follow-up report
+# (quantity/clinical newer-wins), AMOX flipped R->S at 18:00, GENT keeps
+# its 09:00 report time; reporting time = the sensitivity row's
+# valid_from (time of last applied change)
+_Q91_ORACLE = """
+SELECT printf('MICRO%05d', i) AS external_lab_number,
+       CASE WHEN i % 2 = 0 THEN 'ECOLI' ELSE 'SAUR' END AS isolate_code,
+       '100,000+' AS quantity,
+       'wound swab ' || i AS clinical_information,
+       a.agent AS agent,
+       'S' AS sensitivity,
+       epoch_us(make_timestamp(2024, 4, CAST(1 + (i % 25) AS INT),
+                CASE WHEN a.agent = 'AMOX' THEN 18 ELSE 9 END, 0, 0))
+         AS reporting_us
+FROM range(12) t(i), (VALUES ('AMOX'), ('GENT')) a(agent)
+"""
+
+
+@register(
+    "q91_lab_isolate_sensitivities",
+    oracle=_Q91_ORACLE,
+    doc=(
+        "D11 LabIsolate/LabSensitivity child tables "
+        "(LabResultController.java:153-213): isolates keyed by isolate_id "
+        "under their result, sensitivities keyed by agent under their "
+        "isolate, newer-wins updates flip AMOX R->S and bump only its "
+        "reporting time."
+    ),
+)
+def q91_lab_isolate_sensitivities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.domains.labs import process_lab_orders
+    from emap_spark.sources.generators import micro_lab_messages
+
+    res = process_lab_orders({}, micro_lab_messages(spark, 12), "2024-06-01 00:00:00")
+    key = ["external_lab_number", "battery_code", "test_code", "isolate_id"]
+    iso = res["lab_isolate"].live().select(
+        *key, "isolate_code", "quantity", "clinical_information"
+    )
+    sens = res["lab_sensitivity"].live().select(
+        *key, "agent", "sensitivity",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("reporting_us"),
+    )
+    return iso.join(sens, key).select(
+        "external_lab_number", "isolate_code", "quantity",
+        "clinical_information", "agent", "sensitivity", "reporting_us",
+    )
+
+
+# D12: 15 patients x (allergy with replaced reactions, infection
+# hoover-deleted for i%3==0, problem linked to 2 visits)
+_Q92_ORACLE = """
+SELECT * FROM (VALUES
+  ('PATIENT_ALLERGY',   15,  0, 15,  0),
+  ('PATIENT_INFECTION', 10,  5,  0, 15),
+  ('PATIENT_PROBLEM',   15,  0,  0, 30)
+) t(condition_type, n_live, n_deleted, n_reactions, n_visit_links)
+ORDER BY condition_type
+"""
+
+
+@register(
+    "q92_patient_conditions",
+    oracle=_Q92_ORACLE,
+    doc=(
+        "D12 conditions + children (PatientConditionController.java:"
+        "95-476): tombstoned hoover delete-readd, allergen-reaction "
+        "REPLACE-SET (newest message's list wins wholesale), and the "
+        "condition-visits link table."
+    ),
+)
+def q92_patient_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.domains.observations import (
+        allergen_reactions_view,
+        process_conditions,
+    )
+    from emap_spark.sources.generators import condition_messages
+
+    res = process_conditions({}, condition_messages(spark, 15), "2024-06-01 00:00:00")
+    cond = res["patient_condition"].current.groupBy("condition_type").agg(
+        F.sum((~F.col("is_deleted")).cast("int")).cast("int").alias("n_live"),
+        F.sum(F.col("is_deleted").cast("int")).cast("int").alias("n_deleted"),
+    )
+    reacts = (
+        allergen_reactions_view(res["allergen_reaction"].live())
+        .groupBy("condition_type")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_reactions"))
+    )
+    links = (
+        res["condition_visits"].live()
+        .groupBy("condition_type")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_visit_links"))
+    )
+    return (
+        cond.join(reacts, "condition_type", "left")
+        .join(links, "condition_type", "left")
+        .select(
+            "condition_type",
+            "n_live",
+            "n_deleted",
+            F.coalesce("n_reactions", F.lit(0)).alias("n_reactions"),
+            F.coalesce("n_visit_links", F.lit(0)).alias("n_visit_links"),
+        )
+        .orderBy("condition_type")
+    )
+
+
 # 60 vitals, value type and observation type both cycle with i%3 (HR
 # numeric, BP text, NOTE date); all 60 keys distinct -> 20 live rows per
 # type with exactly one value column populated
@@ -668,3 +774,70 @@ def q88_stream_dedupe_within_watermark(spark: SparkSession, sf_dir: str) -> Data
     )
     q.awaitTermination(120)
     return spark.table(name).select("event_type", "n_after_dedupe")
+
+
+# S6 vendor lab parse: 20 messages cycling 5 vendor paths; WinPath has
+# 2 ORC/OBR-mismatched orders (dead-letter) and carries ISOLATE coded
+# results; ABL90 drops its calibration OBX; imaging joins 3 TX lines
+# into one report result
+_Q96_ORACLE = """
+SELECT * FROM (VALUES
+  ('ABL90_FLEX',   4, 0, 8, 4, 4, 0),
+  ('BANK_MANAGER', 4, 0, 8, 4, 4, 0),
+  ('CO_PATH',      4, 0, 8, 4, 4, 0),
+  ('IMAGE_LAB',    4, 0, 4, 0, 4, 0),
+  ('WINPATH',      2, 2, 6, 2, 2, 2)
+) t(coding_system, n_orders, n_inconsistent, n_results, n_numeric,
+    n_text, n_isolate)
+ORDER BY coding_system
+"""
+
+
+@register(
+    "q96_hl7_lab_vendor_parse",
+    oracle=_Q96_ORACLE,
+    doc=(
+        "S6 per-vendor lab parsing (LabFunnel.java:34-110 + the five "
+        "builder families): ORC/OBR consistency dead-lettering, ABL90 "
+        "calibration drop, imaging TX-line joining, ISOLATE coded "
+        "results — all as one JVM-side projection, results nested "
+        "without an explode."
+    ),
+)
+def q96_hl7_lab_vendor_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.sources.hl7_text import (
+        lab_orders_from_hl7,
+        synthetic_vendor_lab_messages,
+    )
+
+    out = lab_orders_from_hl7(synthetic_vendor_lab_messages(spark, 20))
+    r = out.select(
+        "coding_system",
+        "inconsistent",
+        F.explode_outer("results").alias("res"),
+    )
+    return (
+        out.groupBy("coding_system")
+        .agg(
+            F.sum((~F.col("inconsistent")).cast("int")).cast("int").alias("n_orders"),
+            F.sum(F.col("inconsistent").cast("int")).cast("int").alias("n_inconsistent"),
+        )
+        .join(
+            r.filter(~F.col("inconsistent"))
+            .groupBy("coding_system")
+            .agg(
+                F.count("res").cast("int").alias("n_results"),
+                F.sum((F.col("res")["value_type"] == "NUMERIC").cast("int"))
+                .cast("int")
+                .alias("n_numeric"),
+                F.sum((F.col("res")["value_type"] == "TEXT").cast("int"))
+                .cast("int")
+                .alias("n_text"),
+                F.sum((F.col("res")["value_type"] == "LAB_ISOLATE").cast("int"))
+                .cast("int")
+                .alias("n_isolate"),
+            ),
+            "coding_system",
+        )
+        .orderBy("coding_system")
+    )

@@ -300,3 +300,154 @@ def q74_waveform_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_n.join(kept_n, "source_location", "left").select(
         "source_location", "n_before", F.coalesce("n_after", F.lit(0)).alias("n_after")
     )
+
+
+# Q1: stream catalog — distinct (location, stream) dims + per-stream
+# message counts and time bounds (monitoring/streamlit/database_utils.py
+# :26-54 get_all_params + get_min_max_time_for_single_stream)
+_Q93_ORACLE = f"""
+WITH msgs AS (
+  SELECT (i % 3) AS patient,
+         {_EPOCH_2024} + ((i // 3) * 5 * 1000000) // 100 AS obs_us
+  FROM range(3 * 200) t(i)
+)
+SELECT printf('T%02dE^T%02dE BY02^BY02-%02d', patient, patient, patient)
+         AS source_location,
+       '52912' AS source_stream_id,
+       'ECG' AS stream_name,
+       100 AS sampling_rate,
+       'mV' AS unit,
+       count(*)::BIGINT AS n_messages,
+       min(obs_us) AS min_obs_us,
+       max(obs_us) AS max_obs_us
+FROM msgs GROUP BY patient
+"""
+
+
+@register(
+    "q93_waveform_stream_catalog",
+    oracle=_Q93_ORACLE,
+    doc=(
+        "Q1 stream catalog: distinct stream dims + per-stream bounds "
+        "(database_utils.py:26-54); compiles to one partial-aggregated "
+        "groupBy, no join needed on the denormalized stream."
+    ),
+)
+def q93_waveform_stream_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = waveform_stream(spark, n_patients=3, sampling_rate=100, seconds=10)
+    return msgs.groupBy(
+        "source_location",
+        "source_stream_id",
+        F.col("mapped_stream_description").alias("stream_name"),
+        "sampling_rate",
+        "unit",
+    ).agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.min(F.unix_micros(F.col("observation_time").cast("timestamp"))).alias("min_obs_us"),
+        F.max(F.unix_micros(F.col("observation_time").cast("timestamp"))).alias("max_obs_us"),
+    )
+
+
+# Q3: time-range ordered per-sample scan — unnest WITH ORDINALITY +
+# per-sample timestamps + range trim (database_utils.py:88-111: sample
+# time = observation_datetime + ordinality/sampling_rate; the range
+# filter over-fetches one row-length early then trims per-sample)
+_Q94_ORACLE = f"""
+WITH samples AS (
+  SELECT ((k0 * 1000000) // 100) + ((j * 1000000) // 100) AS sample_us,
+         round(100 * sin(2 * pi() * (k0 + j) / 100.0), 6) AS v
+  FROM (SELECT (i * 5) AS k0 FROM range(200) t(i)), range(5) s(j)
+)
+SELECT 'T00E^T00E BY02^BY02-00' AS source_location,
+       {_EPOCH_2024} + sample_us AS sample_us,
+       CAST(round(v * 1000000) AS BIGINT) AS value_micro
+FROM samples
+WHERE sample_us >= 2000000 AND sample_us < 4000000
+"""
+
+
+@register(
+    "q94_waveform_sample_scan",
+    oracle=_Q94_ORACLE,
+    doc=(
+        "Q3 ordered per-sample scan: posexplode(values) with ordinality "
+        "timestamps and a window trim — values as exact micro-units. "
+        "The message-level range pre-filter (one row-length slack) lets "
+        "the parquet scan prune before the explode."
+    ),
+)
+def q94_waveform_sample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = waveform_stream(spark, n_patients=1, sampling_rate=100, seconds=10)
+    lo = _EPOCH_2024 + 2_000_000
+    hi = _EPOCH_2024 + 4_000_000
+    obs_us = F.unix_micros(F.col("observation_time").cast("timestamp"))
+    # message-level pre-filter with one row-length (5 samples) slack —
+    # this predicate reaches the scan BEFORE the explode
+    pre = msgs.filter((obs_us >= lo - 50_000) & (obs_us < hi))
+    s = pre.select(
+        "source_location",
+        obs_us.alias("obs_us"),
+        F.col("sampling_rate").alias("rate"),
+        F.posexplode("values").alias("pos", "v"),
+    ).select(
+        "source_location",
+        (F.col("obs_us") + (F.col("pos") * 1_000_000 / F.col("rate")).cast("long")).alias(
+            "sample_us"
+        ),
+        F.round(F.col("v") * 1_000_000).cast("long").alias("value_micro"),
+    )
+    return s.filter((F.col("sample_us") >= lo) & (F.col("sample_us") < hi))
+
+
+# Q4: stream integrity — units/rate consistency + coverage vs expected
+# sample budget (st_integrity.py shape; get_waveform_coverage
+# database_utils.py:114-137)
+_Q95_ORACLE = f"""
+WITH msgs AS (
+  SELECT (i % 2) AS patient, (i // 2) AS msg_idx
+  FROM range(2 * 100) t(i)
+)
+SELECT printf('T%02dE^T%02dE BY02^BY02-%02d', patient, patient, patient)
+         AS source_location,
+       1 AS n_units,
+       1 AS n_rates,
+       (count(*) * 5)::BIGINT AS n_samples,
+       500::BIGINT AS expected_samples,
+       TRUE AS units_consistent,
+       TRUE AS fully_covered
+FROM msgs GROUP BY patient
+"""
+
+
+@register(
+    "q95_waveform_integrity_check",
+    oracle=_Q95_ORACLE,
+    doc=(
+        "Q4 integrity: per-stream unit/rate cardinality + sample "
+        "coverage against the expected span budget (st_integrity.py / "
+        "get_waveform_coverage)."
+    ),
+)
+def q95_waveform_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = waveform_stream(spark, n_patients=2, sampling_rate=50, seconds=10)
+    obs_us = F.unix_micros(F.col("observation_time").cast("timestamp"))
+    per = msgs.groupBy("source_location").agg(
+        F.countDistinct("unit").cast("int").alias("n_units"),
+        F.countDistinct("sampling_rate").cast("int").alias("n_rates"),
+        F.sum(F.size("values")).alias("n_samples"),
+        # expected = rate * (span + one message length)
+        (
+            (F.max(obs_us) - F.min(obs_us) + (5 * 1_000_000 / F.first("sampling_rate")).cast("long"))
+            * F.first("sampling_rate")
+            / 1_000_000
+        ).cast("long").alias("expected_samples"),
+    )
+    return per.select(
+        "source_location",
+        "n_units",
+        "n_rates",
+        "n_samples",
+        "expected_samples",
+        (F.col("n_units") == 1).alias("units_consistent"),
+        (F.col("n_samples") >= F.col("expected_samples")).alias("fully_covered"),
+    )

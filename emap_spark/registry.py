@@ -66,16 +66,21 @@ _PRIORITY = [
     "q62_identity_closure", "q63_interval_join_errors_to_sessions",
     # waveform/location/retention operators (W1/Q6/D6/D19/K4)
     "q70_waveform_collation", "q71_waveform_gap_report",
+    "q93_waveform_stream_catalog", "q94_waveform_sample_scan",
+    "q95_waveform_integrity_check",
     "q72_location_visit_inference", "q73_waveform_visit_attach",
     "q74_waveform_retention",
     # parse + domain pipelines (S3-S7, D7-D17, W4)
     "q75_hl7_parse_route", "q89_hl7_adt_breadth", "q76_media_metadata",
     "q77_media_decode_features", "q78_video_frame_plan",
-    "q79_labs_pipeline", "q80_flowsheets_pipeline",
+    "q79_labs_pipeline", "q91_lab_isolate_sensitivities",
+    "q80_flowsheets_pipeline",
     "q81_identity_merge_closure", "q82_location_metadata_scd",
     "q83_pending_transfer_match", "q84_consults_and_questions",
+    "q92_patient_conditions",
     "q85_stream_windowed_rollup", "q86_oru_vendor_observations",
     "q87_forms_pipeline", "q88_stream_dedupe_within_watermark",
+    "q96_hl7_lab_vendor_parse",
     # read-side operator queries (Q2/Q5/Q6/Q7/Q8 + state shapes)
     "q13_customer_event_reconciliation",
     "q20_latest_event_per_user", "q21_stream_bounds",

@@ -88,6 +88,32 @@ FLOWSHEET_SCHEMA = T.StructType(
     ]
 )
 
+# Microbiology isolate nested in a LAB_ISOLATE result
+# (lab/LabIsolateMsg.java:18-47: identity by isolateId because code and
+# name can change; sensitivities are themselves result-shaped — here
+# collapsed to the fields the star tables keep: agent = the
+# sensitivity result's stringValue, sensitivity = its abnormalFlag,
+# LabResultController.java:190-213)
+LAB_SENSITIVITY_TYPE = T.StructType(
+    [
+        T.StructField("agent", T.StringType(), False),
+        T.StructField("sensitivity", T.StringType()),  # S | I | R
+        T.StructField("result_time", T.TimestampNTZType()),
+    ]
+)
+
+LAB_ISOLATE_TYPE = T.StructType(
+    [
+        T.StructField("isolate_id", T.StringType(), False),
+        T.StructField("isolate_code", T.StringType()),
+        T.StructField("isolate_name", T.StringType()),
+        T.StructField("culture_type", TRISTATE_STRING),
+        T.StructField("quantity", TRISTATE_STRING),
+        T.StructField("clinical_information", TRISTATE_STRING),
+        T.StructField("sensitivities", T.ArrayType(LAB_SENSITIVITY_TYPE)),
+    ]
+)
+
 # Lab order with nested results (lab/LabOrderMsg.java:29-67: List<LabResultMsg>
 # + Map<String,String> questions)
 LAB_RESULT_TYPE = T.StructType(
@@ -103,6 +129,7 @@ LAB_RESULT_TYPE = T.StructType(
         T.StructField("range_high", T.DoubleType()),
         T.StructField("abnormal_flag", T.StringType()),
         T.StructField("result_time", T.TimestampNTZType()),
+        T.StructField("isolate", LAB_ISOLATE_TYPE),  # LAB_ISOLATE results only
     ]
 )
 
@@ -120,6 +147,27 @@ LAB_ORDER_SCHEMA = T.StructType(
         T.StructField("collection_datetime", T.TimestampNTZType()),
         T.StructField("results", T.ArrayType(LAB_RESULT_TYPE)),
         T.StructField("questions", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+# Patient conditions (PatientConditionMessage subclasses
+# PatientInfection / PatientProblem / PatientAllergy; reactions only on
+# allergies — PatientAllergy.java getReactions, consumed by
+# PatientConditionController.java:213-240 replace-set semantics)
+CONDITION_SCHEMA = T.StructType(
+    _envelope()
+    + [
+        T.StructField("mrn", T.StringType(), False),
+        T.StructField("visit_number", T.StringType()),
+        T.StructField("condition_type", T.StringType(), False),
+        T.StructField("internal_id", T.StringType(), False),
+        T.StructField("status", TRISTATE_STRING),
+        T.StructField("onset_date", T.DateType()),
+        T.StructField("resolution_date", T.DateType()),
+        T.StructField("comment", TRISTATE_STRING),
+        T.StructField("severity", TRISTATE_STRING),
+        T.StructField("reactions", T.ArrayType(T.StringType())),
+        T.StructField("is_delete", T.BooleanType(), False),
     ]
 )
 

@@ -226,6 +226,149 @@ def lab_order_messages(spark: SparkSession, n_orders: int = 20) -> DataFrame:
     return spark.createDataFrame(rows, LAB_ORDER_SCHEMA)
 
 
+def micro_lab_messages(spark: SparkSession, n_orders: int = 12) -> DataFrame:
+    """Deterministic microbiology orders (D11): each culture order
+    arrives twice — the initial report carries an isolate with two
+    sensitivities (AMOX resistant, GENT sensitive); the follow-up
+    updates the isolate's quantity + clinical information and flips
+    AMOX to sensitive (newer-wins on the sensitivity child)."""
+    from emap_spark.schemas.interchange import LAB_ORDER_SCHEMA
+    import datetime
+
+    def tri(v=None):
+        return {"value": v, "status": "SAVE" if v is not None else "IGNORE"}
+
+    rows = []
+    for i in range(n_orders):
+        day = 1 + (i % 25)
+        t0 = datetime.datetime(2024, 4, day, 9, 0, 0)
+        t1 = datetime.datetime(2024, 4, day, 18, 0, 0)
+        code = "ECOLI" if i % 2 == 0 else "SAUR"
+        name = "Escherichia coli" if i % 2 == 0 else "Staphylococcus aureus"
+        base = {
+            "source_system": "WinPath",
+            "mrn": f"MRN{i % 5:05d}",
+            "visit_number": f"ENC{i % 5:05d}",
+            "external_lab_number": f"MICRO{i:05d}",
+            "battery_code": "CULTURE",
+            "coding_system": "WINPATH",
+            "collection_datetime": t0,
+            "questions": {},
+            "epic_order_number": tri(f"EPICM{i:05d}"),
+            "order_datetime": tri(t0),
+            "sample_received": tri(t0),
+        }
+
+        def iso(quantity, clinical, sens):
+            return {
+                "isolate_id": f"ISO{i:05d}",
+                "isolate_code": code,
+                "isolate_name": name,
+                "culture_type": tri("aerobic"),
+                "quantity": tri(quantity),
+                "clinical_information": tri(clinical),
+                "sensitivities": sens,
+            }
+
+        def isolate_result(isolate, t):
+            return {
+                "test_code": "ISOLATE",
+                "value_type": "LAB_ISOLATE",
+                "numeric_value": None,
+                "result_operator": None,
+                "string_value": isolate["isolate_code"],
+                "bytes_value": None,
+                "units": None,
+                "range_low": None,
+                "range_high": None,
+                "abnormal_flag": None,
+                "result_time": t,
+                "isolate": isolate,
+            }
+
+        rows.append(
+            {
+                **base,
+                "source_message_id": f"micro-{i}-0",
+                "valid_from": t0,
+                "results": [
+                    isolate_result(
+                        iso("10,000+", None, [
+                            {"agent": "AMOX", "sensitivity": "R", "result_time": t0},
+                            {"agent": "GENT", "sensitivity": "S", "result_time": t0},
+                        ]),
+                        t0,
+                    )
+                ],
+            }
+        )
+        rows.append(
+            {
+                **base,
+                "source_message_id": f"micro-{i}-1",
+                "valid_from": t1,
+                "results": [
+                    isolate_result(
+                        iso("100,000+", f"wound swab {i}", [
+                            {"agent": "AMOX", "sensitivity": "S", "result_time": t1},
+                        ]),
+                        t1,
+                    )
+                ],
+            }
+        )
+    return spark.createDataFrame(rows, LAB_ORDER_SCHEMA)
+
+
+def condition_messages(spark: SparkSession, n: int = 15) -> DataFrame:
+    """Deterministic CONDITION_SCHEMA messages (D12): each patient gets
+    one allergy whose reaction set is REPLACED by a follow-up (rash+hives
+    -> rash only), one infection that is later hoover-deleted for every
+    3rd patient, and one problem linked to two visits."""
+    from emap_spark.schemas.interchange import CONDITION_SCHEMA
+    import datetime
+
+    def tri(v=None):
+        return {"value": v, "status": "SAVE" if v is not None else "IGNORE"}
+
+    rows = []
+    for i in range(n):
+        mrn = f"MRN{i:05d}"
+        day = 1 + (i % 25)
+        t0 = datetime.datetime(2024, 5, day, 9, 0, 0)
+        t1 = datetime.datetime(2024, 5, day, 15, 0, 0)
+        t2 = datetime.datetime(2024, 5, day, 20, 0, 0)
+        base = {"source_system": "EPIC", "mrn": mrn, "visit_number": None,
+                "status": tri(), "onset_date": None, "resolution_date": None,
+                "comment": tri(), "severity": tri(), "reactions": None,
+                "is_delete": False}
+        # allergy: reactions replaced wholesale by the newer message
+        rows.append({**base, "source_message_id": f"al-{i}-0", "valid_from": t0,
+                     "condition_type": "PATIENT_ALLERGY", "internal_id": f"ALG{i}",
+                     "status": tri("ACTIVE"), "severity": tri("HIGH"),
+                     "reactions": ["rash", "hives"],
+                     "onset_date": datetime.date(2024, 5, day)})
+        rows.append({**base, "source_message_id": f"al-{i}-1", "valid_from": t1,
+                     "condition_type": "PATIENT_ALLERGY", "internal_id": f"ALG{i}",
+                     "reactions": ["rash"]})
+        # infection: added, then hoover-deleted for every 3rd patient
+        rows.append({**base, "source_message_id": f"inf-{i}-0", "valid_from": t0,
+                     "condition_type": "PATIENT_INFECTION", "internal_id": f"INF{i}",
+                     "status": tri("ACTIVE"),
+                     "visit_number": f"ENC{i:05d}A"})
+        if i % 3 == 0:
+            rows.append({**base, "source_message_id": f"inf-{i}-1", "valid_from": t2,
+                         "condition_type": "PATIENT_INFECTION",
+                         "internal_id": f"INF{i}", "is_delete": True})
+        # problem linked to two visits
+        for j, t in ((0, t0), (1, t1)):
+            rows.append({**base, "source_message_id": f"pr-{i}-{j}", "valid_from": t,
+                         "condition_type": "PATIENT_PROBLEM", "internal_id": f"PRB{i}",
+                         "status": tri("ACTIVE"), "comment": tri(f"problem {i}"),
+                         "visit_number": f"ENC{i:05d}{'A' if j == 0 else 'B'}"})
+    return spark.createDataFrame(rows, CONDITION_SCHEMA)
+
+
 def flowsheet_messages(spark: SparkSession, n: int = 30) -> DataFrame:
     """Deterministic FLOWSHEET_SCHEMA vitals (ORU^R01 shape, S7)."""
     from emap_spark.schemas.interchange import FLOWSHEET_SCHEMA

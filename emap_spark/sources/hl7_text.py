@@ -310,6 +310,7 @@ VENDOR_OF_SENDER = {
     "BIO-CONNECT": "BIO_CONNECT",
     "Bank Manager": "BANK_MANAGER",
     "EPIC": "EPIC_FLOWSHEET",
+    "PACS": "IMAGE_LAB",
 }
 
 
@@ -389,4 +390,201 @@ def synthetic_oru_messages(spark, n: int = 12) -> DataFrame:
             ]
         )
         rows.append((i, msg))
+    return spark.createDataFrame(rows, "id long, hl7 string")
+
+
+# ---------------------------------------------------------------------------
+# S6 deep: per-vendor lab ORDER parsing (LabFunnel routing + the five
+# vendor builder families, hl7-reader/.../ids/labs/)
+# ---------------------------------------------------------------------------
+
+def _obx_structs(raw: Column, vendor: Column, obr22: Column) -> Column:
+    """OBX segments -> LAB_RESULT-shaped structs, all inside one
+    `transform` (no explode, no shuffle): value typing via OBX-2 with
+    the vendor quirks of the result builders."""
+    obx = F.filter(segments(raw), lambda s: s.getItem(0) == "OBX")
+    # ABL90 calibration readings are instrument QC, dropped
+    # (AblLabBuilder quirk, see observations_from_oru)
+    obx = F.when(
+        vendor == "ABL90_FLEX",
+        F.filter(
+            obx,
+            lambda s: ~F.lower(
+                F.try_element_at(F.split(F.try_element_at(s, F.lit(4)), r"\^"), F.lit(1))
+            ).startswith("cal"),
+        ),
+    ).otherwise(obx)
+
+    def build(s):
+        vtype_raw = F.try_element_at(s, F.lit(3))  # OBX-2
+        test_code = F.try_element_at(F.split(F.try_element_at(s, F.lit(4)), r"\^"), F.lit(1))
+        sub_id = F.try_element_at(s, F.lit(5))  # OBX-4
+        val = F.try_element_at(s, F.lit(6))  # OBX-5
+        units = F.try_element_at(F.split(F.try_element_at(s, F.lit(7)), r"\^"), F.lit(1))
+        rng = F.try_element_at(s, F.lit(8))  # OBX-7 low-high
+        abn = F.try_element_at(s, F.lit(9))  # OBX-8
+        t = F.coalesce(hl7_ts(F.try_element_at(s, F.lit(15))), obr22)  # OBX-14
+        # ISOLATE coded (CE) values become LAB_ISOLATE results with the
+        # isolate identity from OBX-4 sub-id and code^name from OBX-5
+        # (WinPathResultBuilder.java:59-95)
+        is_isolate = test_code == "ISOLATE"
+        num = F.regexp_replace(val, r"^[<>]", "").try_cast("double")
+        is_numeric = ~is_isolate & vtype_raw.isin("NM", "SN") & num.isNotNull()
+        is_pdf = vtype_raw == "ED"
+        vtype = (
+            F.when(is_isolate, F.lit("LAB_ISOLATE"))
+            .when(is_pdf, F.lit("PDF"))
+            .when(is_numeric, F.lit("NUMERIC"))
+            .otherwise(F.lit("TEXT"))
+        )
+        iso_code = F.try_element_at(F.split(val, r"\^"), F.lit(1))
+        iso_name = F.try_element_at(F.split(val, r"\^"), F.lit(2))
+        ignore_str = F.struct(
+            F.lit(None).cast("string").alias("value"), F.lit("IGNORE").alias("status")
+        )
+        return F.struct(
+            test_code.alias("test_code"),
+            vtype.alias("value_type"),
+            F.when(is_numeric, num).alias("numeric_value"),
+            F.when(is_numeric & val.rlike(r"^[<>]"), F.substring(val, 1, 1))
+            .when(is_numeric, F.lit("="))
+            .alias("result_operator"),
+            F.when(vtype == "TEXT", val).alias("string_value"),
+            F.when(is_pdf, F.unbase64(val)).alias("bytes_value"),
+            units.alias("units"),
+            F.when(~is_isolate, F.split(rng, "-").getItem(0).try_cast("double")).alias("range_low"),
+            F.when(~is_isolate, F.split(rng, "-").getItem(1).try_cast("double")).alias("range_high"),
+            abn.alias("abnormal_flag"),
+            t.alias("result_time"),
+            F.when(
+                is_isolate,
+                F.struct(
+                    F.coalesce(sub_id, F.lit("1")).alias("isolate_id"),
+                    iso_code.alias("isolate_code"),
+                    iso_name.alias("isolate_name"),
+                    ignore_str.alias("culture_type"),
+                    ignore_str.alias("quantity"),
+                    ignore_str.alias("clinical_information"),
+                    F.lit(None)
+                    .cast(
+                        "array<struct<agent:string,sensitivity:string,"
+                        "result_time:timestamp_ntz>>"
+                    )
+                    .alias("sensitivities"),
+                ),
+            ).alias("isolate"),
+        )
+
+    return F.transform(obx, build)
+
+
+def lab_orders_from_hl7(df: DataFrame, raw_col: str = "hl7") -> DataFrame:
+    """S6: vendor-routed lab ORDER parsing — one LAB_ORDER_SCHEMA-shaped
+    row per message, results nested (no explode; the whole parse is one
+    projection inside whole-stage codegen).
+
+    Vendor quirks reproduced (LabFunnel.java:34-110 + builders):
+    - WINPATH: ORC-2 must equal OBR-2; a mismatch marks the row
+      `inconsistent` for the dead-letter path rather than parsing a
+      half-trusted order (WinPathLabBuilder.java:324-335). Result time
+      falls back to OBR-22 (WinPathResultBuilder.java:44-46); ISOLATE
+      OBX carry isolate identity from OBX-4 (.java:59-95).
+    - ABL90_FLEX (ORU^R30 point-of-care): calibration readings dropped.
+    - IMAGE_LAB: TX/ST report lines are ONE logical text result — lines
+      joined with newline under the first OBX identifier
+      (ImageLabResultBuilder.java:122-137).
+    - BANK_MANAGER / CO_PATH: shared shape; epic order number from
+      ORC-2 when OBR-2 is empty (BankManagerLabBuilder).
+    """
+    raw = F.col(raw_col)
+    vendor = route_vendor(raw)
+    obr22 = hl7_ts(field(raw, "OBR", 22))
+    orc2 = field(raw, "ORC", 2, 1)
+    obr2 = field(raw, "OBR", 2, 1)
+    epic_order = F.coalesce(F.nullif(obr2, F.lit("")), orc2)
+    results = _obx_structs(raw, vendor, obr22)
+    # imaging: collapse all text lines into one report result
+    first = F.try_element_at(results, F.lit(1))
+    joined_report = F.struct(
+        first["test_code"].alias("test_code"),
+        F.lit("TEXT").alias("value_type"),
+        F.lit(None).cast("double").alias("numeric_value"),
+        F.lit(None).cast("string").alias("result_operator"),
+        F.array_join(
+            F.transform(results, lambda r: r["string_value"]), "\n"
+        ).alias("string_value"),
+        F.lit(None).cast("binary").alias("bytes_value"),
+        first["units"].alias("units"),
+        F.lit(None).cast("double").alias("range_low"),
+        F.lit(None).cast("double").alias("range_high"),
+        first["abnormal_flag"].alias("abnormal_flag"),
+        first["result_time"].alias("result_time"),
+        first["isolate"].alias("isolate"),
+    )
+    results = F.when(
+        (vendor == "IMAGE_LAB") & (F.size(results) > 0), F.array(joined_report)
+    ).otherwise(results)
+    inconsistent = (
+        (vendor == "WINPATH")
+        & orc2.isNotNull() & (orc2 != "")
+        & obr2.isNotNull() & (obr2 != "")
+        & (orc2 != obr2)
+    )
+    recorded = hl7_ts(field(raw, "MSH", 7))
+    return df.select(
+        F.coalesce(field(raw, "MSH", 10), F.lit("?")).alias("source_message_id"),
+        field(raw, "MSH", 3, 1).alias("source_system"),
+        F.coalesce(hl7_ts(field(raw, "OBR", 22)), recorded).alias("valid_from"),
+        field(raw, "PID", 3, 1).alias("mrn"),
+        field(raw, "PV1", 19, 1).alias("visit_number"),
+        tristate_from_hl7(epic_order).alias("epic_order_number"),
+        field(raw, "OBR", 3, 1).alias("external_lab_number"),
+        field(raw, "OBR", 4, 1).alias("battery_code"),
+        vendor.alias("coding_system"),
+        tristate_ts(field(raw, "ORC", 9)).alias("order_datetime"),
+        tristate_ts(field(raw, "OBR", 14)).alias("sample_received"),
+        hl7_ts(field(raw, "OBR", 7)).alias("collection_datetime"),
+        results.alias("results"),
+        F.lit(None).cast("map<string,string>").alias("questions"),
+        inconsistent.alias("inconsistent"),
+    ).filter(vendor.isNotNull())
+
+
+def synthetic_vendor_lab_messages(spark, n: int = 20) -> DataFrame:
+    """Raw HL7 lab fixtures cycling the five vendor paths, incl. a
+    WinPath ORC/OBR mismatch, ABL90 calibration rows, an ISOLATE coded
+    result, and a multi-line imaging report."""
+    senders = ["WinPath", "CoPath", "ABL90 FLEX Plus", "Bank Manager", "PACS"]
+    rows = []
+    for i in range(n):
+        sender = senders[i % 5]
+        day = 1 + i % 25
+        ts = f"202406{day:02d}090000"
+        lab_no = f"L{i:06d}"
+        order_no = f"ORD{i:06d}"
+        orc2 = order_no
+        if sender == "WinPath" and i % 10 == 0:
+            orc2 = f"BAD{i:06d}"  # inconsistency -> dead-letter
+        obr = f"OBR|1|{order_no}|{lab_no}|FBC^Full Blood Count|||{ts}|||||||{ts}||||||||{ts}"
+        segs = [
+            f"MSH|^~\\&|{sender}|UCLH|x|x|{ts}||ORU^R01|VLAB{i:06d}|P|2.4",
+            f"PID|1|{7000 + i}^^^MRN",
+            "|".join(["PV1", "1", "I"] + [""] * 16 + [f"9{i:04d}"]),
+            f"ORC|RE|{orc2}|{lab_no}||||||{ts}",
+            obr,
+        ]
+        if sender == "PACS":
+            segs += [
+                "OBX|1|TX|REPORT^Imaging Report||Line one of report|",
+                "OBX|2|TX|REPORT^Imaging Report||Line two|",
+                "OBX|3|TX|REPORT^Imaging Report||Impression: normal|",
+            ]
+        else:
+            segs.append(f"OBX|1|NM|NA^Sodium||{138 + i % 5}|mmol/L|135-145|N||||||{ts}")
+            segs.append(f"OBX|2|ST|COMM^Comment||specimen ok|")
+            if sender == "WinPath" and i % 5 == 0:
+                segs.append("OBX|3|CE|ISOLATE^Isolate|ISO1|ECOLI^Escherichia coli|")
+            if sender == "ABL90 FLEX Plus":
+                segs.append("OBX|3|NM|cal09^Calibration||1.0|")
+        rows.append((i, "\r".join(segs)))
     return spark.createDataFrame(rows, "id long, hl7 string")

@@ -136,3 +136,94 @@ def test_pending_transfer_closest_match(spark):
         ("2024-01-01 10:00:00", True),
         ("2024-01-01 11:00:00", False),
     ]
+
+
+def test_lab_isolates_and_sensitivities(spark):
+    """D11 (LabResultController.java:153-213): isolates keyed by
+    isolate_id under their result; sensitivities keyed by agent; the
+    follow-up report updates isolate info newer-wins and flips AMOX
+    R->S while GENT keeps its original reporting time."""
+    from emap_spark.domains.labs import process_lab_orders
+    from emap_spark.sources.generators import micro_lab_messages
+
+    msgs = micro_lab_messages(spark, n_orders=4)
+    # batch-split + reversed arrival must converge identically
+    b_initial = msgs.filter(F.col("source_message_id").endswith("-0"))
+    b_update = msgs.filter(F.col("source_message_id").endswith("-1"))
+
+    def final(batches):
+        cur: dict = {}
+        for k, b in enumerate(batches):
+            res = process_lab_orders(cur, b, f"2024-06-01 00:00:0{k}")
+            cur = {name: r.current for name, r in res.items()}
+        iso = sorted(
+            (r.external_lab_number, r.isolate_code, r.quantity, r.clinical_information)
+            for r in res["lab_isolate"].live().collect()
+        )
+        sens = sorted(
+            (r.external_lab_number, r.agent, r.sensitivity, str(r.valid_from))
+            for r in res["lab_sensitivity"].live().collect()
+        )
+        return iso, sens
+
+    iso, sens = final([b_initial, b_update])
+    assert final([b_update, b_initial]) == (iso, sens) == final([msgs])
+    assert all(q == "100,000+" and c.startswith("wound swab") for _, _, q, c in iso)
+    by_agent = {(l, a): (s, t) for l, a, s, t in sens}
+    assert by_agent[("MICRO00000", "AMOX")][0] == "S"
+    assert by_agent[("MICRO00000", "GENT")][0] == "S"
+    # AMOX reporting bumped to the follow-up; GENT keeps the original
+    assert by_agent[("MICRO00000", "AMOX")][1] > by_agent[("MICRO00000", "GENT")][1]
+
+
+def test_condition_children_permutation(spark):
+    """D12: reaction REPLACE-SET and visit links converge under any
+    arrival order; hoover delete tombstones the infection but keeps
+    its audit trail."""
+    import itertools
+
+    from emap_spark.domains.observations import (
+        allergen_reactions_view,
+        process_conditions,
+    )
+    from emap_spark.sources.generators import condition_messages
+
+    msgs = condition_messages(spark, n=3)
+    splits = [
+        msgs.filter(F.col("source_message_id").endswith("-0")),
+        msgs.filter(~F.col("source_message_id").endswith("-0")),
+    ]
+
+    def final(batches):
+        cur: dict = {}
+        for k, b in enumerate(batches):
+            res = process_conditions(cur, b, f"2024-06-01 00:00:0{k}")
+            cur = {name: r.current for name, r in res.items()}
+        conds = sorted(
+            (r.condition_type, r.internal_id, r.is_deleted, str(r.status))
+            for r in res["patient_condition"].current.collect()
+        )
+        reacts = sorted(
+            (r.internal_id, r.reaction)
+            for r in allergen_reactions_view(
+                res["allergen_reaction"].live()
+            ).collect()
+        )
+        links = sorted(
+            (r.internal_id, r.encounter)
+            for r in res["condition_visits"].live().collect()
+        )
+        return conds, reacts, links
+
+    base = final([msgs])
+    assert final(splits) == final(list(reversed(splits))) == base
+    conds, reacts, links = base
+    # replaced set: only 'rash' survives per allergy
+    assert reacts == [(f"ALG{i}", "rash") for i in range(3)]
+    # INF0 deleted (i%3==0), INF1/INF2 live
+    deleted = {c[1] for c in conds if c[2]}
+    assert deleted == {"INF0"}
+    # each problem linked to both visits
+    assert [l for l in links if l[0] == "PRB1"] == [
+        ("PRB1", "ENC00001A"), ("PRB1", "ENC00001B")
+    ]

@@ -219,9 +219,41 @@ def test_location_visit_infers_unseen_previous_location(spark):
         infer_location_visits(adt_frame(spark, rows)).collect(),
         key=lambda r: (r.admission_datetime, r.location_string),
     )
-    locs = [(r.location_string, r.inferred_admission, r.inferred_discharge) for r in out]
-    assert ("B", True, True) in locs
-    assert ("A", False, False) in locs and ("C", False, False) in locs
+    by_loc = {r.location_string: r for r in out}
+    # B squeezed in with a real (1 s) duration just before the transfer
+    # (inferPreviousLocationData offsets); A's end is implied, so it
+    # closes 2 s early with the inferred flag
+    assert (by_loc["B"].inferred_admission, by_loc["B"].inferred_discharge) == (True, True)
+    assert str(by_loc["B"].admission_datetime) == "2024-01-01 11:59:57"
+    assert str(by_loc["B"].discharge_datetime) == "2024-01-01 11:59:58"
+    assert (by_loc["A"].inferred_admission, by_loc["A"].inferred_discharge) == (False, True)
+    assert str(by_loc["A"].discharge_datetime) == "2024-01-01 11:59:58"
+    assert (by_loc["C"].inferred_admission, by_loc["C"].inferred_discharge) == (False, False)
+    assert by_loc["C"].discharge_datetime is None
+
+
+def test_discharge_opens_unknown_stay(spark):
+    # discharge at a location we never saw an arrival for: the stay is
+    # materialized with an inferred 1 s admission; the open known stay
+    # closes early with an inferred discharge (:424-475, :477-517)
+    rows = [
+        ("1", "ADMIT", "V1", "2024-01-01 08:00:00", "A", None),
+        ("2", "DISCHARGE", "V1", "2024-01-01 12:00:00", "Z", None),
+    ]
+    out = {r.location_string: r for r in infer_location_visits(adt_frame(spark, rows)).collect()}
+    assert set(out) == {"A", "Z"}
+    assert (out["Z"].inferred_admission, out["Z"].inferred_discharge) == (True, False)
+    assert str(out["Z"].admission_datetime) == "2024-01-01 11:59:59"
+    assert str(out["Z"].discharge_datetime) == "2024-01-01 12:00:00"
+    assert out["A"].inferred_discharge and str(out["A"].discharge_datetime) == "2024-01-01 11:59:58"
+
+    # orphan discharge with an unseen previous location: both the gap
+    # stay and the discharge's own stay are inferred
+    rows2 = [("9", "DISCHARGE", "V2", "2024-01-01 12:00:00", "Z", "Y")]
+    out2 = {r.location_string: r for r in infer_location_visits(adt_frame(spark, rows2)).collect()}
+    assert set(out2) == {"Y", "Z"}
+    assert (out2["Y"].inferred_admission, out2["Y"].inferred_discharge) == (True, True)
+    assert str(out2["Y"].admission_datetime) == "2024-01-01 11:59:57"
 
 
 def test_orphan_waveform_repair(spark):
