@@ -451,3 +451,50 @@ def q95_waveform_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_units") == 1).alias("units_consistent"),
         (F.col("n_samples") >= F.col("expected_samples")).alias("fully_covered"),
     )
+
+
+# S11 waveform HL7 text parse: 12 two-OBR messages, every validation
+# branch exercised (see synthetic_waveform_hl7); every 4th message's
+# second OBR mismatches PV1-3 -> its 3 OBX rows reject
+_Q97_ORACLE = """
+SELECT * FROM (VALUES
+  ('ok',                     30, 105),
+  ('location mismatch',       9,   0),
+  ('multiple OBX-5 repeats',  9,   0),
+  ('unknown stream',         12,   0),
+  ('unusable metadata',      12,   0)
+) t(status, n_rows, n_samples)
+ORDER BY status
+"""
+
+
+@register(
+    "q97_waveform_hl7_parse",
+    oracle=_Q97_ORACLE,
+    doc=(
+        "S10/S11 waveform HL7 parse (Hl7ParseAndQueue.java:49-135): "
+        "OBR-grouped OBX attachment via one posexplode + running count, "
+        "broadcast stream-metadata join, and the reference's full "
+        "validation set routed to the dead-letter column."
+    ),
+)
+def q97_waveform_hl7_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.sources.waveform_hl7 import (
+        stream_metadata,
+        synthetic_waveform_hl7,
+        waveform_from_hl7,
+    )
+
+    out = waveform_from_hl7(synthetic_waveform_hl7(spark, 12), stream_metadata(spark))
+    return (
+        out.groupBy(F.coalesce(F.col("rejected"), F.lit("ok")).alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_rows"),
+            F.sum(
+                F.when(F.col("rejected").isNull(), F.size("values")).otherwise(0)
+            )
+            .cast("int")
+            .alias("n_samples"),
+        )
+        .orderBy("status")
+    )

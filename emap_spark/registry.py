@@ -67,7 +67,7 @@ _PRIORITY = [
     # waveform/location/retention operators (W1/Q6/D6/D19/K4)
     "q70_waveform_collation", "q71_waveform_gap_report",
     "q93_waveform_stream_catalog", "q94_waveform_sample_scan",
-    "q95_waveform_integrity_check",
+    "q95_waveform_integrity_check", "q97_waveform_hl7_parse",
     "q72_location_visit_inference", "q73_waveform_visit_attach",
     "q74_waveform_retention",
     # parse + domain pipelines (S3-S7, D7-D17, W4)

@@ -152,3 +152,53 @@ def test_collate_stream_no_sample_loss_on_straddle(spark, tmpdir):
     assert all_vals == [float(v) for v in range(15)]
     assert [r.n_samples for r in out] == [8, 7]
     assert [r.is_final_partial for r in out] == ["full", "timeout"]
+
+
+def test_waveform_hl7_file_stream_to_collation(spark, tmp_path):
+    """S10/S11 -> W1 integration: MLLP-framed HL7 text through the
+    file-spool stream substitute, parsed rows collated into arrays."""
+    import os
+
+    from emap_spark.sources.waveform_hl7 import (
+        stream_metadata,
+        synthetic_waveform_hl7,
+        waveform_from_hl7,
+        waveform_file_stream,
+    )
+    from emap_spark.streaming.collation import collate_batch
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    msgs = synthetic_waveform_hl7(spark, 8).collect()
+    # one MLLP-framed blob per line, mixed two-per-line framing
+    with open(spool / "batch1.txt", "w") as fh:
+        for k in range(0, len(msgs), 2):
+            blobs = "\x0b".join("\x0b" + m.hl7 + "\x1c" for m in msgs[k:k + 2])
+            fh.write(blobs.replace("\r", "\r") + "\n")
+    meta = stream_metadata(spark)
+    stream = waveform_file_stream(spark, meta, str(spool))
+    assert stream.isStreaming
+    q = (
+        stream.filter("rejected IS NULL")
+        .writeStream.format("memory")
+        .queryName("wf_parsed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from wf_parsed")
+    batch = waveform_from_hl7(synthetic_waveform_hl7(spark, 8), meta).filter(
+        "rejected IS NULL"
+    )
+    # stream parse == batch parse, row for row
+    assert sorted((r.source_message_id, r.source_stream_id, len(r.values))
+                  for r in got.collect()) == sorted(
+        (r.source_message_id, r.source_stream_id, len(r.values))
+        for r in batch.collect()
+    )
+    # parsed rows feed the collator directly (schema-compatible)
+    collated = collate_batch(
+        got.drop("rejected"), target_samples=10
+    )
+    assert collated.count() > 0
