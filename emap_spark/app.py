@@ -150,6 +150,10 @@ def _route_visit(batch: DataFrame) -> DataFrame:
         F.col("visit_number").alias("encounter"),
         "valid_from",
         F.col("source_message_id").alias("seq"),
+        # M6: only EPIC is a trusted source for visits (DataSources.java:9,
+        # visitShouldBeUpdated VisitController.java:188-198) — untrusted
+        # (hoover/databaseExtracts) messages may create, never overwrite
+        F.coalesce(F.col("source_system") == "EPIC", F.lit(False)).alias("trusted"),
         F.col("mrn"),
         F.col("patient_class"),
         F.when(mtype == "REGISTER", F.col("valid_from")).alias(
@@ -199,6 +203,7 @@ VISIT_SPEC = MergeSpec(
     },
     event_time="valid_from",
     seq="seq",
+    trusted="trusted",
 )
 
 

@@ -181,9 +181,37 @@ def allergen_reactions_view(reaction_state: DataFrame) -> DataFrame:
 def process_consults(
     current: DataFrame | None, updates: DataFrame, stored_from: str
 ) -> MergeResult:
-    """D13/D14 consult + advance-decision shape
-    (ConsultationRequestController.java:72-224)."""
+    """D13 consult requests (ConsultationRequestController.java:72-224)."""
     return merge_batch(current, updates, CONSULT_SPEC, stored_from)
+
+
+# D14: advance decisions get their own table + fields
+# (informdb/decisions/AdvanceDecision.java:28-86:
+# advanceDecisionType, closedDueToDischarge, statusChangeDatetime,
+# requestedDatetime (first recorded -> fill), cancelled)
+ADVANCE_DECISION_SPEC = MergeSpec(
+    key=["internal_id"],
+    fields={
+        "advance_decision_type": ASSIGN,
+        "encounter": ASSIGN,
+        "mrn": ASSIGN,
+        "cancelled": ASSIGN,
+        "closed_due_to_discharge": ASSIGN,
+        "status_change_datetime": ASSIGN,
+        "requested_datetime": FILL_IF_NULL,
+    },
+    event_time="valid_from",
+    seq="seq",
+)
+
+
+def process_advance_decisions(
+    current: DataFrame | None, updates: DataFrame, stored_from: str
+) -> MergeResult:
+    """D14 (AdvanceDecisionController): upsert by EPIC internal id;
+    cancellation and discharge-closure are plain newer-wins booleans,
+    requestedDatetime keeps the first recorded value."""
+    return merge_batch(current, updates, ADVANCE_DECISION_SPEC, stored_from)
 
 
 FORM_SPEC = MergeSpec(

@@ -69,6 +69,16 @@ TRISTATES = (TRISTATE, TRISTATE_FILL)
 
 SAVE, DELETE, IGNORE = "SAVE", "DELETE", "IGNORE"
 
+# M6: content created by an UNTRUSTED source is recorded at this time
+# floor instead of its message time. The reference lets a trusted
+# message overwrite an untrusted-sourced entity REGARDLESS of age
+# (visitShouldBeUpdated, VisitController.java:188-198: trusted &&
+# (!isTrusted(entity.source) || newer)); flooring untrusted write times
+# encodes exactly that — any trusted write is "newer" than every
+# untrusted one — while staying order-invariant and needing no extra
+# provenance state (an entity validFrom at the floor IS the marker).
+UNTRUSTED_EPOCH = "1800-01-01 00:00:00"
+
 META_COLS = ("valid_from", "stored_from", "is_deleted")
 AUDIT_EXTRA = ("valid_until", "stored_until")
 
@@ -216,6 +226,15 @@ def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
         )
         cand_tr = fold_updates(tr, spec_plain).withColumn("__trusted", F.lit(True))
         cand_un = _fold_first(un, spec_plain).withColumn("__trusted", F.lit(False))
+        # untrusted creations live at the time floor (see UNTRUSTED_EPOCH)
+        floor = F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
+        floored = [
+            F.when(F.col(c).isNotNull(), floor).alias(c)
+            if c == "__event_time" or c.startswith("__t_")
+            else F.col(c)
+            for c in cand_un.columns
+        ]
+        cand_un = cand_un.select(*floored)
         only_un = cand_un.join(cand_tr.select(*spec.key), spec.key, "left_anti")
         return cand_tr.unionByName(only_un)
 
@@ -584,6 +603,16 @@ def merge_batch_versions(
                 | ((F.col("__m6_rn") == 1) & (F.col("__m6_seeded") == 0))
             )
             .drop("__m6_rn", "__m6_seeded")
+        )
+        # surviving untrusted rows are creations: floor their write time
+        # (UNTRUSTED_EPOCH) so any later trusted message, at any event
+        # time, supersedes them — seeds re-derived from such entities
+        # inherit the floor through valid_from/__ts automatically
+        seeded = seeded.withColumn(
+            spec.event_time,
+            F.when(
+                F.col("__trusted"), F.col(spec.event_time)
+            ).otherwise(F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")),
         )
 
     w = W.partitionBy(*key).orderBy(*_order)

@@ -841,3 +841,49 @@ def q96_hl7_lab_vendor_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("coding_system")
     )
+
+
+# D14: 12 decisions, follow-up updates; i%3==0 cancelled, i%4==0 closed
+# on discharge; requestedDatetime keeps the 09:00 first value while
+# statusChange moves to 15:00
+_Q98_ORACLE = """
+SELECT printf('AD%05d', i) AS internal_id,
+       CASE WHEN i % 2 = 0 THEN 'DNACPR' ELSE 'NOT_FOR_ESCALATION' END
+         AS advance_decision_type,
+       (i % 3 = 0) AS cancelled,
+       (i % 4 = 0) AS closed_due_to_discharge,
+       epoch_us(make_timestamp(2024, 7, CAST(1 + (i % 25) AS INT), 9, 0, 0))
+         AS requested_us,
+       epoch_us(make_timestamp(2024, 7, CAST(1 + (i % 25) AS INT), 15, 0, 0))
+         AS status_change_us
+FROM range(12) t(i)
+"""
+
+
+@register(
+    "q98_advance_decisions",
+    oracle=_Q98_ORACLE,
+    doc=(
+        "D14 advance decisions (informdb/decisions/AdvanceDecision.java:"
+        "28-86): dedicated table keyed by EPIC internal id — newer-wins "
+        "cancellation/closure flags, first-recorded requestedDatetime."
+    ),
+)
+def q98_advance_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.domains.observations import process_advance_decisions
+    from emap_spark.sources.generators import advance_decision_messages
+
+    msgs = advance_decision_messages(spark, 12).select(
+        "*", F.col("source_message_id").alias("seq")
+    )
+    res = process_advance_decisions(None, msgs, "2024-06-01 00:00:00")
+    return res.live().select(
+        "internal_id",
+        "advance_decision_type",
+        "cancelled",
+        "closed_due_to_discharge",
+        F.unix_micros(F.col("requested_datetime").cast("timestamp")).alias("requested_us"),
+        F.unix_micros(F.col("status_change_datetime").cast("timestamp")).alias(
+            "status_change_us"
+        ),
+    )

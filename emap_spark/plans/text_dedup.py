@@ -181,14 +181,23 @@ _SHINGLE_SQL = """
 """
 
 
+_SHINGLE_EXPR = (
+    "array_distinct(transform(sequence(1, size(w)-2),"
+    " i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"
+)
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingle ARRAYS per doc (un-exploded; the cheap
+    input for candidate verification)."""
+    d = _words(_docs(spark, sf_dir))
+    return d.select("doc_id", F.expr(_SHINGLE_EXPR).alias("sh"))
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-word shingles per doc (n-gram shingling operator)."""
     d = _words(_docs(spark, sf_dir))
-    sh = F.expr(
-        "array_distinct(transform(sequence(1, size(w)-2),"
-        " i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"
-    )
-    return d.select("doc_id", F.explode(sh).alias("s"))
+    return d.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("s"))
 
 
 # --------------------------------------------------------------------------
@@ -263,7 +272,13 @@ PROD_BANDS = 16
 
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int = PROD_MINHASH) -> DataFrame:
-    """(doc_id, s) shingles -> one row per doc with h0..h{n-1}."""
+    """(doc_id, s) exploded shingles -> one row per doc with h0..h{n-1}.
+
+    Deliberately the exploded groupBy-min fold, NOT a per-row
+    array_min(transform(...)) projection: the aggregation creates an
+    exchange that the band self-join reuses (ReusedExchange), whereas a
+    pure projection is recomputed for BOTH join sides — measured ~1.7x
+    slower end-to-end despite doing zero shuffle."""
     return shingles.groupBy("doc_id").agg(*_minhash_cols(n_hashes))
 
 
@@ -298,25 +313,30 @@ def lsh_candidate_pairs(
 
 
 def verify_candidates(
-    shingles: DataFrame, candidates: DataFrame, threshold: float = JACCARD_THRESHOLD
+    shingle_sets: DataFrame,
+    candidates: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
 ) -> DataFrame:
-    """Exact Jaccard on CANDIDATE pairs only: cost is linear in candidate
-    shingle volume, never all-pairs."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = shingles.alias("a"), shingles.alias("b")
-    inter = (
-        candidates.join(a, F.col("a.doc_id") == F.col("doc_a"))
-        .join(b, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("a.s") == F.col("b.s")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    """Exact Jaccard on CANDIDATE pairs only.
+
+    shingle_sets: (doc_id, sh: array<string>) — the UN-exploded distinct
+    shingle arrays. The intersection is computed per pair with
+    `array_intersect` (hash-set semijoin inside one row), so the cost is
+    two doc-id equi-joins of the small candidate set against the corpus
+    — no shingle explode, no corpus-wide (doc, shingle) shuffle. At
+    100 TB this is the difference between joining candidate ROWS and
+    re-shuffling every shingle."""
+    a = shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb"))
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", n_common.cast("long"))
         .withColumn(
             "jaccard_raw",
             F.col("n_common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_common")),
+            / (F.size("sa") + F.size("sb") - F.col("n_common")),
         )
         .filter(F.col("jaccard_raw") >= threshold)
         .select("doc_a", "doc_b", "n_common", F.round("jaccard_raw", 6).alias("jaccard"))
@@ -345,8 +365,7 @@ FROM sig
     doc="MinHash(8) signatures folded into 2 LSH bands of 4 rows.",
 )
 def q46_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(*_minhash_cols())
+    sig = minhash_signatures(_shingles(spark, sf_dir), N_MINHASH)
     return sig.select(
         "doc_id",
         F.md5(F.concat("h0", "h1", "h2", "h3").cast("binary")).alias("band0"),
@@ -423,8 +442,8 @@ WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
     ),
 )
 def q57_lsh_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
-    return verify_candidates(sh, lsh_candidate_pairs(sh, N_MINHASH, 2))
+    cands = lsh_candidate_pairs(_shingles(spark, sf_dir), N_MINHASH, 2)
+    return verify_candidates(_shingle_sets(spark, sf_dir), cands)
 
 
 # --------------------------------------------------------------------------

@@ -77,7 +77,7 @@ _PRIORITY = [
     "q80_flowsheets_pipeline",
     "q81_identity_merge_closure", "q82_location_metadata_scd",
     "q83_pending_transfer_match", "q84_consults_and_questions",
-    "q92_patient_conditions",
+    "q92_patient_conditions", "q98_advance_decisions",
     "q85_stream_windowed_rollup", "q86_oru_vendor_observations",
     "q87_forms_pipeline", "q88_stream_dedupe_within_watermark",
     "q96_hl7_lab_vendor_parse",

@@ -400,3 +400,36 @@ def flowsheet_messages(spark: SparkSession, n: int = 30) -> DataFrame:
             }
         )
     return spark.createDataFrame(rows, FLOWSHEET_SCHEMA)
+
+
+def advance_decision_messages(spark: SparkSession, n: int = 12) -> DataFrame:
+    """D14 fixtures: each decision arrives (requested), gets a status
+    update; every 3rd is cancelled, every 4th closes on discharge."""
+    import datetime
+
+    rows = []
+    for i in range(n):
+        day = 1 + (i % 25)
+        t0 = datetime.datetime(2024, 7, day, 9, 0, 0)
+        t1 = datetime.datetime(2024, 7, day, 15, 0, 0)
+        base = {
+            "source_system": "EPIC",
+            "internal_id": f"AD{i:05d}",
+            "advance_decision_type": "DNACPR" if i % 2 == 0 else "NOT_FOR_ESCALATION",
+            "encounter": f"ENC{i % 5:05d}",
+            "mrn": f"MRN{i % 5:05d}",
+        }
+        rows.append({**base, "source_message_id": f"ad-{i}-0", "valid_from": t0,
+                     "cancelled": False, "closed_due_to_discharge": False,
+                     "status_change_datetime": t0, "requested_datetime": t0})
+        rows.append({**base, "source_message_id": f"ad-{i}-1", "valid_from": t1,
+                     "cancelled": i % 3 == 0, "closed_due_to_discharge": i % 4 == 0,
+                     # EPIC resends the ORIGINAL requested time on updates
+                     "status_change_datetime": t1, "requested_datetime": t0})
+    return spark.createDataFrame(
+        rows,
+        "source_message_id string, source_system string, valid_from timestamp_ntz,"
+        " internal_id string, advance_decision_type string, encounter string,"
+        " mrn string, cancelled boolean, closed_due_to_discharge boolean,"
+        " status_change_datetime timestamp_ntz, requested_datetime timestamp_ntz",
+    )

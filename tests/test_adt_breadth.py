@@ -28,6 +28,7 @@ def _adt_rows(spark, rows):
     full = []
     for r in rows:
         d = {f.name: None for f in ADT_SCHEMA.fields}
+        d["source_system"] = "EPIC"
         for f in ADT_SCHEMA.fields:
             if f.name not in r and f.dataType.typeName() == "struct":
                 d[f.name] = tri()
@@ -189,3 +190,42 @@ def test_swap_and_identity_rekeying(spark):
     resolved = {r.encounter: r.mrn for r in eng.hospital_visits_resolved().collect()}
     assert resolved == {"VA": "PZ", "VC": "PC"}
     assert {r.mrn for r in eng.mrn_rekeyed().collect()} == {"PZ", "PB", "PC"}
+
+
+def test_untrusted_source_creates_but_never_overwrites_visit(spark):
+    """M6 -> D5 (DataSources.java:9 + visitShouldBeUpdated,
+    VisitController.java:188-198): a hoover/databaseExtracts message may
+    CREATE a visit; once EPIC has spoken, untrusted messages change
+    nothing — in any arrival order."""
+    import itertools
+
+    hoover = {"source_message_id": "t1", "message_type": "ADMIT", "mrn": "PX",
+              "visit_number": "VX", "valid_from": "2024-01-01 08:00:00",
+              "source_system": "databaseExtracts",
+              "patient_class": {"value": "OUTPATIENT", "status": "SAVE"}}
+    epic = {"source_message_id": "t2", "message_type": "ADMIT", "mrn": "PX",
+            "visit_number": "VX", "valid_from": "2024-01-01 09:00:00",
+            "source_system": "EPIC",
+            "patient_class": {"value": "INPATIENT", "status": "SAVE"}}
+    hoover_late = {"source_message_id": "t3", "message_type": "UPDATE_PATIENT_INFO",
+                   "mrn": "PX", "visit_number": "VX",
+                   "valid_from": "2024-01-01 10:00:00",
+                   "source_system": "databaseExtracts"}
+    hoover2 = {**hoover, "source_message_id": "t4",
+               "valid_from": "2024-01-01 11:00:00",
+               "patient_class": {"value": "DAY_CASE", "status": "SAVE"}}
+
+    # hoover alone creates the visit
+    eng = EmapEngine()
+    eng.process_batch(_adt_rows(spark, [hoover]), 0)
+    assert eng.table("hospital_visit").collect()[0].patient_class == "OUTPATIENT"
+
+    # with EPIC present, untrusted messages (older or newer) are inert
+    finals = set()
+    for perm in itertools.permutations([hoover, epic, hoover2]):
+        eng = EmapEngine()
+        for i, m in enumerate(perm):
+            eng.process_batch(_adt_rows(spark, [m]), i)
+        v = eng.table("hospital_visit").collect()[0]
+        finals.add(v.patient_class)
+    assert finals == {"INPATIENT"}

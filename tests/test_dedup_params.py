@@ -34,23 +34,29 @@ def _corpus(spark, n_base=30, words_per_doc=80):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+_SH = (
+    "array_distinct(transform(sequence(1, size(w)-2),"
+    " i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"
+)
+
+
 def _shingles_of(docs):
     w = docs.withColumn("w", F.split("text", " "))
-    sh = F.expr(
-        "array_distinct(transform(sequence(1, size(w)-2),"
-        " i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"
-    )
-    return w.select("doc_id", F.explode(sh).alias("s"))
+    return w.select("doc_id", F.explode(F.expr(_SH)).alias("s"))
+
+
+def _shingle_sets_of(docs):
+    w = docs.withColumn("w", F.split("text", " "))
+    return w.select("doc_id", F.expr(_SH).alias("sh"))
 
 
 def test_prod_width_lsh_recall_and_precision(spark):
     docs = _corpus(spark)
-    sh = _shingles_of(docs)
-    sig = minhash_signatures(sh, PROD_MINHASH)
+    sig = minhash_signatures(_shingles_of(docs), PROD_MINHASH)
     assert len(sig.columns) == 1 + PROD_MINHASH
 
-    cands = lsh_candidate_pairs(sh, PROD_MINHASH, PROD_BANDS)
-    verified = verify_candidates(sh, cands, threshold=0.5)
+    cands = lsh_candidate_pairs(_shingles_of(docs), PROD_MINHASH, PROD_BANDS)
+    verified = verify_candidates(_shingle_sets_of(docs), cands, threshold=0.5)
     found = {(r.doc_a, r.doc_b) for r in verified.collect()}
     planted = {(i, 1000 + i) for i in range(8)}
     # recall: a 1-word mutation of an 80-word doc shares ~96% of shingles;
