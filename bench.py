@@ -74,6 +74,22 @@ def main() -> None:
     wf_secs = time.perf_counter() - t0
     timings["waveform_collation_540k_samples"] = round(wf_secs, 3)
 
+    # Ingestion-path throughput: one EmapEngine batch (message
+    # granularity, full per-change audit) over 20k generated ADT
+    # messages -> 4 star tables + movement/identity history. The
+    # reference's single-threaded core is the comparable path.
+    from emap_spark.app import EmapEngine
+    from emap_spark.sources.generators import adt_messages
+
+    n_msgs = 4 * 5000
+    adt = adt_messages(spark, n_patients=5000)
+    eng = EmapEngine()
+    t0 = time.perf_counter()
+    eng.process_batch(adt, 0)
+    adt_secs = time.perf_counter() - t0
+    # reported as its own top-level metric (not in the headline total,
+    # which stays comparable across rounds)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -84,6 +100,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "waveform_samples_per_sec": round(n_samples / wf_secs),
+                "adt_merge_seconds_20k_messages": round(adt_secs, 3),
+                "adt_messages_per_sec": round(n_msgs / adt_secs),
             }
         )
     )

@@ -887,3 +887,83 @@ def q98_advance_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_change_us"
         ),
     )
+
+
+# Metadata dims: 20 flowsheet types (every 4th renamed at t1) + 10 lab
+# tests (2 providers) + 6 consult types; version counts prove the SCD
+# chain records the renames
+_Q99_ORACLE = """
+SELECT * FROM (VALUES
+  ('consultation_type',       6,  6, 0),
+  ('lab_test_definition',    10, 10, 0),
+  ('visit_observation_type', 20, 25, 5)
+) t(dim, n_current, n_versions, n_renamed)
+ORDER BY dim
+"""
+
+
+@register(
+    "q99_metadata_dimensions",
+    oracle=_Q99_ORACLE,
+    doc=(
+        "Metadata dimension feeds (FlowsheetMetadata / LabMetadataMsg / "
+        "ConsultMetadata): broadcast-sized dims with SCD rename history "
+        "via the versions merge."
+    ),
+)
+def q99_metadata_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from emap_spark.domains.metadata import process_metadata
+
+    t0 = datetime.datetime(2024, 8, 1, 9, 0, 0)
+    t1 = datetime.datetime(2024, 8, 2, 9, 0, 0)
+    fs = [
+        {"interface_id": f"FLO{i:04d}", "name": f"flow {i}",
+         "display_name": f"Flow {i}", "value_type": "NUMERIC", "unit": "bpm",
+         "creation_datetime": t0, "valid_from": t0, "seq": f"m{i}"}
+        for i in range(20)
+    ] + [
+        {"interface_id": f"FLO{i:04d}", "name": f"flow {i} renamed",
+         "display_name": f"Flow {i}", "value_type": "NUMERIC", "unit": "bpm",
+         "creation_datetime": t1, "valid_from": t1, "seq": f"r{i}"}
+        for i in range(0, 20, 4)
+    ]
+    fs_df = spark.createDataFrame(
+        fs,
+        "interface_id string, name string, display_name string, value_type string,"
+        " unit string, creation_datetime timestamp_ntz, valid_from timestamp_ntz,"
+        " seq string",
+    )
+    labs = spark.createDataFrame(
+        [
+            {"lab_provider": "WINPATH" if i % 2 == 0 else "CO_PATH",
+             "test_lab_code": f"T{i:03d}", "name": f"test {i}",
+             "lab_department": "HAEM", "valid_from": t0, "seq": f"l{i}"}
+            for i in range(10)
+        ],
+        "lab_provider string, test_lab_code string, name string,"
+        " lab_department string, valid_from timestamp_ntz, seq string",
+    )
+    cons = spark.createDataFrame(
+        [
+            {"code": f"CON{i}", "name": f"consult {i}", "valid_from": t0,
+             "seq": f"c{i}"}
+            for i in range(6)
+        ],
+        "code string, name string, valid_from timestamp_ntz, seq string",
+    )
+    rows = []
+    for dim, msgs in [
+        ("visit_observation_type", fs_df),
+        ("lab_test_definition", labs),
+        ("consultation_type", cons),
+    ]:
+        res = process_metadata(dim, None, msgs, "2024-06-01 00:00:00")
+        cur = res.current
+        audit = res.audit
+        n_current = cur.count()
+        n_versions = n_current + audit.count()
+        renamed = cur.filter(F.col("name").endswith("renamed")).count() if "name" in cur.columns else 0
+        rows.append((dim, int(n_current), int(n_versions), int(renamed)))
+    return spark.createDataFrame(rows, "dim string, n_current int, n_versions int, n_renamed int").orderBy("dim")

@@ -75,7 +75,7 @@ _PRIORITY = [
     "q77_media_decode_features", "q78_video_frame_plan",
     "q79_labs_pipeline", "q91_lab_isolate_sensitivities",
     "q80_flowsheets_pipeline",
-    "q81_identity_merge_closure", "q82_location_metadata_scd",
+    "q81_identity_merge_closure", "q82_location_metadata_scd", "q99_metadata_dimensions",
     "q83_pending_transfer_match", "q84_consults_and_questions",
     "q92_patient_conditions", "q98_advance_decisions",
     "q85_stream_windowed_rollup", "q86_oru_vendor_observations",

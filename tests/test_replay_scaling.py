@@ -1,0 +1,38 @@
+"""Ingestion-path scaling (VERDICT r1 'what's wrong' #1/#2): per-batch
+work must stay flat as state accumulates — no per-batch count() passes,
+no O(n^2) history re-union. 30 batches of fresh patients through the
+full engine; late batches must not be meaningfully slower than early
+ones (state grows, per-batch input is constant)."""
+
+from __future__ import annotations
+
+import statistics
+import time
+
+from pyspark.sql import functions as F
+
+from emap_spark.app import EmapEngine
+from emap_spark.sources.generators import adt_messages
+
+
+def test_per_batch_time_stays_flat(spark):
+    eng = EmapEngine()
+    base = adt_messages(spark, n_patients=20)
+    times = []
+    for b in range(30):
+        tag = F.lit(f"b{b:02d}-")
+        batch = base.withColumn("mrn", F.concat(tag, "mrn")).withColumn(
+            "visit_number", F.concat(tag, "visit_number")
+        ).withColumn("source_message_id", F.concat(tag, "source_message_id"))
+        t0 = time.perf_counter()
+        eng.process_batch(batch, b)
+        times.append(time.perf_counter() - t0)
+    early = statistics.median(times[2:7])   # skip JVM warmup batches
+    late = statistics.median(times[-5:])
+    # state is 30x larger at the end; per-batch time must stay within a
+    # small constant factor (lineage is cut per batch, history is an
+    # append-only log, metrics ride on observe())
+    assert late <= 3 * early, f"per-batch time grew: early={early:.2f}s late={late:.2f}s {times}"
+    # and the accumulated state is actually there
+    assert eng.table("hospital_visit").count() == 30 * 20
+    assert eng.location_visits().count() > 0
