@@ -266,3 +266,149 @@ def q53_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q58: IVF ANN — coarse-quantizer partition probe (the other scale path)
+# --------------------------------------------------------------------------
+def _d2(a: str, b: str):
+    """Squared L2 as the same sequential double fold on both engines."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        " (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def ivf_refine(emb: DataFrame, centroids: DataFrame, iters: int) -> DataFrame:
+    """Optional Lloyd steps: assign to nearest centroid, recompute
+    per-dim decimal-exact means (the q53 pattern — order-insensitive
+    across partitions). Production would run k-means++ offline and
+    store cluster as a partition column."""
+    for _ in range(iters):
+        assign = ivf_assignments(emb, centroids)
+        ex = assign.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+        dims = ex.groupBy("cluster", "pos").agg(
+            (F.sum(F.col("v").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias("cv")
+        )
+        centroids = (
+            dims.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("a"))
+            .select("cluster", F.expr("transform(a, x -> x.cv)").alias("ce"))
+        )
+    return centroids
+
+
+def ivf_assignments(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Every vector -> its nearest coarse centroid (argmin squared L2,
+    centroid id tie-break). The centroid set is broadcast; at scale the
+    cluster id becomes the corpus partition key so probes prune
+    partitions instead of scanning."""
+    j = emb.crossJoin(F.broadcast(centroids))
+    w = W.partitionBy("vec_id").orderBy(_d2("embedding", "ce"), F.col("cluster"))
+    return (
+        j.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "embedding", "cluster")
+    )
+
+
+def ivf_ann(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = 8,
+    n_probes: int = 2,
+    top_k: int = TOP_K,
+    iters: int = 0,
+) -> DataFrame:
+    """IVF: partition the corpus by a k-centroid coarse quantizer; each
+    query scans only its n_probes nearest clusters (~n_probes/k of the
+    corpus). Complements sign-LSH: data-adaptive cells instead of fixed
+    hyperoctants."""
+    seeds = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("ce")
+    )
+    centroids = ivf_refine(emb, seeds, iters)
+    assign = ivf_assignments(emb, centroids)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    wq = W.partitionBy("query_id").orderBy(_d2("qe", "ce"), F.col("cluster"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= n_probes)
+        .select("query_id", "qe", "cluster")
+    )
+    c = assign.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"), "cluster"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cluster",
+            F.round(_dot("qe", "ne") / (_norm("qe") * _norm("ne")), 4).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("query_id", "neighbor_id", "cluster", "cosine_sim")
+    )
+
+
+_SQL_D2 = (
+    "list_sum(list_transform(range(1, 65), j ->"
+    " ({a}[j]::DOUBLE - {b}[j]::DOUBLE) * ({a}[j]::DOUBLE - {b}[j]::DOUBLE)))"
+)
+
+
+@register(
+    "q58_ann_ivf_probe",
+    oracle=f"""
+WITH c AS (SELECT vec_id AS cluster, embedding AS ce FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_SQL_D2.format(a='e.embedding', b='c.ce')}, c.cluster) AS rk
+    FROM embeddings e, c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, qe, cluster FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_SQL_D2.format(a='q.embedding', b='c.ce')}, c.cluster) AS pr
+    FROM embeddings q, c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE pr <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.cluster,
+         round({_sql_cos('p.qe', 'a.embedding')}, 4) AS cosine_sim
+  FROM probes p JOIN assign a USING (cluster)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cluster, cosine_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+""",
+    doc=(
+        "IVF ANN: k=8 coarse-quantizer cells (seeded; Lloyd refinement "
+        "available via ivf_refine), 2-cell probe per query — the "
+        "data-adaptive partition-pruning scale path alongside sign-LSH. "
+        "Squared-L2 argmin is the same sequential double fold on both "
+        "engines."
+    ),
+)
+def q58_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_ann(_emb(spark, sf_dir), N_QUERIES, 8, 2, TOP_K, iters=0)

@@ -92,7 +92,7 @@ _PRIORITY = [
     "q45_jaccard_near_dup_pairs", "q46_minhash_signatures",
     "q47_minhash_lsh_pairs", "q57_lsh_near_dup_verified",
     "q48_simhash", "q49_doc_fingerprint",
-    "q50_knn_bruteforce", "q51_ann_lsh_bucketed",
+    "q50_knn_bruteforce", "q51_ann_lsh_bucketed", "q58_ann_ivf_probe",
     "q52_vector_stats", "q53_label_centroids",
     "q55_token_frequencies", "q56_query_similarity_ranking",
     # flagship + streaming-shaped rollups

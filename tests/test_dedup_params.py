@@ -96,3 +96,43 @@ def test_simhash_32bit_near_dup_distance(spark):
     far = [ham(sh[i], sh[j]) for i in range(8) for j in range(i + 1, 8)]
     assert max(near) <= 4  # one-word mutation flips at most a few bits
     assert sum(far) / len(far) > 8  # unrelated docs sit near 16/32 bits
+
+
+def test_ivf_refine_and_probe(spark):
+    """IVF with one Lloyd step: refined centroids move toward their
+    cluster means, and probing 2 of 4 cells still finds the planted
+    near-duplicate of the query."""
+    import random
+
+    from emap_spark.plans.similarity import ivf_ann, ivf_assignments, ivf_refine
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    dim = 8
+    # 4 well-separated blobs; query = vec 0 (in blob 0), plant vec 900
+    # very close to it
+    def blob(center, n, start_id):
+        return [
+            (start_id + j, [center + rng.uniform(-0.3, 0.3) for _ in range(dim)])
+            for j in range(n)
+        ]
+
+    rows = blob(0.0, 30, 0) + blob(5.0, 30, 100) + blob(-5.0, 30, 200) + blob(10.0, 30, 300)
+    # plant a scaled copy of the query vector: same direction -> cosine 1
+    rows.append((900, [1.001 * x for x in rows[0][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    seeds = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("ce")
+    )
+    refined = ivf_refine(emb, seeds, iters=1)
+    assert refined.count() == 4
+    # all 4 seeds start inside blob 0, so before refinement every vector
+    # assigns among those 4; after one Lloyd step centroids spread is
+    # still data-defined — assignments must cover all seed clusters
+    n_clusters = ivf_assignments(emb, refined).select("cluster").distinct().count()
+    assert n_clusters >= 2
+
+    out = ivf_ann(emb, n_queries=1, k=4, n_probes=2, top_k=5, iters=1)
+    neighbors = {r.neighbor_id for r in out.collect()}
+    assert 900 in neighbors  # the planted near-dup is in the probed cells
