@@ -125,7 +125,7 @@ class MergeResult:
 
     def live(self) -> DataFrame:
         """Public view: live rows only (M9 tombstones filtered), merge
-        metadata (__fill_del markers) stripped."""
+        metadata (__ts last-write markers) stripped."""
         meta = [c for c in self.current.columns if c.startswith("__")]
         return self.current.filter(~F.col("is_deleted")).drop("is_deleted", *meta)
 
