@@ -967,3 +967,99 @@ def q99_metadata_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         renamed = cur.filter(F.col("name").endswith("renamed")).count() if "name" in cur.columns else 0
         rows.append((dim, int(n_current), int(n_versions), int(renamed)))
     return spark.createDataFrame(rows, "dim string, n_current int, n_versions int, n_renamed int").orderBy("dim")
+
+
+# S1/S9/W6: incremental source polling — IDS unid-slice polls with
+# budget + appends between polls, and hoover time-window polls with a
+# re-read lag; watermarks advance exactly as the closed form predicts
+_Q100_ORACLE = """
+SELECT * FROM (VALUES
+  ('ids',    1, 25, 24),
+  ('ids',    2, 25, 49),
+  ('ids',    3, 20, 69),
+  ('hoover', 1, 40, 39),
+  ('hoover', 2, 40, 59)
+) t(source, poll, n_rows, watermark)
+ORDER BY source, poll
+"""
+
+
+@register(
+    "q100_incremental_polling",
+    oracle=_Q100_ORACLE,
+    doc=(
+        "S1 IDS polling (IdsOperations.getNextHL7IdsRecord: unid-slice "
+        "reads, ack-then-advance progress) and S9 hoover time-window "
+        "polls (watermark column + lag re-read margin): three IDS polls "
+        "with a 25-row budget over a log appended mid-stream, and two "
+        "hoover polls where the 20 s lag re-reads the boundary rows."
+    ),
+)
+def q100_incremental_polling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from emap_spark.sources.hoover import HooverSource, QueryStrategy
+    from emap_spark.sources.ids import IdsReader
+
+    work = tempfile.mkdtemp(prefix="poll_oracle_")
+    rows = []
+    try:
+        # --- IDS: 60-row log, 25-row budget, 10 rows appended after poll 1
+        def ids_rows(lo, hi):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("unid"),
+                F.format_string("P%03d", F.col("id")).alias("patient_id"),
+                F.lit("ADT^A01").alias("messagetype"),
+                F.lit("MSH|...").alias("hl7message"),
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz").alias(
+                    "persistdatetime"
+                ),
+            )
+
+        log = f"{work}/ids_log"
+        ids_rows(0, 60).write.mode("append").parquet(log)
+        reader = IdsReader(spark, log, f"{work}/ids_progress.json")
+        for poll in (1, 2, 3):
+            df, wm = reader.next_batch(max_rows=25)
+            rows.append(("ids", poll, df.count(), int(wm)))
+            reader.commit(wm)
+            if poll == 1:
+                ids_rows(60, 70).write.mode("append").parquet(log)
+
+        # --- hoover: 40 rows at t0..t39s; 20 more appended; lag=20s means
+        # poll 2 re-reads from watermark(39s)-20s -> rows t20..t59 = 40
+        base = datetime.datetime(2024, 3, 1)
+
+        def hoover_rows(lo, hi):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("row_id"),
+                (
+                    F.lit(base) + F.make_interval(secs=F.col("id").cast("double"))
+                ).cast("timestamp_ntz").alias("updated_at"),
+            )
+
+        hv = f"{work}/hoover_tbl"
+        hoover_rows(0, 40).write.mode("append").parquet(hv)
+        src = HooverSource(f"{work}/hoover_progress.json")
+        strat = QueryStrategy(
+            name="labs",
+            load=lambda: spark.read.parquet(hv),
+            watermark_col="updated_at",
+            lag_seconds=20,
+        )
+        for poll in (1, 2):
+            df, hi = src.poll(strat)
+            wm_s = int(
+                (datetime.datetime.fromisoformat(str(hi)) - base).total_seconds()
+            )
+            rows.append(("hoover", poll, df.count(), wm_s))
+            src.commit(strat, hi)
+            if poll == 1:
+                hoover_rows(40, 60).write.mode("append").parquet(hv)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, poll int, n_rows int, watermark int"
+    ).orderBy("source", "poll")

@@ -80,7 +80,7 @@ _PRIORITY = [
     "q92_patient_conditions", "q98_advance_decisions",
     "q85_stream_windowed_rollup", "q86_oru_vendor_observations",
     "q87_forms_pipeline", "q88_stream_dedupe_within_watermark",
-    "q96_hl7_lab_vendor_parse",
+    "q96_hl7_lab_vendor_parse", "q100_incremental_polling",
     # read-side operator queries (Q2/Q5/Q6/Q7/Q8 + state shapes)
     "q13_customer_event_reconciliation",
     "q20_latest_event_per_user", "q21_stream_bounds",
