@@ -419,28 +419,27 @@ FROM msgs GROUP BY patient
 """
 
 
-@register(
-    "q95_waveform_integrity_check",
-    oracle=_Q95_ORACLE,
-    doc=(
-        "Q4 integrity: per-stream unit/rate cardinality + sample "
-        "coverage against the expected span budget (st_integrity.py / "
-        "get_waveform_coverage)."
-    ),
-)
-def q95_waveform_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    msgs = waveform_stream(spark, n_patients=2, sampling_rate=50, seconds=10)
-    obs_us = F.unix_micros(F.col("observation_time").cast("timestamp"))
-    per = msgs.groupBy("source_location").agg(
+def waveform_integrity(
+    msgs: DataFrame, window_start: str, window_end: str
+) -> DataFrame:
+    """Q4 integrity over a REQUESTED monitoring window: expected_samples
+    is rate x window span (get_waveform_coverage compares against the
+    query window, not the observed message span — a stream that loses
+    its head or tail messages must NOT shrink its own expectation)."""
+    span_us = F.unix_micros(F.lit(window_end).cast("timestamp")) - F.unix_micros(
+        F.lit(window_start).cast("timestamp")
+    )
+    in_window = msgs.filter(
+        (F.col("observation_time") >= F.lit(window_start).cast("timestamp_ntz"))
+        & (F.col("observation_time") < F.lit(window_end).cast("timestamp_ntz"))
+    )
+    per = in_window.groupBy("source_location").agg(
         F.countDistinct("unit").cast("int").alias("n_units"),
         F.countDistinct("sampling_rate").cast("int").alias("n_rates"),
         F.sum(F.size("values")).alias("n_samples"),
-        # expected = rate * (span + one message length)
-        (
-            (F.max(obs_us) - F.min(obs_us) + (5 * 1_000_000 / F.first("sampling_rate")).cast("long"))
-            * F.first("sampling_rate")
-            / 1_000_000
-        ).cast("long").alias("expected_samples"),
+        (span_us * F.first("sampling_rate") / 1_000_000)
+        .cast("long")
+        .alias("expected_samples"),
     )
     return per.select(
         "source_location",
@@ -450,6 +449,22 @@ def q95_waveform_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expected_samples",
         (F.col("n_units") == 1).alias("units_consistent"),
         (F.col("n_samples") >= F.col("expected_samples")).alias("fully_covered"),
+    )
+
+
+@register(
+    "q95_waveform_integrity_check",
+    oracle=_Q95_ORACLE,
+    doc=(
+        "Q4 integrity: per-stream unit/rate cardinality + sample "
+        "coverage against the REQUESTED window's sample budget "
+        "(st_integrity.py / get_waveform_coverage)."
+    ),
+)
+def q95_waveform_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = waveform_stream(spark, n_patients=2, sampling_rate=50, seconds=10)
+    return waveform_integrity(
+        msgs, "2024-01-01 00:00:00", "2024-01-01 00:00:10"
     )
 
 

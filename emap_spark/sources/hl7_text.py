@@ -155,7 +155,7 @@ def _adt_projection(raw: Column, occ: int) -> list:
     msg_id = F.coalesce(field(raw, "MSH", 10), F.lit("?"))
     if occ > 1:
         msg_id = F.concat(msg_id, F.lit("-B"))
-    death_raw = field(raw, "PID", 29)
+    death_raw = field(raw, "PID", 29, occurrence=occ)
     return [
         msg_id.alias("source_message_id"),
         field(raw, "MSH", 4, 1).alias("source_system"),

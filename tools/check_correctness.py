@@ -79,9 +79,11 @@ def main() -> int:
     con = duck_con(sf_dir)
     all_specs = specs()
     failed, no_oracle = [], []
+    n_checked = 0
     for name, spec in sorted(all_specs.items()):
         if only and name not in only:
             continue
+        n_checked += 1
         sdf = spec.fn(spark, sf_dir).toPandas()
         if spec.oracle is None:
             no_oracle.append(name)
@@ -96,8 +98,9 @@ def main() -> int:
                 print(f"     {p}")
         else:
             print(f"ok   {name}: {len(sdf)} rows")
-    print(f"\n{len(all_specs) - len(failed) - len(no_oracle)} ok, "
-          f"{len(failed)} failed, {len(no_oracle)} rows-only")
+    print(f"\n{n_checked - len(failed) - len(no_oracle)} ok, "
+          f"{len(failed)} failed, {len(no_oracle)} rows-only "
+          f"({n_checked}/{len(all_specs)} checked)")
     if failed:
         print("failed:", ", ".join(failed))
     return 1 if failed else 0
