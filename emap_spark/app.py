@@ -123,8 +123,14 @@ def _route_visit(batch: DataFrame) -> DataFrame:
         F.col("visit_number").isNotNull() & ~mtype.isin(*NON_VISIT_TYPES)
     )
     ignore_ts = _ts_tristate(F.lit(None), F.lit("IGNORE"))
+    # addPresentationAdmissionOrDischargeTime (VisitController.java:
+    # 164-167) early-returns for UNTRUSTED sources even on entity
+    # creation: hoover-created visits leave presentation / admission /
+    # discharge slots null for EPIC to fill (advice round 2, #1)
+    is_trusted = F.coalesce(F.col("source_system") == "EPIC", F.lit(False))
     admission = (
-        F.when(mtype == "CANCEL_ADMIT", _ts_tristate(F.lit(None), F.lit("DELETE")))
+        F.when(~is_trusted, ignore_ts)
+        .when(mtype == "CANCEL_ADMIT", _ts_tristate(F.lit(None), F.lit("DELETE")))
         .when(
             F.col("admission_datetime")["status"] != "IGNORE",
             F.col("admission_datetime"),
@@ -133,7 +139,8 @@ def _route_visit(batch: DataFrame) -> DataFrame:
         .otherwise(ignore_ts)
     )
     discharge = (
-        F.when(
+        F.when(~is_trusted, ignore_ts)
+        .when(
             mtype == "CANCEL_DISCHARGE", _ts_tristate(F.lit(None), F.lit("DELETE"))
         )
         .when(
@@ -153,10 +160,10 @@ def _route_visit(batch: DataFrame) -> DataFrame:
         # M6: only EPIC is a trusted source for visits (DataSources.java:9,
         # visitShouldBeUpdated VisitController.java:188-198) — untrusted
         # (hoover/databaseExtracts) messages may create, never overwrite
-        F.coalesce(F.col("source_system") == "EPIC", F.lit(False)).alias("trusted"),
+        is_trusted.alias("trusted"),
         F.col("mrn"),
         F.col("patient_class"),
-        F.when(mtype == "REGISTER", F.col("valid_from")).alias(
+        F.when(is_trusted & (mtype == "REGISTER"), F.col("valid_from")).alias(
             "presentation_datetime"
         ),
         admission.alias("admission_datetime"),
@@ -208,7 +215,17 @@ VISIT_SPEC = MergeSpec(
 
 
 class EmapEngine:
-    def __init__(self, granularity: str = "message", storage_root: str | None = None) -> None:
+    # movement history is hash-partitioned on visit_number so the D6
+    # incremental recompute prunes to the buckets its batch touches
+    N_VISIT_BUCKETS = 16
+
+    def __init__(
+        self,
+        granularity: str = "message",
+        storage_root: str | None = None,
+        backend: str = "delta",
+        maintain_location_visits: bool = False,
+    ) -> None:
         # message granularity = the reference's per-change audit trail
         # (as_of works at any t); "batch" trades that for fewer rows
         self.storage_root = storage_root
@@ -221,6 +238,7 @@ class EmapEngine:
             granularity=granularity,
             validator=F.col("mrn").isNotNull() | F.col("visit_number").isNotNull(),
             storage_root=os.path.join(storage_root, "pipeline") if storage_root else None,
+            backend=backend,
         )
         # movement/merge history is an append-only event LOG, not merged
         # state: per batch we append one deduped part (durable mode: one
@@ -231,6 +249,18 @@ class EmapEngine:
         self._movement_parts: list[DataFrame] = []
         self._merge_parts: list[DataFrame] = []
         self._spark: SparkSession | None = None
+        # D6 incremental: location_visit maintained as a replace-set
+        # delta table — each batch recomputes intervals ONLY for the
+        # visits it touches and commits O(touched) rows (durable mode).
+        self.maintain_location_visits = maintain_location_visits and storage_root
+        self._lv_store = None
+        if self.maintain_location_visits:
+            from emap_spark.storage import DeltaLog
+
+            self._lv_store = DeltaLog(
+                storage_root, "location_visit", key=["visit_number"],
+                replace_set=True,
+            )
 
     # -- ingestion ---------------------------------------------------------
     def load(self, spark: SparkSession) -> None:
@@ -272,20 +302,94 @@ class EmapEngine:
             )
             .dropDuplicates(["source_message_id"])
         )
+        # history parts are independent of the merge results: they run
+        # CONCURRENTLY with the table merges inside the pipeline's pool,
+        # and are joined before the batch commit marker — a crash
+        # between the two replays (idempotently) rather than skipping
+        # the history write
         if self.storage_root is not None:
-            # history parts land BEFORE the pipeline commit marker so a
-            # crash between the two replays (idempotently) rather than
-            # skipping the history write
-            moves.write.mode("overwrite").parquet(
-                os.path.join(self.storage_root, f"movement_history/batch={batch_id}")
-            )
-            merges.write.mode("overwrite").parquet(
-                os.path.join(self.storage_root, f"merge_history/batch={batch_id}")
-            )
+
+            def write_moves() -> int:
+                # hash-partitioned on visit bucket: the D6 incremental
+                # recompute (and any per-visit read) prunes partitions
+                moves.withColumn(
+                    "__vb",
+                    F.pmod(
+                        F.crc32(F.col("visit_number").cast("binary")),
+                        F.lit(self.N_VISIT_BUCKETS),
+                    ),
+                ).write.mode("overwrite").partitionBy("__vb").parquet(
+                    os.path.join(self.storage_root, f"movement_history/batch={batch_id}")
+                )
+                n = 1
+                if self.maintain_location_visits:
+                    n += self._update_location_visits(moves, batch_id)
+                return n
+
+            def write_merges() -> int:
+                merges.write.mode("overwrite").parquet(
+                    os.path.join(self.storage_root, f"merge_history/batch={batch_id}")
+                )
+                return 1
+
         else:
-            self._movement_parts.append(cut(moves))
-            self._merge_parts.append(cut(merges))
-        self.pipeline.process_batch(adt_batch, batch_id)
+
+            def write_moves() -> int:
+                self._movement_parts.append(cut(moves))
+                return 1
+
+            def write_merges() -> int:
+                self._merge_parts.append(cut(merges))
+                return 1
+
+        self.pipeline.process_batch(
+            adt_batch, batch_id, aux_tasks=[write_moves, write_merges]
+        )
+
+    def _update_location_visits(self, moves: DataFrame, batch_id: int) -> int:
+        """D6 incremental (advice round 2 #4): recompute location-visit
+        intervals ONLY for visits touched by this batch. The history scan
+        prunes to the touched visit buckets (collecting <=16 bucket ids
+        to the driver — a bounded scalar read, like the polling-source
+        watermarks); the commit is a replace-set delta of O(touched)
+        rows. Per-batch cost therefore stays flat as total history grows
+        — the full-history recompute only ever runs for untouched-visit
+        reads in memory mode."""
+        self._lv_store.load(self._spark)
+        if self._lv_store.has_batch(batch_id):
+            return 0
+        buckets = [
+            r[0]
+            for r in moves.select(
+                F.pmod(
+                    F.crc32(F.col("visit_number").cast("binary")),
+                    F.lit(self.N_VISIT_BUCKETS),
+                ).alias("vb")
+            )
+            .distinct()
+            .collect()
+            if r[0] is not None
+        ]
+        touched = moves.select("visit_number").distinct()
+        d = os.path.join(self.storage_root, "movement_history")
+        hist = (
+            self._spark.read.parquet(d)
+            .filter(F.col("__vb").isin(buckets))
+            .drop("batch", "__vb")
+            .join(F.broadcast(touched), "visit_number", "left_semi")
+            .dropDuplicates(["source_message_id"])
+        )
+        new_lv = infer_location_visits(hist).withColumn("__rk", F.lit(1))
+        markers = touched.select(
+            "visit_number",
+            *[
+                F.lit(None).cast(new_lv.schema[c].dataType).alias(c)
+                for c in new_lv.columns
+                if c not in ("visit_number", "__rk")
+            ],
+            F.lit(0).alias("__rk"),
+        )
+        return self._lv_store.commit(batch_id, new_lv.unionByName(markers))
 
     def _movement_history(self) -> DataFrame | None:
         if self.storage_root is not None:
@@ -294,7 +398,7 @@ class EmapEngine:
                 return None
             return (
                 self._spark.read.parquet(d)
-                .drop("batch")
+                .drop("batch", "__vb")
                 .dropDuplicates(["source_message_id"])
             )
         if not self._movement_parts:
@@ -328,16 +432,16 @@ class EmapEngine:
 
     # -- read surface ------------------------------------------------------
     def table(self, name: str) -> DataFrame:
-        state = self.pipeline.tables[name]
-        meta = [c for c in state.current.columns if c.startswith("__")]
-        return state.current.filter(~F.col("is_deleted")).drop("is_deleted", *meta)
+        cur = self.pipeline.tables[name].current_df()
+        meta = [c for c in cur.columns if c.startswith("__")]
+        return cur.filter(~F.col("is_deleted")).drop("is_deleted", *meta)
 
     def audit(self, name: str) -> DataFrame | None:
         return self.pipeline.tables[name].audit()
 
     def table_asof(self, name: str, t) -> DataFrame:
         state = self.pipeline.tables[name]
-        return as_of(state.current, state.audit(), t)
+        return as_of(state.current_df(), state.audit(), t)
 
     def mrn_to_live(self) -> DataFrame:
         """D2: MrnToLive mapping from accumulated MERGE (A40) messages;
@@ -424,6 +528,11 @@ class EmapEngine:
         return apply_identifier_changes(base, changes)
 
     def location_visits(self) -> DataFrame:
+        if self.maintain_location_visits:
+            self._lv_store.load(self._spark)
+            cur = self._lv_store.read_current()
+            if cur is not None:
+                return cur
         history = self._movement_history()
         if history is None:
             raise ValueError("no movement messages processed yet")

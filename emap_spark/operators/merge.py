@@ -122,12 +122,30 @@ class MergeSpec:
 class MergeResult:
     current: DataFrame  # post-merge current snapshot (incl. tombstone rows)
     audit: DataFrame  # superseded versions produced by THIS merge
+    # Single-action form: every row version produced by this merge in ONE
+    # frame — current versions tagged __rk=1, superseded/audit versions
+    # __rk>1 (with valid_until/stored_until). Materializing `combined`
+    # computes the fold ONCE; `current`/`audit` are separate plans that
+    # would each recompute it. The pipeline persists `combined` (one
+    # write per table per batch) and derives both views from the
+    # materialized file — see split_combined.
+    combined: DataFrame | None = None
 
     def live(self) -> DataFrame:
         """Public view: live rows only (M9 tombstones filtered), merge
         metadata (__ts last-write markers) stripped."""
         meta = [c for c in self.current.columns if c.startswith("__")]
         return self.current.filter(~F.col("is_deleted")).drop("is_deleted", *meta)
+
+
+def split_combined(combined: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(current, audit) views over a materialized `combined` frame."""
+    cur = combined.filter(F.col("__rk") == 1).drop(
+        "valid_until", "stored_until", "__rk"
+    )
+    aud = combined.filter(F.col("__rk") > 1).drop("__rk")
+    aud = aud.drop(*[c for c in aud.columns if c.startswith("__")])
+    return cur, aud
 
 
 def _fold_field(name: str, policy: str, spec: MergeSpec, frame) -> list[Column]:
@@ -224,9 +242,20 @@ def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
             seq=spec.seq,
             tombstone=spec.tombstone,
         )
-        cand_tr = fold_updates(tr, spec_plain).withColumn("__trusted", F.lit(True))
-        cand_un = _fold_first(un, spec_plain).withColumn("__trusted", F.lit(False))
-        # untrusted creations live at the time floor (see UNTRUSTED_EPOCH)
+        cand_tr = (
+            fold_updates(tr, spec_plain)
+            .withColumn("__trusted", F.lit(True))
+            .withColumn("__real_t", F.col("__event_time"))
+        )
+        cand_un = (
+            _fold_first(un, spec_plain)
+            .withColumn("__trusted", F.lit(False))
+            .withColumn("__real_t", F.col("__event_time"))
+        )
+        # untrusted creations carry the PRECEDENCE floor in __event_time
+        # and per-field times (internal — any trusted write supersedes
+        # them); __real_t keeps the message's actual event time for the
+        # public valid_from (see UNTRUSTED_EPOCH note).
         floor = F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
         floored = [
             F.when(F.col(c).isNotNull(), floor).alias(c)
@@ -247,6 +276,8 @@ def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
     folded = updates.select(*cols).filter(F.col("__rn") == 1).drop("__rn")
     if "__trusted" not in folded.columns:
         folded = folded.withColumn("__trusted", F.lit(True))
+    if "__real_t" not in folded.columns:
+        folded = folded.withColumn("__real_t", F.col("__event_time"))
     return folded
 
 
@@ -280,12 +311,27 @@ def empty_current(spark, updates: DataFrame, spec: MergeSpec) -> DataFrame:
     for name, policy in spec.fields.items():
         if policy in TRISTATES:
             sel.append(F.col(f"__t_{name}").alias(f"__ts_{name}"))
+    if spec.trusted:
+        sel.append(F.lit(False).alias("__untrusted"))
     return folded.select(*sel).limit(0)
 
 
 def _ts_cols(spec: MergeSpec) -> list[str]:
     """Per-field last-write-time metadata columns kept in current."""
     return [f"__ts_{n}" for n, p in spec.fields.items() if p in TRISTATES]
+
+
+def _meta_cols(spec: MergeSpec) -> list[str]:
+    """All internal metadata columns kept in the current frame: per-field
+    last-write times + (for trusted specs) the untrusted-creation flag.
+    The M6 precedence floor (UNTRUSTED_EPOCH) lives ONLY in these
+    internals — the public surface (valid_from, audit validity) always
+    carries the message's real event time, matching the reference, which
+    stores the actual validFrom for untrusted-created entities."""
+    cols = _ts_cols(spec)
+    if spec.trusted:
+        cols = cols + ["__untrusted"]
+    return cols
 
 
 def merge_batch(
@@ -307,6 +353,8 @@ def merge_batch(
     for c in _ts_cols(spec):  # tolerate pre-metadata current frames
         if c not in current.columns:
             current = current.withColumn(c, F.lit(None).cast("timestamp_ntz"))
+    if spec.trusted and "__untrusted" not in current.columns:
+        current = current.withColumn("__untrusted", F.lit(False))
 
     cand = fold_updates(updates, spec)
 
@@ -318,8 +366,18 @@ def merge_batch(
     cur_exists = F.col("cur.valid_from").isNotNull() | F.col("cur.is_deleted").isNotNull()
     cnd_exists = F.col("cnd.__event_time").isNotNull()
     cur_deleted = F.coalesce(F.col("cur.is_deleted"), F.lit(False))
+    # precedence time of the stored row: an untrusted-created entity sits
+    # at the floor internally (any trusted write supersedes it) while its
+    # public valid_from keeps the real message time (M6 / advice round 2)
+    if spec.trusted:
+        cur_prec = F.when(
+            F.coalesce(F.col("cur.__untrusted"), F.lit(False)),
+            F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz"),
+        ).otherwise(F.col("cur.valid_from"))
+    else:
+        cur_prec = F.col("cur.valid_from")
     cnd_newer = cnd_exists & (
-        ~cur_exists | (F.col("cnd.__event_time") >= F.col("cur.valid_from"))
+        ~cur_exists | (F.col("cnd.__event_time") >= cur_prec)
     )
     # M6: untrusted candidates only act when the entity does not exist yet
     # (a tombstone row still counts as existing).
@@ -346,7 +404,7 @@ def merge_batch(
                 ~cur_exists
                 | cur_deleted
                 | cur_v.isNull()
-                | (cnd_t >= F.col("cur.valid_from"))
+                | (cnd_t >= cur_prec)
             )
             new_v = F.when(field_applies, cnd_v).otherwise(cur_v)
         elif policy in TRISTATES:
@@ -379,18 +437,26 @@ def merge_batch(
         out_fields.append(new_v.alias(name))
         change_terms.append(~new_v.eqNullSafe(cur_v))
 
+    # the public valid_from is always the REAL event time (__real_t);
+    # the floored __event_time is precedence metadata only
     new_valid_from = F.when(
-        cnd_applies & cnd_newer, F.col("cnd.__event_time")
+        cnd_applies & cnd_newer, F.col("cnd.__real_t")
     ).otherwise(F.col("cur.valid_from"))
     new_stored_from = F.when(
         cur_exists & ~cur_deleted, F.col("cur.stored_from")
     ).otherwise(F.lit(stored_from).cast("timestamp_ntz"))
+    if spec.trusted:
+        new_untrusted = F.when(
+            cnd_applies & cnd_newer, ~F.col("cnd.__trusted")
+        ).otherwise(F.coalesce(F.col("cur.__untrusted"), F.lit(False)))
 
     changed = F.lit(False)
     for t in change_terms:
         changed = changed | t
     changed = changed | ~new_deleted.eqNullSafe(cur_deleted) | ~cur_exists
 
+    if spec.trusted:
+        fill_meta.append(new_untrusted.alias("__untrusted"))
     merged = joined.select(
         *out_fields,
         new_valid_from.alias("valid_from"),
@@ -416,15 +482,57 @@ def merge_batch(
     )
     new_current = merged.select(
         *key, *spec.fields, "valid_from", "stored_from", "is_deleted",
-        *_ts_cols(spec),
+        *_meta_cols(spec),
     )
-    return MergeResult(current=new_current, audit=audit)
+    # combined: each merged row explodes into its new version (+ the
+    # superseded version when audited) in ONE pass over the join — no
+    # double computation of the fold when the pipeline persists it.
+    meta = _meta_cols(spec)
+
+    def _meta_null(c: str) -> Column:
+        t = "boolean" if c == "__untrusted" else "timestamp_ntz"
+        return F.lit(None).cast(t).alias(c)
+
+    new_struct = F.struct(
+        *[F.col(k).alias(k) for k in key],
+        *[F.col(n).alias(n) for n in spec.fields],
+        F.col("valid_from").alias("valid_from"),
+        F.col("stored_from").alias("stored_from"),
+        F.col("is_deleted").alias("is_deleted"),
+        *[F.col(c).alias(c) for c in meta],
+        F.lit(None).cast("timestamp_ntz").alias("valid_until"),
+        F.lit(None).cast("timestamp_ntz").alias("stored_until"),
+        F.lit(1).alias("__rk"),
+    )
+    old_struct = F.struct(
+        *[F.col(k).alias(k) for k in key],
+        *[F.col(f"__old_{n}").alias(n) for n in spec.fields],
+        F.col("__old_valid_from").alias("valid_from"),
+        F.col("__old_stored_from").alias("stored_from"),
+        F.col("__old_is_deleted").alias("is_deleted"),
+        *[_meta_null(c) for c in meta],
+        F.col("valid_from").alias("valid_until"),
+        F.lit(stored_from).cast("timestamp_ntz").alias("stored_until"),
+        F.lit(2).alias("__rk"),
+    )
+    combined = (
+        merged.select(
+            F.explode(
+                F.array(new_struct, F.when(F.col("__audit_me"), old_struct))
+            ).alias("__r")
+        )
+        .filter(F.col("__r").isNotNull())
+        .select("__r.*")
+    )
+    return MergeResult(current=new_current, audit=audit, combined=combined)
 
 
 def _fold_field_cum(name: str, policy: str, spec: MergeSpec, frame) -> list[Column]:
     """Running (cumulative) version of _fold_field: state *after* each
-    message, for message-granularity audit trails."""
-    t = F.col(spec.event_time)
+    message, for message-granularity audit trails. Contribution times
+    use the PRECEDENCE order column (__ord — floored for untrusted-origin
+    rows) so per-field newer-wins honors M6 trusted-supersedes."""
+    t = F.col("__ord")
     if policy == ASSIGN:
         # a seed row contributes only non-null values (it represents
         # existing state, not a message carrying every field)
@@ -480,6 +588,8 @@ def merge_batch_versions(
     for c in _ts_cols(spec):  # tolerate pre-metadata current frames
         if c not in current.columns:
             current = current.withColumn(c, F.lit(None).cast("timestamp_ntz"))
+    if spec.trusted and "__untrusted" not in current.columns:
+        current = current.withColumn("__untrusted", F.lit(False))
 
     key = spec.key
     tomb = F.col(spec.tombstone) if spec.tombstone else F.lit(False)
@@ -501,19 +611,9 @@ def merge_batch_versions(
         F.lit(False).alias("__anchor"),
         F.lit(stored_from).cast("timestamp_ntz").alias("__stored"),
         (F.col(spec.trusted) if spec.trusted else F.lit(True)).alias("__trusted"),
+        (~F.col(spec.trusted) if spec.trusted else F.lit(False)).alias("__unt"),
     )
     seed_seq = F.lit(None).cast(seq_type) if seq_type is not None else F.lit(0)
-
-    def _seed_meta(event_time: Column, anchor: bool, tomb_col: Column) -> list[Column]:
-        return [
-            event_time.alias(spec.event_time),
-            seed_seq.alias("__seq"),
-            tomb_col.alias("__tomb"),
-            F.lit(True).alias("__seed"),
-            F.lit(anchor).alias("__anchor"),
-            F.col("stored_from").alias("__stored"),
-            F.lit(True).alias("__trusted"),
-        ]
 
     def _ignore_tristate(g: str) -> Column:
         vt = updates.schema[g].dataType["value"].dataType
@@ -521,66 +621,78 @@ def merge_batch_versions(
 
     # ANCHOR seed: one row per current entity carrying is_deleted +
     # plain (ASSIGN/FILL) fields; tri-state fields ride in as per-field
-    # PSEUDO seeds below. The anchor sits at the LATEST of the entity
+    # PSEUDO seeds. The anchor sits at the LATEST of the entity
     # validFrom and every per-field last-write time so it always folds
     # after all pseudo seeds — its running state is the full pre-batch
     # snapshot (a no-op action, e.g. a cancel of an already-null slot,
     # can leave a field time past the last visible state change).
-    anchor_fields = [
-        _ignore_tristate(f) if policy in TRISTATES else F.col(f)
-        for f, policy in spec.fields.items()
-    ]
-    anchor_t = F.greatest(F.col("valid_from"), *[F.col(c) for c in _ts_cols(spec)]) \
-        if _ts_cols(spec) else F.col("valid_from")
-    seed = current.select(
-        *key,
-        *anchor_fields,
-        *_seed_meta(anchor_t, True, F.col("is_deleted")),
-    )
     # PSEUDO seeds: each tri-state field re-enters the fold at ITS OWN
     # stored last-write time, as the SAVE/DELETE it last absorbed —
     # updates between that time and the entity validFrom then land
     # exactly where event order puts them (per-field last-write-wins,
     # invariant under any batch split). Rows with no last-write time
     # (field never touched) seed nothing, so any-age SAVEs can fill.
-    pseudo_frames = []
-    for f, policy in spec.fields.items():
-        if policy not in TRISTATES:
-            continue
-        fields_f = [
-            (
-                tristate(
-                    F.col(g),
-                    F.when(F.col(g).isNotNull(), F.lit(SAVE)).otherwise(F.lit(DELETE)),
-                ).alias(g)
-                if g == f
-                else (
-                    _ignore_tristate(g)
-                    if p in TRISTATES
-                    else F.lit(None).cast(updates.schema[g].dataType).alias(g)
-                )
-            )
-            for g, p in spec.fields.items()
-        ]
-        pseudo_frames.append(
-            current.filter(F.col(f"__ts_{f}").isNotNull() & ~F.col("is_deleted")).select(
-                *key,
-                *fields_f,
-                *_seed_meta(F.col(f"__ts_{f}"), False, F.lit(False)),
-            )
-        )
-    seeded = upd.unionByName(seed)
-    for p in pseudo_frames:
-        seeded = seeded.unionByName(p)
+    # Anchor + pseudo rows are produced by ONE explode over current
+    # (one union into the fold): N chained unionByName calls each
+    # re-analyze the growing plan — quadratic driver time per batch.
+    anchor_t = F.greatest(F.col("valid_from"), *[F.col(c) for c in _ts_cols(spec)]) \
+        if _ts_cols(spec) else F.col("valid_from")
 
-    # total order: event time, seeds-before-updates at equal times
-    # (pseudo seeds before the anchor), then seq
-    _order = [
-        F.col(spec.event_time),
-        F.col("__seed").desc(),
-        F.col("__anchor"),
-        F.col("__seq"),
+    def _seed_struct(which: str) -> Column:
+        """One seed row as a struct: which='__anchor' or a tri-state
+        field name (pseudo seed for that field)."""
+        is_anchor = which == "__anchor"
+        cols: list[Column] = [F.col(k).alias(k) for k in key]
+        for g, p in spec.fields.items():
+            if p in TRISTATES:
+                if not is_anchor and g == which:
+                    cols.append(
+                        tristate(
+                            F.col(g),
+                            F.when(F.col(g).isNotNull(), F.lit(SAVE)).otherwise(
+                                F.lit(DELETE)
+                            ),
+                        ).alias(g)
+                    )
+                else:
+                    cols.append(_ignore_tristate(g))
+            else:
+                cols.append(
+                    (F.col(g) if is_anchor else F.lit(None).cast(updates.schema[g].dataType)).alias(g)
+                )
+        t = anchor_t if is_anchor else F.col(f"__ts_{which}")
+        tomb_col = F.col("is_deleted") if is_anchor else F.lit(False)
+        seed_unt = (
+            F.coalesce(F.col("__untrusted"), F.lit(False))
+            if spec.trusted
+            else F.lit(False)
+        )
+        cols += [
+            t.alias(spec.event_time),
+            seed_seq.alias("__seq"),
+            tomb_col.alias("__tomb"),
+            F.lit(True).alias("__seed"),
+            F.lit(is_anchor).alias("__anchor"),
+            F.col("stored_from").alias("__stored"),
+            F.lit(True).alias("__trusted"),
+            seed_unt.alias("__unt"),
+        ]
+        struct = F.struct(*cols)
+        if not is_anchor:
+            struct = F.when(
+                F.col(f"__ts_{which}").isNotNull() & ~F.col("is_deleted"), struct
+            )
+        return struct
+
+    seed_structs = [_seed_struct("__anchor")] + [
+        _seed_struct(f) for f, p in spec.fields.items() if p in TRISTATES
     ]
+    seeds = (
+        current.select(F.explode(F.array(*seed_structs)).alias("__s"))
+        .filter(F.col("__s").isNotNull())
+        .select("__s.*")
+    )
+    seeded = upd.unionByName(seeds)
 
     if spec.trusted:
         # M6 at message granularity (visitShouldBeUpdated,
@@ -592,10 +704,16 @@ def merge_batch_versions(
         # so they are dropped before the fold — which keeps the result
         # permutation-invariant (the filter depends only on the total
         # order, not arrival order).
+        _raw_order = [
+            F.col(spec.event_time),
+            F.col("__seed").desc(),
+            F.col("__anchor"),
+            F.col("__seq"),
+        ]
         wfull = W.partitionBy(*key)
         seeded = (
             seeded.withColumn(
-                "__m6_rn", F.row_number().over(W.partitionBy(*key).orderBy(*_order))
+                "__m6_rn", F.row_number().over(W.partitionBy(*key).orderBy(*_raw_order))
             )
             .withColumn("__m6_seeded", F.max(F.col("__seed").cast("int")).over(wfull))
             .filter(
@@ -604,16 +722,27 @@ def merge_batch_versions(
             )
             .drop("__m6_rn", "__m6_seeded")
         )
-        # surviving untrusted rows are creations: floor their write time
-        # (UNTRUSTED_EPOCH) so any later trusted message, at any event
-        # time, supersedes them — seeds re-derived from such entities
-        # inherit the floor through valid_from/__ts automatically
-        seeded = seeded.withColumn(
-            spec.event_time,
-            F.when(
-                F.col("__trusted"), F.col(spec.event_time)
-            ).otherwise(F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")),
-        )
+
+    # __ord is the PRECEDENCE time: untrusted-origin rows (surviving
+    # untrusted creations and seeds re-derived from them) are floored to
+    # UNTRUSTED_EPOCH so any trusted message, at any event time,
+    # supersedes them. The floor is internal — valid_from/audit validity
+    # keep the REAL event time (the reference stores the message's
+    # actual validFrom for untrusted-created entities).
+    seeded = seeded.withColumn(
+        "__ord",
+        F.when(
+            F.col("__unt"), F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
+        ).otherwise(F.col(spec.event_time)),
+    )
+    # total order: precedence time, seeds-before-updates at equal times
+    # (pseudo seeds before the anchor), then seq
+    _order = [
+        F.col("__ord"),
+        F.col("__seed").desc(),
+        F.col("__anchor"),
+        F.col("__seq"),
+    ]
 
     w = W.partitionBy(*key).orderBy(*_order)
     cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -636,19 +765,28 @@ def merge_batch_versions(
             F.col("__seed").alias("__seed"),
             F.col("__anchor").alias("__anchor"),
             F.col("__epoch").alias("__epoch"),
+            F.col("__ord").alias("__ord"),
+            F.col("__unt").alias("__unt"),
         ]
     )
     states = seeded.select(*cols)
     # pseudo seeds exist to drive the fold windows; they are not states
     # of their own (the anchor carries the pre-batch snapshot)
     states = states.filter(~F.col("__seed") | F.col("__anchor"))
+    # downstream windows use the same precedence order as the fold
+    _sorder = [
+        F.col("__ord"),
+        F.col("__seed").desc(),
+        F.col("__anchor"),
+        F.col("__seq"),
+    ]
     # final per-field last-write times for the next batch's pseudo seeds:
     # the cumulative contribution time at the END of each key's last
     # epoch (window column, so it rides on whichever row becomes current
     # even when the newest action changed nothing visible)
     wfull_e = (
         W.partitionBy(*key, "__epoch")
-        .orderBy(F.col("valid_from"), F.col("__seed").desc(), F.col("__anchor"), F.col("__seq"))
+        .orderBy(*_sorder)
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     for name, policy in spec.fields.items():
@@ -659,32 +797,40 @@ def merge_batch_versions(
 
     # a row's state signature; consecutive duplicates are non-changes
     sig = F.struct(*[F.col(f) for f in spec.fields], F.col("is_deleted"))
-    wk = W.partitionBy(*key).orderBy(
-        F.col("valid_from"), F.col("__seed").desc(), F.col("__anchor"), F.col("__seq")
-    )
+    wk = W.partitionBy(*key).orderBy(*_sorder)
     # first row per key: lag is NULL, eqNullSafe(struct, NULL) is false,
     # so __changed is true — no special case needed
     states = states.withColumn("__changed", ~sig.eqNullSafe(F.lag(sig).over(wk)))
     versions = states.filter(F.col("__changed"))
-    wv = W.partitionBy(*key).orderBy(
-        F.col("valid_from"), F.col("__seed").desc(), F.col("__anchor"), F.col("__seq")
-    )
+    wv = W.partitionBy(*key).orderBy(*_sorder)
     versions = versions.withColumn("valid_until", F.lead("valid_from").over(wv)).withColumn(
         "__rk", F.row_number().over(W.partitionBy(*key).orderBy(
-            F.col("valid_from").desc(), F.col("__seed"), F.col("__anchor").desc(), F.col("__seq").desc()
+            F.col("__ord").desc(), F.col("__seed"), F.col("__anchor").desc(), F.col("__seq").desc()
         ))
     )
+    if spec.trusted:
+        versions = versions.withColumn("__untrusted", F.col("__unt"))
 
     out_cols = [*key, *spec.fields, "valid_from", "stored_from", "is_deleted"]
     new_current = versions.filter(F.col("__rk") == 1).select(
-        *out_cols, *_ts_cols(spec)
+        *out_cols, *_meta_cols(spec)
     )
     audit = versions.filter(F.col("__rk") > 1).select(
         *out_cols,
         F.col("valid_until"),
         F.lit(stored_from).cast("timestamp_ntz").alias("stored_until"),
     )
-    return MergeResult(current=new_current, audit=audit)
+    is_cur = F.col("__rk") == 1
+    combined = versions.select(
+        *out_cols,
+        *_meta_cols(spec),
+        F.when(~is_cur, F.col("valid_until")).alias("valid_until"),
+        F.when(~is_cur, F.lit(stored_from).cast("timestamp_ntz")).alias(
+            "stored_until"
+        ),
+        F.when(is_cur, F.lit(1)).otherwise(F.lit(2)).alias("__rk"),
+    )
+    return MergeResult(current=new_current, audit=audit, combined=combined)
 
 
 def replay(

@@ -135,18 +135,35 @@ def q42_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q43_exact_dup_groups",
     oracle="""
+WITH seeded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text
+  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 5)
+)
 SELECT md5(text) AS text_hash, count(*) AS group_size,
        min(doc_id) AS canonical_doc_id, max(doc_id) AS last_doc_id
-FROM documents
+FROM seeded
 GROUP BY md5(text)
 HAVING count(*) > 1
 """,
-    doc="Exact dedup: hash-groupBy duplicate groups with canonical pick.",
+    doc=(
+        "Exact dedup: hash-groupBy duplicate groups with canonical pick. "
+        "The sf corpus has no exact duplicates, so 5 known copies are "
+        "seeded (identically in Spark and oracle) — the operator's "
+        "POSITIVE path is what the gate proves, not a vacuous 0=0."
+    ),
 )
 def q43_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = (
+        d.orderBy("doc_id")
+        .limit(5)
+        .select((F.col("doc_id") + 10000000).alias("doc_id"), "text")
+    )
     return (
-        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        d.unionByName(dups)
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
         .agg(
             F.count(F.lit(1)).alias("group_size"),
             F.min("doc_id").alias("canonical_doc_id"),

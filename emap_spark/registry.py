@@ -51,6 +51,7 @@ def _load_all() -> None:
     import emap_spark.plans.emap_domain  # noqa: F401
     import emap_spark.plans.waveform_ops  # noqa: F401
     import emap_spark.plans.parse_media_ops  # noqa: F401
+    import emap_spark.plans.clinical_ops  # noqa: F401
 
 
 # Registry iteration order = check priority. The external driver records

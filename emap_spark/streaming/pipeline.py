@@ -3,36 +3,34 @@
 readStream (file/kafka/rate source) -> parse/route -> foreachBatch:
   1. dedupe on source_message_id (W4 at-least-once delivery)
   2. quarantine malformed rows (K3 NACK/dead-letter analogue)
-  3. apply the bitemporal merge per entity table in dependency order
-     (person -> visit -> location -> domain), batch- or
-     message-granularity
-  4. persist current + audit durably, append metrics (P10
-     IdsEffectLogging analogue)
+  3. apply the bitemporal merge per entity table — tables are
+     independent, so their merges run CONCURRENTLY (local mode schedules
+     the jobs side by side; a cluster does the same across stages)
+  4. persist row versions durably through a table-format backend, append
+     metrics (P10 IdsEffectLogging analogue)
 
 The same functions run in batch mode (validation replay, §3.3) — batch
 / streaming symmetry is the design stance of SURVEY §7.
 
 Durability (K2 — the reference persists every upsert to Postgres,
-core/.../RowState.java:186-201, App.java:92-101): pass ``storage_root``
-and every batch writes
+core/.../RowState.java:186-201, App.java:92-101) is delegated to a
+table-format backend (emap_spark.storage):
 
-    {root}/tables/{name}/current/batch=<id>/   latest snapshot (pruned)
-    {root}/tables/{name}/audit/batch=<id>/     append-only audit log
-    {root}/quarantine/batch=<id>/              dead-letter rows
-    {root}/metrics.jsonl                       per-batch timings/counts
-    {root}/_applied.json                       commit marker (atomic)
+  * backend="delta" (default, the scale path): incremental MERGE —
+    each batch merges ONLY the keys it touches (current is semi-joined
+    with the batch's key set, broadcast) and commits one delta file of
+    the produced row versions. Write cost is O(touched keys), never
+    O(table); an idempotent transaction log gives exactly-once replay.
+  * backend="snapshot": the round-2 full-rewrite backend, kept so the
+    durability tests can assert both backends agree.
 
-The commit marker is written last (os.replace = atomic); a batch whose
-id is already recorded is skipped entirely, which together with
-per-batch-id overwrite-on-write makes restart replay exactly-once: if
-the driver dies mid-batch the marker still names the previous batch, the
-replay overwrites the partial files, and state converges. On a real
-cluster the same contract is a Delta/Iceberg MERGE + transaction log;
-parquet-dirs + marker is the dependency-free local equivalent.
-
-Batch metrics are collected with ``Observation`` on the single
-materializing action per batch — NOT separate count() jobs (three extra
-full passes per micro-batch do not survive at 100 TB).
+Per-table, per-batch there is exactly ONE materializing write (the
+merge's `combined` frame: current versions + audit rows together); the
+current/audit views are derived from the committed file. Batch metrics
+ride on Observation over the single staging action — no extra count()
+jobs — and the number of Spark actions per batch is itself recorded
+(n_actions), since write amplification is the thing that kills this
+design at 100 TB if it regresses.
 """
 
 from __future__ import annotations
@@ -40,14 +38,21 @@ from __future__ import annotations
 import datetime
 import json
 import os
-import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from emap_spark.lineage import cut
-from emap_spark.operators.merge import MergeResult, MergeSpec, merge_batch, merge_batch_versions
+from emap_spark.operators.merge import (
+    MergeResult,
+    MergeSpec,
+    merge_batch,
+    merge_batch_versions,
+    split_combined,
+)
+from emap_spark.storage import DeltaLog, SnapshotStore
 
 # deterministic, monotonic stored_from: base + batch_id seconds (audit
 # bitemporal queries need stored_from non-decreasing in batch order)
@@ -65,20 +70,21 @@ class TableState:
     """Handle to one entity table's current + audit frames.
 
     In-memory mode: lineage-checkpointed frames (tests / ad-hoc replay).
-    Durable mode: frames are parquet reads; audit() scans the append-only
-    audit log directory."""
+    Durable mode: delegated to a storage backend (DeltaLog/SnapshotStore)."""
 
     spec: MergeSpec
     current: DataFrame | None = None
     audit_parts: list[DataFrame] = field(default_factory=list)
-    audit_path: str | None = None
-    spark: SparkSession | None = None
+    store: object | None = None
+
+    def current_df(self) -> DataFrame | None:
+        if self.store is not None:
+            return self.store.read_current()
+        return self.current
 
     def audit(self) -> DataFrame | None:
-        if self.audit_path is not None:
-            if not os.path.isdir(self.audit_path):
-                return None
-            return self.spark.read.parquet(self.audit_path).drop("batch")
+        if self.store is not None:
+            return self.store.read_audit()
         if not self.audit_parts:
             return None
         out = self.audit_parts[0]
@@ -94,6 +100,7 @@ class BatchMetrics:
     n_deduped: int
     n_quarantined: int
     seconds: float
+    n_actions: int = 0
 
 
 class MergePipeline:
@@ -103,6 +110,7 @@ class MergePipeline:
     projects this table's update rows from the incoming message batch.
     storage_root: optional directory for durable state (see module doc);
     None keeps everything in lineage-checkpointed frames.
+    backend: "delta" (incremental MERGE, scale path) or "snapshot".
     """
 
     def __init__(
@@ -112,6 +120,7 @@ class MergePipeline:
         granularity: str = "batch",
         validator=None,
         storage_root: str | None = None,
+        backend: str = "delta",
     ) -> None:
         self.tables = {
             name: TableState(spec=spec) for name, (spec, _) in tables.items()
@@ -121,11 +130,12 @@ class MergePipeline:
         self.granularity = granularity
         self.validator = validator
         self.storage_root = storage_root
+        self.backend = backend
         self.quarantine: DataFrame | None = None
         self.metrics: list[BatchMetrics] = []
         self._applied: set[int] = set()
-        self._latest: int | None = None
         self._loaded = storage_root is None
+        self._n_actions = 0
 
     # -- durable state -----------------------------------------------------
     @property
@@ -138,60 +148,82 @@ class MergePipeline:
     def load(self, spark: SparkSession) -> None:
         """Reload durable state written by a previous run (restart path).
 
-        Idempotent; called automatically by process_batch. Restores every
-        table's current snapshot + audit-log handle and the applied-batch
-        set so replayed batches are skipped."""
+        Idempotent; called automatically by process_batch. Attaches every
+        table's storage backend (whose transaction log carries the real
+        exactly-once state) and restores the applied-batch set + metrics."""
         if self._loaded:
             return
         self._loaded = True
         for name, state in self.tables.items():
-            state.spark = spark
-            state.audit_path = os.path.join(self.storage_root, "tables", name, "audit")
+            if self.backend == "delta":
+                state.store = DeltaLog(self.storage_root, name, state.spec.key)
+            else:
+                state.store = SnapshotStore(self.storage_root, name, state.spec.key)
+            state.store.load(spark)
         marker = self._marker_path()
-        if not os.path.isfile(marker):
-            return
-        with open(marker) as fh:
-            meta = json.load(fh)
-        self._applied = set(meta["applied"])
-        self._latest = meta["latest"]
-        for name, state in self.tables.items():
-            cur = os.path.join(
-                self.storage_root, "tables", name, f"current/batch={self._latest}"
-            )
-            if os.path.isdir(cur):
-                state.current = spark.read.parquet(cur)
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                self._applied = set(json.load(fh)["applied"])
         metrics_file = os.path.join(self.storage_root, "metrics.jsonl")
         if os.path.isfile(metrics_file):
             with open(metrics_file) as fh:
                 self.metrics = [BatchMetrics(**json.loads(line)) for line in fh]
 
     def _commit(self, batch_id: int) -> None:
-        """Atomically record batch completion, then prune superseded
-        current snapshots (keep latest + previous for crash safety)."""
-        prev = self._latest
+        """Record overall batch completion (informational; each table's
+        transaction log is the authoritative exactly-once state)."""
         self._applied.add(batch_id)
-        self._latest = batch_id
         tmp = self._marker_path() + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"applied": sorted(self._applied), "latest": batch_id}, fh)
+            json.dump({"applied": sorted(self._applied)}, fh)
         os.replace(tmp, self._marker_path())
-        for name in self.tables:
-            cur_root = os.path.join(self.storage_root, "tables", name, "current")
-            if not os.path.isdir(cur_root):
-                continue
-            for d in os.listdir(cur_root):
-                bid = int(d.split("=", 1)[1])
-                if bid not in (batch_id, prev):
-                    shutil.rmtree(os.path.join(cur_root, d), ignore_errors=True)
 
     # -- ingestion ---------------------------------------------------------
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _merge_one_table(self, name: str, deduped: DataFrame, batch_id: int, stored: str) -> int:
+        """Merge + persist one table; returns the number of Spark actions
+        spent. Independent across tables — called concurrently; the
+        normal cost is exactly ONE action (the combined-frame write)."""
+        state = self.tables[name]
+        merge = merge_batch if self.granularity == "batch" else merge_batch_versions
+        updates = self.routers[name](deduped)
+        if state.store is not None:
+            if state.store.has_batch(batch_id):
+                return 0  # this table already committed the batch (replay)
+            current = state.store.read_current()
+            if isinstance(state.store, DeltaLog) and current is not None:
+                # incremental MERGE: fold only the keys this batch touches;
+                # untouched rows are never read into the fold nor rewritten
+                # (the fold seeds itself from `current`, so restricting
+                # current restricts the whole merge to O(touched keys))
+                touched = updates.select(*state.spec.key).distinct()
+                current = current.join(
+                    F.broadcast(touched), state.spec.key, "left_semi"
+                )
+            res: MergeResult = merge(current, updates, state.spec, stored)
+            return state.store.commit(batch_id, res.combined)
+        res = merge(state.current, updates, state.spec, stored)
+        # ONE materialization per table: persist combined, derive both
+        # views from the file (cut also breaks cross-batch lineage)
+        c = cut(res.combined)
+        cur, aud = split_combined(c)
+        state.current = cur
+        state.audit_parts.append(aud)
+        return 1
+
+    def process_batch(
+        self, batch_df: DataFrame, batch_id: int, aux_tasks: list | None = None
+    ) -> None:
+        """aux_tasks: callables () -> int (spark actions spent) that are
+        independent of the merge results (e.g. history-log writes); they
+        run concurrently with the table merges and are joined before the
+        batch commits, so durability ordering is preserved."""
         spark = batch_df.sparkSession
         if self.storage_root is not None:
             self.load(spark)
             if batch_id in self._applied:
                 return  # exactly-once: restart replayed a committed batch
         t0 = time.perf_counter()
+        actions0 = self._n_actions
 
         # ONE materializing pass computes dedupe + validation + metrics
         # (Observation piggybacks on the checkpoint action; the reference's
@@ -213,12 +245,14 @@ class MergePipeline:
             )
         )
         staged = cut(staged)  # materializes -> observations fire; lineage cut
+        self._n_actions += 1
         n_input = int(obs_in.get["n_input"])
         n_deduped = int(obs_out.get["n_deduped"])
         n_quarantined = int(obs_out.get["n_quarantined"])
         deduped = staged.filter(F.col("__valid")).drop("__valid")
         if n_quarantined:
             bad = staged.filter(~F.col("__valid")).drop("__valid")
+            self._n_actions += 1
             if self.storage_root is not None:
                 bad.write.mode("overwrite").parquet(
                     os.path.join(self.storage_root, f"quarantine/batch={batch_id}")
@@ -228,28 +262,29 @@ class MergePipeline:
                     bad if self.quarantine is None else self.quarantine.unionByName(bad)
                 )
 
-        merge = merge_batch if self.granularity == "batch" else merge_batch_versions
         stored = stored_from_for_batch(batch_id)
-        for name, state in self.tables.items():
-            updates = self.routers[name](deduped)
-            res: MergeResult = merge(state.current, updates, state.spec, stored)
-            if self.storage_root is not None:
-                troot = os.path.join(self.storage_root, "tables", name)
-                cur_path = os.path.join(troot, f"current/batch={batch_id}")
-                res.current.write.mode("overwrite").parquet(cur_path)
-                res.audit.write.mode("overwrite").parquet(
-                    os.path.join(troot, f"audit/batch={batch_id}")
-                )
-                state.current = spark.read.parquet(cur_path)
-            else:
-                # cut lineage: state folds across batches and must not
-                # grow a plan (or a localCheckpoint chain) per batch
-                state.current = cut(res.current)
-                state.audit_parts.append(cut(res.audit))
+        # independent tables (and aux history writes) -> concurrent jobs
+        # (each a single action); a tiny batch leaves most cores idle
+        # otherwise
+        aux_tasks = aux_tasks or []
+        n_workers = len(self.tables) + len(aux_tasks)
+        if n_workers > 1:
+            with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                futs = [
+                    ex.submit(self._merge_one_table, name, deduped, batch_id, stored)
+                    for name in self.tables
+                ] + [ex.submit(task) for task in aux_tasks]
+                self._n_actions += sum(f.result() for f in futs)
+        else:
+            for name in self.tables:
+                self._n_actions += self._merge_one_table(name, deduped, batch_id, stored)
+            for task in aux_tasks:
+                self._n_actions += task()
 
         m = BatchMetrics(
             batch_id, n_input, n_deduped, n_quarantined,
             round(time.perf_counter() - t0, 3),
+            self._n_actions - actions0,
         )
         self.metrics.append(m)
         if self.storage_root is not None:
@@ -278,10 +313,11 @@ class MergePipeline:
     def metrics_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
             [
-                (m.batch_id, m.n_input, m.n_deduped, m.n_quarantined, m.seconds)
+                (m.batch_id, m.n_input, m.n_deduped, m.n_quarantined, m.seconds, m.n_actions)
                 for m in self.metrics
             ],
-            "batch_id long, n_input long, n_deduped long, n_quarantined long, seconds double",
+            "batch_id long, n_input long, n_deduped long, n_quarantined long,"
+            " seconds double, n_actions long",
         )
 
 

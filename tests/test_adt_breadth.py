@@ -229,3 +229,38 @@ def test_untrusted_source_creates_but_never_overwrites_visit(spark):
         v = eng.table("hospital_visit").collect()[0]
         finals.add(v.patient_class)
     assert finals == {"INPATIENT"}
+
+
+def test_untrusted_creation_leaves_time_slots_null(spark):
+    """Advice round 2 #1: addPresentationAdmissionOrDischargeTime
+    (VisitController.java:164-167) early-returns for untrusted sources
+    even on creation — a hoover-created visit carries generic fields but
+    leaves presentation/admission/discharge null for EPIC to fill; the
+    visit's public valid_from is the hoover message's REAL time (#2)."""
+    import datetime as _dt
+
+    hoover = {"source_message_id": "h1", "message_type": "ADMIT", "mrn": "PY",
+              "visit_number": "VY", "valid_from": "2024-02-01 08:00:00",
+              "source_system": "databaseExtracts",
+              "patient_class": {"value": "OUTPATIENT", "status": "SAVE"},
+              "admission_datetime": {"value": _dt.datetime(2024, 2, 1, 8),
+                                     "status": "SAVE"}}
+    eng = EmapEngine()
+    eng.process_batch(_adt_rows(spark, [hoover]), 0)
+    v = eng.table("hospital_visit").collect()[0]
+    assert v.patient_class == "OUTPATIENT"  # generic field carried
+    assert v.admission_datetime is None
+    assert v.discharge_datetime is None
+    assert v.presentation_datetime is None
+    assert str(v.valid_from) == "2024-02-01 08:00:00"  # not 1800-01-01
+
+    # EPIC then fills the admission slot, at any event time
+    epic = {"source_message_id": "h2", "message_type": "ADMIT", "mrn": "PY",
+            "visit_number": "VY", "valid_from": "2024-02-01 07:00:00",
+            "source_system": "EPIC",
+            "admission_datetime": {"value": _dt.datetime(2024, 2, 1, 7),
+                                   "status": "SAVE"}}
+    eng.process_batch(_adt_rows(spark, [epic]), 1)
+    v = eng.table("hospital_visit").collect()[0]
+    assert str(v.admission_datetime) == "2024-02-01 07:00:00"
+    assert str(v.valid_from) == "2024-02-01 07:00:00"

@@ -179,3 +179,35 @@ def test_two_entities_independent(spark):
     msgs = [msg("a", 1, 1, name="A"), msg("b", 2, 2, name="B", nhs="NB")]
     snap = snapshot(run(spark, msgs))
     assert [s[0] for s in snap] == ["a", "b"]
+
+
+def test_untrusted_creation_exposes_real_valid_from(spark):
+    """Advice round 2 #2: the UNTRUSTED_EPOCH precedence floor is merge
+    metadata only — an untrusted-created row exposes the message's REAL
+    validFrom in table()/live() and in as_of, exactly as the reference
+    stores it; precedence (any trusted write supersedes) is unchanged."""
+    res = run(spark, [msg("a", 5, 1, name="from-untrusted", trusted=False)])
+    snap = snapshot(res)
+    assert snap[0][1] == "from-untrusted"
+    assert snap[0][4] == ts(5)  # real event time, not 1800-01-01
+    # as_of before the real validFrom: the entity does not exist yet
+    assert as_of(res.current, res.audit, ts(4)).count() == 0
+    assert as_of(res.current, res.audit, ts(5, 1)).count() == 1
+
+    # an OLDER trusted write still supersedes the untrusted creation
+    # (M6 precedence floor), in both granularities and either order
+    from emap_spark.operators.merge import merge_batch_versions
+
+    for granularity in ("batch", "message"):
+        merge = merge_batch if granularity == "batch" else merge_batch_versions
+        cur = None
+        for batch in (
+            [msg("a", 5, 1, name="from-untrusted", trusted=False)],
+            [msg("a", 2, 2, name="epic-older", trusted=True)],
+        ):
+            r = merge(cur, spark.createDataFrame(batch, SCHEMA), SPEC,
+                      "2024-06-01 00:00:00")
+            cur = r.current
+        rows = r.live().collect()
+        assert rows[0].name == "epic-older", granularity
+        assert rows[0].valid_from == ts(2), granularity

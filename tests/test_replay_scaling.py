@@ -36,3 +36,45 @@ def test_per_batch_time_stays_flat(spark):
     # and the accumulated state is actually there
     assert eng.table("hospital_visit").count() == 30 * 20
     assert eng.location_visits().count() > 0
+
+
+def test_incremental_location_visits_flat_and_equivalent(spark, tmp_path):
+    """D6 incremental (advice round 2 #4): with maintain_location_visits
+    the per-batch D6 cost recomputes ONLY touched visits (bucket-pruned
+    history scan + O(touched) replace-set delta), so per-batch time
+    stays flat while history grows 10x — and the maintained table equals
+    the full recompute."""
+    import statistics
+    import time as _t
+
+    eng = EmapEngine(
+        storage_root=str(tmp_path / "d6"), maintain_location_visits=True
+    )
+    base = adt_messages(spark, n_patients=15)
+    times = []
+    for b in range(12):
+        tag = F.lit(f"d{b:02d}-")
+        batch = base.withColumn("mrn", F.concat(tag, "mrn")).withColumn(
+            "visit_number", F.concat(tag, "visit_number")
+        ).withColumn("source_message_id", F.concat(tag, "source_message_id"))
+        t0 = _t.perf_counter()
+        eng.process_batch(batch, b)
+        times.append(_t.perf_counter() - t0)
+    early = statistics.median(times[2:6])
+    late = statistics.median(times[-4:])
+    assert late <= 2.5 * early, f"D6 per-batch cost grew: {times}"
+
+    # maintained replace-set table == full-history recompute
+    from emap_spark.operators.locations import infer_location_visits
+
+    maintained = sorted(
+        (r.visit_number, r.location_string, str(r.admission_datetime),
+         str(r.discharge_datetime))
+        for r in eng.location_visits().collect()
+    )
+    full = sorted(
+        (r.visit_number, r.location_string, str(r.admission_datetime),
+         str(r.discharge_datetime))
+        for r in infer_location_visits(eng._movement_history()).collect()
+    )
+    assert maintained == full and len(maintained) == 12 * 15 * 3
