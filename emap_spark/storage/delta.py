@@ -280,3 +280,5 @@ class SnapshotStore:
             bid = int(d.split("=", 1)[1])
             if bid not in (batch_id, prev):
                 shutil.rmtree(os.path.join(cur_root, d), ignore_errors=True)
+        shutil.rmtree(os.path.join(self.root, "stage"), ignore_errors=True)
+        return 3

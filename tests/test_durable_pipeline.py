@@ -37,7 +37,8 @@ def _snapshot(eng):
     return vis, lv, n_aud
 
 
-def test_restart_resumes_identical_state(spark, tmpdir):
+@pytest.mark.parametrize("backend", ["delta", "snapshot"])
+def test_restart_resumes_identical_state(spark, tmpdir, backend):
     adt = adt_messages(spark, n_patients=4)
     b1 = adt.filter(F.col("message_type") == "ADMIT")
     b2 = adt.filter(F.col("message_type") == "TRANSFER")
@@ -49,12 +50,12 @@ def test_restart_resumes_identical_state(spark, tmpdir):
         ref.process_batch(b, i)
 
     # durable run: process 0,1 -> kill -> new engine resumes -> process 2
-    e1 = EmapEngine(storage_root=tmpdir)
+    e1 = EmapEngine(storage_root=tmpdir, backend=backend)
     e1.process_batch(b1, 0)
     e1.process_batch(b2, 1)
     del e1
 
-    e2 = EmapEngine(storage_root=tmpdir)
+    e2 = EmapEngine(storage_root=tmpdir, backend=backend)
     e2.load(spark)
     # state survived the restart before any new batch
     assert e2.table("hospital_visit").count() == 4
