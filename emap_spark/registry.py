@@ -61,6 +61,11 @@ def _load_all() -> None:
 # family must come first; generic relational shapes (plain SQL vs SQL,
 # lowest divergence risk) overflow to the local replica check
 # (tools/check_correctness.py), whose output covers ALL queries.
+# Round-3 rotation (VERDICT r2 next-steps #2): q57/q58 — the flagship
+# LLM-pipeline plans — and the new q101 (S8 factories) enter the top-50;
+# q45 (documented quadratic oracle baseline), q46 (signature fold,
+# subsumed by q47's use of it) and q21 (trivial min/max shape) rotate
+# out to the local replica check, which still covers ALL queries.
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
@@ -71,8 +76,9 @@ _PRIORITY = [
     "q95_waveform_integrity_check", "q97_waveform_hl7_parse",
     "q72_location_visit_inference", "q73_waveform_visit_attach",
     "q74_waveform_retention",
-    # parse + domain pipelines (S3-S7, D7-D17, W4)
-    "q75_hl7_parse_route", "q89_hl7_adt_breadth", "q76_media_metadata",
+    # parse + domain pipelines (S3-S8, D7-D17, W4)
+    "q75_hl7_parse_route", "q89_hl7_adt_breadth",
+    "q101_hl7_clinical_factories", "q76_media_metadata",
     "q77_media_decode_features", "q78_video_frame_plan",
     "q79_labs_pipeline", "q91_lab_isolate_sensitivities",
     "q80_flowsheets_pipeline",
@@ -84,16 +90,19 @@ _PRIORITY = [
     "q96_hl7_lab_vendor_parse", "q100_incremental_polling",
     # read-side operator queries (Q2/Q5/Q6/Q7/Q8 + state shapes)
     "q13_customer_event_reconciliation",
-    "q20_latest_event_per_user", "q21_stream_bounds",
+    "q20_latest_event_per_user",
     "q22_user_current_state", "q23_scd2_validity_intervals",
     "q24_state_asof", "q25_gap_detection", "q26_sessionization",
-    # LLM-data pipeline family (dedup/similarity/text), complete
+    # LLM-data pipeline family (dedup/similarity/text)
     "q40_token_stats", "q41_quality_score", "q42_lang_source_profile",
-    "q43_exact_dup_groups", "q44_dedup_survivors",
-    "q45_jaccard_near_dup_pairs", "q46_minhash_signatures",
+    "q43_exact_dup_groups",
     "q47_minhash_lsh_pairs", "q57_lsh_near_dup_verified",
-    "q48_simhash", "q49_doc_fingerprint",
-    "q50_knn_bruteforce", "q51_ann_lsh_bucketed", "q58_ann_ivf_probe",
+    "q48_simhash", "q58_ann_ivf_probe",
+    # --- driver cap boundary (first 50 above get the hard driver check) ---
+    "q44_dedup_survivors", "q49_doc_fingerprint",
+    "q50_knn_bruteforce", "q51_ann_lsh_bucketed",
+    "q45_jaccard_near_dup_pairs", "q46_minhash_signatures",
+    "q21_stream_bounds",
     "q52_vector_stats", "q53_label_centroids",
     "q55_token_frequencies", "q56_query_similarity_ranking",
     # flagship + streaming-shaped rollups

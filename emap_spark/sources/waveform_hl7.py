@@ -22,9 +22,21 @@ Validation mirrors the reference:
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from emap_spark.sources.hl7_text import field, segments
+
+# the MLLP reassembler ships a pandas closure to Spark's Python workers;
+# serialize this module by value so a foreign-cwd driver works (see
+# emap_spark/streaming/collation.py for the full rationale)
+try:
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - best effort
+    pass
 
 
 def stream_metadata(spark: SparkSession, rows=None) -> DataFrame:
@@ -143,6 +155,75 @@ def waveform_from_hl7(
     )
 
 
+def mllp_reassemble_stream(lines: DataFrame) -> DataFrame:
+    """Reassemble MLLP-framed HL7 messages from a line-split stream.
+
+    Spark's socket source line-splits on BOTH \\r and \\n
+    (BufferedReader.readLine), so each HL7 SEGMENT arrives as its own
+    row: "\\x0bMSH|..." opens a frame, a row containing \\x1c closes it.
+    This is a stateful reassembler (applyInPandasWithState): the state
+    carries the unterminated fragment tail, so a frame straddling a
+    micro-batch boundary is NOT lost. Rows are re-ordered by a
+    monotonically-increasing id taken in the source's single partition
+    (one TCP connection = one ordered stream, exactly the reference's
+    per-port listener; scale comes from many listeners/ports, each its
+    own key, not from parallelising within a connection)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def tag_order(batches):
+        # Recover ARRIVAL order (monotonically_increasing_id is not
+        # allowed on streams): the socket source assigns its buffered
+        # rows to partitions round-robin in arrival order, so global
+        # order is (index within partition, partition id) — encoded as
+        # one sortable id. A single-partition source (file spool) is the
+        # degenerate case and stays correctly ordered.
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        i = 0
+        for pdf in batches:
+            out = pdf[["value"]].copy()
+            out["__id"] = [(i + j) * 1_000_000 + pid for j in range(len(out))]
+            out["__conn"] = 0
+            i += len(out)
+            yield out
+
+    tagged = lines.mapInPandas(tag_order, "value string, __id long, __conn int")
+
+    def fn(key, pdfs, state: GroupState):
+        frags: list[str] = list(state.get[0]) if state.exists else []
+        open_frame = bool(state.get[1]) if state.exists else False
+        out: list[str] = []
+        new = pd.concat(list(pdfs), ignore_index=True).sort_values("__id")
+        for v in new["value"]:
+            line = str(v).replace("\n", "")
+            if line.startswith("\x0b"):
+                frags, open_frame = [], True
+                line = line[1:]
+            if not open_frame:
+                continue  # noise outside any frame
+            if "\x1c" in line:
+                head = line.split("\x1c", 1)[0]
+                if head:
+                    frags.append(head)
+                if frags:
+                    out.append("\r".join(frags))
+                frags, open_frame = [], False
+            elif line:
+                frags.append(line)
+        state.update((frags, open_frame))
+        yield pd.DataFrame({"hl7": out}, columns=["hl7"])
+
+    return tagged.groupBy("__conn").applyInPandasWithState(
+        fn,
+        "hl7 string",
+        "tail array<string>, open boolean",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def waveform_socket_stream(
     spark: SparkSession,
     metadata: DataFrame,
@@ -150,18 +231,19 @@ def waveform_socket_stream(
     port: int = 9999,
 ):
     """S10: TCP listener wiring (Hl7ListenerConfig.java pattern). The
-    socket source delivers newline-split text; MLLP frames (\\x0b ...
-    \\x1c) are stripped and multi-message payloads split on the vertical
-    tab before parsing. Same parse as batch — attach to foreachBatch or
-    a writeStream sink downstream. Local test substitute: a file stream
-    over a spool directory (waveform_file_stream)."""
+    socket source line-splits the MLLP byte stream; frames are
+    reassembled statefully (mllp_reassemble_stream — survives frames
+    straddling micro-batches) and parsed with the same column
+    expressions as the batch path. Local test substitute: a file stream
+    over a spool directory (waveform_file_stream); the loopback-socket
+    integration test lives in tests/test_stream_collation.py."""
     lines = (
         spark.readStream.format("socket")
         .option("host", host)
         .option("port", port)
         .load()
     )
-    return _parse_stream(lines, metadata)
+    return waveform_from_hl7(mllp_reassemble_stream(lines), metadata)
 
 
 def waveform_file_stream(spark: SparkSession, metadata: DataFrame, spool_dir: str):

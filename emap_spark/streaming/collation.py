@@ -67,6 +67,9 @@ COLLATED_SCHEMA = StructType(
 )
 
 
+DUPLICATE_REASON = "quarantined_duplicate_ts"
+
+
 def _collate_key(
     pdf: pd.DataFrame,
     target_samples: int,
@@ -74,16 +77,45 @@ def _collate_key(
 ) -> list[dict]:
     """Collate one key's messages (already one (location, stream) group).
 
-    Returns emitted rows; duplicates (same observation_time seen twice)
-    keep the first occurrence, mirroring the collator's duplicate error
-    path (WaveformCollator.java: duplicate ts => error; we quarantine by
-    dropping and counting instead of killing the stream).
+    Returns emitted rows. A duplicate timestamp is an ERROR in the
+    reference (WaveformCollator.java:40-93 throws); here the duplicate
+    message is emitted as a K3 dead-letter row tagged
+    is_final_partial=DUPLICATE_REASON (first occurrence wins the
+    collation) instead of killing the stream — a corrupted feed is
+    surfaced, never silently "repaired".
     """
-    pdf = pdf.sort_values("observation_time").drop_duplicates(
-        subset=["observation_time"], keep="first"
+    # equal timestamps: deterministic content tiebreak (row order after a
+    # shuffle is arbitrary; lexicographically-smallest payload wins the
+    # collation so the outcome is permutation-invariant like the rest of
+    # the engine — the reference simply throws, either payload "losing"
+    # is equally valid)
+    pdf = pdf.assign(__vk=pdf["values"].map(tuple)).sort_values(
+        ["observation_time", "__vk"], kind="stable"
     )
-    if pdf.empty:
+    dup_mask = pdf.duplicated(subset=["observation_time"], keep="first")
+    dups = pdf[dup_mask]
+    pdf = pdf[~dup_mask]
+    if pdf.empty and dups.empty:
         return []
+    quarantined: list[dict] = [
+        {
+            "source_location": loc,
+            "source_stream_id": sid,
+            "sampling_rate": int(rate),
+            "unit": unit,
+            "observation_datetime": ts,
+            "n_samples": len(vals),
+            "values_array": [float(v) for v in vals],
+            "is_final_partial": DUPLICATE_REASON,
+        }
+        for loc, sid, rate, unit, ts, vals in zip(
+            dups["source_location"], dups["source_stream_id"],
+            dups["sampling_rate"], dups["unit"],
+            dups["observation_time"], dups["values"],
+        )
+    ]
+    if pdf.empty:
+        return quarantined
     rate = int(pdf["sampling_rate"].iloc[0])
     unit = pdf["unit"].iloc[0]
     loc = pdf["source_location"].iloc[0]
@@ -140,7 +172,7 @@ def _collate_key(
 
     if flush_all:
         emit("timeout")
-    return out
+    return quarantined + out
 
 
 def collate_batch(
@@ -255,13 +287,15 @@ def collate_stream(
             emitted = _collate_key(new, target_samples, flush_all=False)
             rows = emitted
             # what remains buffered = samples after the last emitted chunk
+            # (dead-letter duplicate rows are reports, not emissions)
+            real = [r for r in emitted if r["is_final_partial"] != DUPLICATE_REASON]
             emitted_until = (
                 max(
                     r["observation_datetime"]
                     + pd.Timedelta(seconds=r["n_samples"] / r["sampling_rate"])
-                    for r in emitted
+                    for r in real
                 )
-                if emitted
+                if real
                 else None
             )
             keep = _retain_unemitted(new, emitted_until)

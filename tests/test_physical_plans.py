@@ -46,3 +46,46 @@ def test_events_scan_prunes_columns(spark, sf_dir):
 def test_knn_broadcasts_queries(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q50_knn_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_aqe_skew_join_enabled(spark):
+    """Join skew is AQE's job (runtime split of oversized shuffle
+    partitions); the session factory must keep it on."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_salted_agg_two_shuffles_and_correct(spark, sf_dir):
+    """Aggregation skew: salted_agg must (a) shuffle first on
+    (key, __salt) so a hot key spreads across reducers, then combine on
+    the key alone, and (b) agree exactly with the plain aggregation."""
+    from pyspark.sql import functions as F
+
+    from emap_spark.operators.skew import salted_agg, salted_count_distinct
+    from emap_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    # manufacture a hot key: a third of all rows collapse onto user -1
+    skewed = e.withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, F.lit(-1)).otherwise(F.col("user_id")),
+    ).withColumn("value", F.col("value").cast("decimal(18,4)"))  # exact sums
+    out = salted_agg(
+        skewed,
+        ["user_id"],
+        [("value", "sum", "total"), ("event_id", "max", "max_event")],
+        n_salt=8,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # first shuffle carries the salt
+    plain = skewed.groupBy("user_id").agg(
+        F.sum("value").alias("total"), F.max("event_id").alias("max_event")
+    )
+    diff = out.exceptAll(plain).count() + plain.exceptAll(out).count()
+    assert diff == 0
+
+    cd = salted_count_distinct(skewed, ["user_id"], "event_type", n_salt=8)
+    plain_cd = skewed.groupBy("user_id").agg(
+        F.count_distinct("event_type").alias("n_distinct_event_type")
+    )
+    assert cd.exceptAll(plain_cd).count() + plain_cd.exceptAll(cd).count() == 0
