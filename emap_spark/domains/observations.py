@@ -185,6 +185,48 @@ def process_consults(
     return merge_batch(current, updates, CONSULT_SPEC, stored_from)
 
 
+# D16 for the consult path: the ConsultRequest questions map becomes the
+# question / request_answer child pair (QuestionController.java:91-145;
+# questions are a dimension keyed by text, answers upsert per
+# (parent, question) with newer-wins tri-state).
+CONSULT_QUESTION_SPEC = MergeSpec(
+    key=["internal_id", "question"],
+    fields={"answer": TRISTATE},
+    event_time="valid_from",
+    seq="seq",
+)
+
+
+def process_consult_questions(
+    current: DataFrame | None, consults: DataFrame, stored_from: str
+) -> MergeResult:
+    """Explode each consult's questions map into request_answer rows and
+    upsert per (consult, question). Works over any frame carrying
+    internal_id/valid_from/seq + a questions map — the interchange
+    generator path (q84) and the raw-HL7 factory path (q101) both feed
+    it."""
+    qa = (
+        consults.select(
+            "internal_id",
+            "valid_from",
+            "seq",
+            F.explode_outer("questions").alias("question", "raw"),
+        )
+        .filter(F.col("question").isNotNull())
+        .select(
+            "internal_id",
+            "question",
+            "valid_from",
+            "seq",
+            F.struct(
+                F.col("raw").alias("value"),
+                F.when(F.col("raw") == '""', "DELETE").otherwise("SAVE").alias("status"),
+            ).alias("answer"),
+        )
+    )
+    return merge_batch(current, qa, CONSULT_QUESTION_SPEC, stored_from)
+
+
 # D14: advance decisions get their own table + fields
 # (informdb/decisions/AdvanceDecision.java:28-86:
 # advanceDecisionType, closedDueToDischarge, statusChangeDatetime,

@@ -71,8 +71,15 @@ def q101_hl7_clinical_factories(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cancelled").cast("int")).cast("int").alias("n_removed"),
         F.lit(None).cast("int").alias("n_detail"),
     )
-    n_questions = consults.agg(
-        F.coalesce(F.sum(F.size("questions")), F.lit(0)).cast("int").alias("q")
+    # D16 child via the merge engine (not just the parse): one live
+    # request_answer row per (consult, question)
+    from emap_spark.domains.observations import process_consult_questions
+
+    qres = process_consult_questions(
+        None, consults.withColumn("seq", F.col("source_message_id")), stored
+    )
+    n_questions = qres.live().agg(
+        F.count(F.lit(1)).cast("int").alias("q")
     )
     consult_row = consult_row.crossJoin(F.broadcast(n_questions)).select(
         "kind", "n_rows", "n_live", "n_removed", F.col("q").alias("n_detail")
