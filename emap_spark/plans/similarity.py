@@ -412,3 +412,77 @@ FROM (
 )
 def q58_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann(_emb(spark, sf_dir), N_QUERIES, 8, 2, TOP_K, iters=0)
+
+
+# --------------------------------------------------------------------------
+# q59: embedding-cosine near-duplicate PAIRS (the dedup variant — the
+# LSH/IVF queries above are search; this is corpus-vs-corpus)
+# --------------------------------------------------------------------------
+NEARDUP_THRESHOLD = 0.99
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame, bits: int = LSH_BITS, threshold: float = NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: candidate pairs come
+    from a sign-LSH bucket EQUI-join (hash join, ~N/2^bits rows per
+    bucket; bucket doubles as the partition key at 100 TB), then exact
+    cosine verifies candidates only — no all-pairs shuffle anywhere.
+    Same candidates-then-verify shape as the MinHash text pipeline (q57).
+    """
+    b = emb.select("vec_id", "embedding", _sign_bucket(bits).alias("bucket"))
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src_id"),
+            F.col("c.vec_id").alias("dup_id"),
+            F.round(
+                _dot("a.embedding", "c.embedding")
+                / (_norm("a.embedding") * _norm("c.embedding")),
+                4,
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+@register(
+    "q59_cosine_near_dup_pairs",
+    oracle=f"""
+WITH seeded AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> (x * 1.05)::FLOAT)
+  FROM embeddings WHERE vec_id < 5
+),
+b AS (SELECT vec_id, embedding,
+  ({_SQL_BUCKET}) AS bucket FROM seeded)
+SELECT a.vec_id AS src_id, c.vec_id AS dup_id,
+       round({_sql_cos('a.embedding', 'c.embedding')}, 4) AS cosine_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round({_sql_cos('a.embedding', 'c.embedding')}, 4) >= {NEARDUP_THRESHOLD}
+""",
+    doc=(
+        "Embedding-cosine near-dup dedup: sign-LSH bucket candidates + "
+        "exact cosine verify (candidates only). The corpus has no true "
+        "near-dups, so 5 sign-preserving scaled copies are seeded "
+        "(identically in Spark and oracle) — the positive path is "
+        "gate-proven, the negatives (all real in-bucket pairs, cosine "
+        "<= 0.4) prove the filter."
+    ),
+)
+def q59_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    seeds = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> cast(x * cast(1.05 as double) as float))"
+        ).alias("embedding"),
+    )
+    return cosine_near_dup_pairs(emb.unionByName(seeds))
