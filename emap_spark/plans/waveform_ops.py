@@ -252,7 +252,14 @@ def q73_waveform_visit_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("source_location"), 2, 2).cast("int") % 5,
         ),
     )
-    collated = collate_batch(msgs, target_samples=3000)
+    # two patients collide per location/stream by construction: their
+    # duplicate timestamps land in the dead-letter channel; only real
+    # waveform rows attach to visits
+    from emap_spark.streaming.collation import DUPLICATE_REASON
+
+    collated = collate_batch(msgs, target_samples=3000).filter(
+        F.col("is_final_partial") != DUPLICATE_REASON
+    )
     attached = collated.join(
         lv,
         (F.col("source_location") == F.col("location_string"))

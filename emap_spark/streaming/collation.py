@@ -122,57 +122,55 @@ def _collate_key(
     sid = pdf["source_stream_id"].iloc[0]
     sample_us = 1_000_000.0 / rate
 
-    out: list[dict] = []
-    run_vals: list[float] = []
-    run_start = None
-    expected_us = None
+    # Vectorized collation (the per-sample Python loop dominated the
+    # waveform path — 540k floats through list.extend): gap boundaries
+    # come from one numpy comparison of each message's start vs the
+    # previous message's expected end (checkGap :269-311, never bridge);
+    # samples live in ONE concatenated array and chunks are slices.
+    import numpy as np
 
-    def emit(reason: str) -> None:
-        nonlocal run_vals, run_start
-        while len(run_vals) >= target_samples:
-            chunk, run_vals = run_vals[:target_samples], run_vals[target_samples:]
-            out.append(
-                {
-                    "source_location": loc,
-                    "source_stream_id": sid,
-                    "sampling_rate": rate,
-                    "unit": unit,
-                    "observation_datetime": run_start,
-                    "n_samples": len(chunk),
-                    "values_array": chunk,
-                    "is_final_partial": "full",
-                }
-            )
-            run_start = run_start + pd.Timedelta(microseconds=target_samples * sample_us)
-        if run_vals and reason != "buffer":
-            out.append(
-                {
-                    "source_location": loc,
-                    "source_stream_id": sid,
-                    "sampling_rate": rate,
-                    "unit": unit,
-                    "observation_datetime": run_start,
-                    "n_samples": len(run_vals),
-                    "values_array": run_vals,
-                    "is_final_partial": reason,
-                }
-            )
-            run_vals, run_start = [], None
+    ts_ns = pdf["observation_time"].to_numpy("datetime64[ns]").astype("int64")
+    ts_us = ts_ns // 1000
+    arrays = [np.asarray(v, dtype=np.float64) for v in pdf["values"]]
+    counts = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=len(arrays))
+    vals = np.concatenate(arrays) if arrays else np.empty(0)
+    ends_us = ts_us + counts * sample_us
+    gap = np.abs(ts_us[1:] - ends_us[:-1]) > GAP_TOLERANCE_US
+    run_starts = np.flatnonzero(np.concatenate([[True], gap]))  # msg idx
+    sample_offsets = np.concatenate([[0], np.cumsum(counts)])
 
-    for ts, vals in zip(pdf["observation_time"], pdf["values"]):
-        ts_us = ts.value // 1000  # pandas ns -> us
-        if expected_us is not None and abs(ts_us - expected_us) > GAP_TOLERANCE_US:
-            emit("gap")  # never bridge a gap (checkGap :269-311)
-            expected_us = None
-        if not run_vals:
-            run_start = ts
-        run_vals.extend(float(v) for v in vals)
-        expected_us = ts_us + len(vals) * sample_us
-        emit("buffer")  # flush any complete target-sized chunks
+    out: list[dict] = quarantined
+    chunk_td = pd.Timedelta(microseconds=target_samples * sample_us)
 
-    if flush_all:
-        emit("timeout")
-    return quarantined + out
+    def row(start_ts, chunk: np.ndarray, reason: str) -> dict:
+        return {
+            "source_location": loc,
+            "source_stream_id": sid,
+            "sampling_rate": rate,
+            "unit": unit,
+            "observation_datetime": start_ts,
+            "n_samples": len(chunk),
+            "values_array": chunk,
+            "is_final_partial": reason,
+        }
+
+    for r, start_msg in enumerate(run_starts):
+        last_run = r == len(run_starts) - 1
+        end_msg = len(counts) if last_run else run_starts[r + 1]
+        lo, hi = sample_offsets[start_msg], sample_offsets[end_msg]
+        run_vals = vals[lo:hi]
+        chunk_start = pdf["observation_time"].iloc[start_msg]
+        pos = 0
+        while len(run_vals) - pos >= target_samples:
+            out.append(row(chunk_start, run_vals[pos : pos + target_samples], "full"))
+            pos += target_samples
+            chunk_start = chunk_start + chunk_td
+        rem = len(run_vals) - pos
+        if rem and (not last_run or flush_all):
+            # a gap closes the previous run's remainder; end-of-input
+            # flushes the tail only when the wait limit says so
+            out.append(row(chunk_start, run_vals[pos:], "gap" if not last_run else "timeout"))
+    return out
 
 
 def collate_batch(
