@@ -118,12 +118,21 @@ class DeltaLog:
             return None
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
-    def read_current(self) -> DataFrame | None:
+    def read_current(self, keys: DataFrame | None = None) -> DataFrame | None:
         """Latest committed version per key (tombstones included — the
-        merge engine needs them; readers filter)."""
+        merge engine needs them; readers filter).
+
+        keys: optional frame of key values to restrict to. The restrict
+        happens BELOW the latest-per-key window (a key-filtered set has
+        the same per-key latest rows), so an incremental merge shuffles
+        only the touched keys' rows — windows block join pushdown in
+        Catalyst, so filtering after read_current() would shuffle the
+        WHOLE table every batch."""
         live = self._read_live()
         if live is None:
             return None
+        if keys is not None:
+            live = live.join(F.broadcast(keys), self.key, "left_semi")
         if self.replace_set:
             # newest batch that touched the set key owns its whole row-set.
             # __rk=0 marker rows advance the set's version WITHOUT adding

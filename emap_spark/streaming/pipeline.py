@@ -189,16 +189,16 @@ class MergePipeline:
         if state.store is not None:
             if state.store.has_batch(batch_id):
                 return 0  # this table already committed the batch (replay)
-            current = state.store.read_current()
-            if isinstance(state.store, DeltaLog) and current is not None:
+            if isinstance(state.store, DeltaLog):
                 # incremental MERGE: fold only the keys this batch touches;
                 # untouched rows are never read into the fold nor rewritten
-                # (the fold seeds itself from `current`, so restricting
-                # current restricts the whole merge to O(touched keys))
+                # (the key restriction is applied BELOW the store's
+                # latest-per-key window — see DeltaLog.read_current — so
+                # the seed shuffle is O(touched rows), not O(table))
                 touched = updates.select(*state.spec.key).distinct()
-                current = current.join(
-                    F.broadcast(touched), state.spec.key, "left_semi"
-                )
+                current = state.store.read_current(keys=touched)
+            else:
+                current = state.store.read_current()
             res: MergeResult = merge(current, updates, state.spec, stored)
             return state.store.commit(batch_id, res.combined)
         res = merge(state.current, updates, state.spec, stored)

@@ -103,3 +103,22 @@ def test_delta_files_scale_with_batch_not_table(spark, tmp_path):
     # 10 new current versions + 10 superseded audit rows — not 500
     assert small.count() == 20
     assert delta.read_current().count() == 500
+
+
+def test_key_restricted_read_filters_below_window(spark, tmp_path):
+    """The incremental merge's seed read must semi-join the touched keys
+    BELOW the latest-per-key window (windows block join pushdown, so
+    filtering above would shuffle the whole table every batch)."""
+    delta = DeltaLog(str(tmp_path / "d4"), "t", ["k"], compact_every=100)
+    delta.load(spark)
+    _run(delta, spark, [(range(100), 1, "a"), (range(50), 2, "b")])
+    touched = spark.createDataFrame([("k001",), ("k002",)], "k string")
+    restricted = delta.read_current(keys=touched)
+    assert restricted.count() == 2
+    plan = restricted._jdf.queryExecution().executedPlan().toString()
+    # the Window node sits ABOVE the semi join in the tree printout
+    assert "LeftSemi" in plan
+    assert plan.index("Window") < plan.index("LeftSemi")
+    # and the restricted read equals the filtered full read
+    full = delta.read_current().join(F.broadcast(touched), ["k"], "left_semi")
+    assert _snap(restricted) == _snap(full)
