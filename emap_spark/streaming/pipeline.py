@@ -225,6 +225,17 @@ class MergePipeline:
         t0 = time.perf_counter()
         actions0 = self._n_actions
 
+        # aux tasks depend only on the raw batch — start them NOW so
+        # their jobs overlap the staging materialization below (the
+        # table merges must wait for staging; the histories need not)
+        aux_tasks = aux_tasks or []
+        ex = (
+            ThreadPoolExecutor(max_workers=len(self.tables) + len(aux_tasks))
+            if (len(self.tables) + len(aux_tasks)) > 1
+            else None
+        )
+        aux_futs = [ex.submit(task) for task in aux_tasks] if ex else []
+
         # ONE materializing pass computes dedupe + validation + metrics
         # (Observation piggybacks on the checkpoint action; the reference's
         # per-message IdsEffectLogging becomes per-batch counters).
@@ -263,18 +274,18 @@ class MergePipeline:
                 )
 
         stored = stored_from_for_batch(batch_id)
-        # independent tables (and aux history writes) -> concurrent jobs
-        # (each a single action); a tiny batch leaves most cores idle
-        # otherwise
-        aux_tasks = aux_tasks or []
-        n_workers = len(self.tables) + len(aux_tasks)
-        if n_workers > 1:
-            with ThreadPoolExecutor(max_workers=n_workers) as ex:
+        # independent tables -> concurrent jobs (each a single action); a
+        # tiny batch leaves most cores idle otherwise. Joined together
+        # with the aux futures before the batch commits.
+        if ex is not None:
+            try:
                 futs = [
                     ex.submit(self._merge_one_table, name, deduped, batch_id, stored)
                     for name in self.tables
-                ] + [ex.submit(task) for task in aux_tasks]
+                ] + aux_futs
                 self._n_actions += sum(f.result() for f in futs)
+            finally:
+                ex.shutdown()
         else:
             for name in self.tables:
                 self._n_actions += self._merge_one_table(name, deduped, batch_id, stored)

@@ -62,9 +62,17 @@ def test_collation_never_bridges_gap(spark):
 
 
 def test_collation_out_of_order_and_duplicates(spark):
+    from emap_spark.streaming.collation import DUPLICATE_REASON
+
     rows = [(500_000, range(5, 10)), (0, range(5)), (500_000, range(5, 10))]
     out = collate_batch(wf_msgs(spark, rows), target_samples=10).collect()
-    assert len(out) == 1 and out[0].values_array == [float(v) for v in range(10)]
+    # one collated chunk + the duplicate delivery surfaced as a
+    # dead-letter row (the reference treats a duplicate ts as an error)
+    collated = [r for r in out if r.is_final_partial != DUPLICATE_REASON]
+    dead = [r for r in out if r.is_final_partial == DUPLICATE_REASON]
+    assert len(collated) == 1
+    assert collated[0].values_array == [float(v) for v in range(10)]
+    assert len(dead) == 1 and dead[0].n_samples == 5
 
 
 def test_waveform_generator_sine(spark):
