@@ -85,6 +85,44 @@ def synthetic_media(spark: SparkSession, n: int = 100) -> DataFrame:
     )
 
 
+def synthetic_real_media(spark: SparkSession, n: int = 40) -> DataFrame:
+    """REAL media payloads the builtin codecs can decode: even ids are
+    16-bit mono 8 kHz WAV files (1 kHz sine, amplitude 1000+i, exactly
+    800*(i%10+1) frames -> 44-byte header + 2 bytes/frame), odd ids are
+    binary PPM images (32x24, every channel = (i*7)%256). Every byte is
+    produced by the actual file-format writers, so the decode step is a
+    true parser round-trip, not a simulation."""
+    import io
+    import math
+    import struct
+    import wave as _wave
+
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            nf = 800 * ((i % 10) + 1)
+            amp = 1000 + i
+            frames = b"".join(
+                struct.pack("<h", int(amp * math.sin(2 * math.pi * 1000 * k / 8000)))
+                for k in range(nf)
+            )
+            buf = io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(frames)
+            rows.append(
+                (i, "audio", "audio/wav", None, None, nf * 1000 // 8000, buf.getvalue())
+            )
+        else:
+            wd, ht = 32, 24
+            val = (i * 7) % 256
+            payload = b"P6\n32 24\n255\n" + bytes([val]) * (wd * ht * 3)
+            rows.append((i, "image", "image/x-portable-pixmap", wd, ht, None, payload))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Typed-metadata rollup — pure column ops, no decode needed."""
     return media.groupBy("kind").agg(
@@ -103,36 +141,110 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     return {"checksum": digest, "pixels_or_samples": n}
 
 
+# -- REAL builtin codecs (no external media libs needed) --------------------
+# WAV rides on the stdlib `wave` module; PPM (P6) is a 3-line header +
+# raw RGB, parsed with numpy. Compressed formats (JPEG/MP3/H.264) still
+# need a real library — they keep the documented NotImplementedError
+# swap point. This makes the decode step REAL end-to-end for the
+# formats the container can express, not a simulation.
+
+def _decode_wav(payload: bytes) -> dict:
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        n_frames = w.getnframes()
+        rate = w.getframerate()
+        n_channels = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n_frames)
+    if width != 2:
+        raise ValueError(f"only 16-bit PCM supported, got width={width}")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    return {
+        "pixels_or_samples": int(n_frames) * n_channels,
+        "sample_rate": rate,
+        "peak": float(np.max(np.abs(samples))) if len(samples) else 0.0,
+        "mean_abs": float(np.mean(np.abs(samples))) if len(samples) else 0.0,
+        "samples": samples,
+    }
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    import numpy as np
+
+    # P6 header: magic, width height, maxval, then raw RGB bytes
+    parts = payload.split(b"\n", 3)
+    if parts[0] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h = (int(x) for x in parts[1].split())
+    maxval = int(parts[2])
+    pix = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
+    arr = pix.reshape(h, w, 3).astype(np.float64)
+    return {
+        "pixels_or_samples": w * h,
+        "width": w,
+        "height": h,
+        "maxval": maxval,
+        "peak": float(arr.max()) if arr.size else 0.0,
+        "mean_abs": float(arr.mean()) if arr.size else 0.0,
+        "pixels": arr,
+    }
+
+
+def _builtin_decode(payload: bytes, mime: str) -> dict:
+    if mime == "audio/wav":
+        return _decode_wav(payload)
+    if mime == "image/x-portable-pixmap":
+        return _decode_ppm(payload)
+    raise NotImplementedError(
+        f"mime {mime!r} needs an external codec library; builtin codecs "
+        "cover audio/wav and image/x-portable-pixmap"
+    )
+
+
 def decode_media(media: DataFrame, codec: str = "fake", batch_size: int = 64) -> DataFrame:
     """mapInPandas decode: Arrow-batched, bounded memory per worker.
 
-    codec="fake" -> deterministic stub (container has no media libs);
-    any other codec raises NotImplementedError AT EXECUTOR TIME with a
-    clear message naming the swap point.
+    codec="fake"    -> deterministic stub (any payload);
+    codec="builtin" -> REAL decode for WAV audio (stdlib wave + numpy
+                       PCM) and binary PPM images (numpy) — unsupported
+                       mimes raise NotImplementedError at executor time
+                       naming the swap point for compressed formats.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if codec != "fake":
+            if codec not in ("fake", "builtin"):
                 raise NotImplementedError(
-                    f"codec {codec!r}: install a media library and replace "
-                    "emap_spark.multimodal.binary_ops._fake_decode"
+                    f"codec {codec!r}: install a media library and extend "
+                    "emap_spark.multimodal.binary_ops._builtin_decode"
                 )
             out = []
-            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                d = _fake_decode(bytes(payload), kind)
+            for mid, kind, mime, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["mime"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                if codec == "builtin":
+                    d = _builtin_decode(raw, mime)
+                    checksum = hashlib.md5(raw).hexdigest()
+                else:
+                    d = _fake_decode(raw, kind)
+                    checksum = d["checksum"]
                 out.append(
                     {
                         "media_id": mid,
                         "kind": kind,
-                        "n_bytes": len(payload),
-                        "checksum": d["checksum"],
+                        "n_bytes": len(raw),
+                        "checksum": checksum,
                         "pixels_or_samples": d["pixels_or_samples"],
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
+    return media.select("media_id", "kind", "mime", "payload").mapInPandas(
         fn, DECODED_SCHEMA
     )
 

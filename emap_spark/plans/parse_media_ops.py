@@ -1063,3 +1063,47 @@ def q100_incremental_polling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "source string, poll int, n_rows int, watermark int"
     ).orderBy("source", "poll")
+
+
+# --------------------------------------------------------------------------
+# q102: REAL builtin media decode — WAV via stdlib wave + numpy PCM, PPM
+# via numpy. This closes the "codec step is stubbed" gap for the formats
+# the container can express; compressed formats keep the documented
+# NotImplementedError swap point.
+#
+# Fixture arithmetic (synthetic_real_media, n=40): even ids = WAV with
+# 800*(i%10+1) frames (for even i, (i%10)+1 cycles 1,3,5,7,9, four times
+# each -> total 800*25*4 = 80000 samples; max file = 44 + 2*7200 bytes);
+# odd ids = 32x24 PPM (768 pixels each; file = 13 + 2304 bytes).
+_Q102_ORACLE = """
+SELECT * FROM (VALUES
+  ('audio', 20, 80000, 14444),
+  ('image', 20, 15360,  2317)
+) t(kind, n_items, total_units, max_bytes)
+ORDER BY kind
+"""
+
+
+@register(
+    "q102_media_builtin_decode",
+    oracle=_Q102_ORACLE,
+    doc=(
+        "REAL media decode (no external libs): WAV PCM parsed with the "
+        "stdlib wave module + numpy, binary PPM parsed with numpy, both "
+        "inside the Arrow-batched mapInPandas plumbing; unit counts and "
+        "byte sizes verified against the file formats' closed forms."
+    ),
+)
+def q102_media_builtin_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.multimodal.binary_ops import decode_media, synthetic_real_media
+
+    decoded = decode_media(synthetic_real_media(spark, 40), codec="builtin")
+    return (
+        decoded.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_items"),
+            F.sum("pixels_or_samples").cast("int").alias("total_units"),
+            F.max("n_bytes").cast("int").alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )
