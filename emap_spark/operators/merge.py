@@ -562,61 +562,51 @@ def _fold_field_cum(name: str, policy: str, spec: MergeSpec, frame) -> list[Colu
     return [picked["v"].alias(name), picked["t"].alias(f"__t_{name}")]
 
 
-def merge_batch_versions(
-    current: DataFrame | None,
-    updates: DataFrame,
-    spec: MergeSpec,
-    stored_from,
-) -> MergeResult:
-    """Message-granularity merge (the reference's exact audit behavior):
-    every state-changing message yields an audit row for the version it
-    supersedes (RowState.java:186-201), so as-of works at any t.
+# Column/Window objects are immutable EXPRESSION TEMPLATES, independent
+# of any DataFrame — rebuilding them per batch costs ~1s of py4j round
+# trips per table per batch (measured: the dominant ingest driver cost,
+# far above the JVM's 0.1s analyze+optimize). Everything that does not
+# depend on stored_from is built once per (spec, schema) and reused.
+_MBV_CACHE: dict = {}
 
-    Implementation: seed the fold with the current rows (positioned at
-    their validFrom in the total order), compute the running state after
-    each message with cumulative windows, keep rows where the state
-    changed, and split last-version-per-key (current) from the rest
-    (audit). Tombstones open a new "epoch": field folding restarts, so
-    resurrected entities inherit nothing (M9, order-invariant).
 
-    Sequential-fold-by-event-time IS newer-wins: messages older than the
-    seed land before it and are overwritten by it.
-    """
-    spark = updates.sparkSession
-    if current is None:
-        current = empty_current(spark, updates, spec)
-    for c in _ts_cols(spec):  # tolerate pre-metadata current frames
-        if c not in current.columns:
-            current = current.withColumn(c, F.lit(None).cast("timestamp_ntz"))
-    if spec.trusted and "__untrusted" not in current.columns:
-        current = current.withColumn("__untrusted", F.lit(False))
+def _mbv_templates(spec: MergeSpec, schema) -> dict:
+    ck = (
+        tuple(spec.key),
+        tuple(spec.fields.items()),
+        spec.event_time,
+        spec.seq,
+        spec.trusted,
+        spec.tombstone,
+        tuple((f.name, f.dataType.simpleString()) for f in schema.fields),
+    )
+    t = _MBV_CACHE.get(ck)
+    if t is not None:
+        return t
 
     key = spec.key
     tomb = F.col(spec.tombstone) if spec.tombstone else F.lit(False)
-
     # seq keeps its native type (string message ids are common); the seed
     # sorts before same-timestamp updates via the __seed flag, not a
     # sentinel seq value
     seq_col = F.col(spec.seq) if spec.seq else F.lit(0)
-    seq_type = updates.schema[spec.seq].dataType if spec.seq else None
-    if spec.tombstone:
-        updates = _mask_tombstone_fields(updates, spec, tomb)
-    upd = updates.select(
-        *key,
+    seq_type = schema[spec.seq].dataType if spec.seq else None
+    seed_seq = F.lit(None).cast(seq_type) if seq_type is not None else F.lit(0)
+
+    upd_cols = [
+        *[F.col(k) for k in key],
         *[F.col(f) for f in spec.fields],
         F.col(spec.event_time),
         seq_col.alias("__seq"),
         tomb.alias("__tomb"),
         F.lit(False).alias("__seed"),
         F.lit(False).alias("__anchor"),
-        F.lit(stored_from).cast("timestamp_ntz").alias("__stored"),
         (F.col(spec.trusted) if spec.trusted else F.lit(True)).alias("__trusted"),
         (~F.col(spec.trusted) if spec.trusted else F.lit(False)).alias("__unt"),
-    )
-    seed_seq = F.lit(None).cast(seq_type) if seq_type is not None else F.lit(0)
+    ]
 
     def _ignore_tristate(g: str) -> Column:
-        vt = updates.schema[g].dataType["value"].dataType
+        vt = schema[g].dataType["value"].dataType
         return tristate(F.lit(None).cast(vt), F.lit(IGNORE)).alias(g)
 
     # ANCHOR seed: one row per current entity carrying is_deleted +
@@ -658,7 +648,7 @@ def merge_batch_versions(
                     cols.append(_ignore_tristate(g))
             else:
                 cols.append(
-                    (F.col(g) if is_anchor else F.lit(None).cast(updates.schema[g].dataType)).alias(g)
+                    (F.col(g) if is_anchor else F.lit(None).cast(schema[g].dataType)).alias(g)
                 )
         t = anchor_t if is_anchor else F.col(f"__ts_{which}")
         tomb_col = F.col("is_deleted") if is_anchor else F.lit(False)
@@ -687,13 +677,84 @@ def merge_batch_versions(
     seed_structs = [_seed_struct("__anchor")] + [
         _seed_struct(f) for f, p in spec.fields.items() if p in TRISTATES
     ]
-    seeds = (
-        current.select(F.explode(F.array(*seed_structs)).alias("__s"))
-        .filter(F.col("__s").isNotNull())
-        .select("__s.*")
-    )
-    seeded = upd.unionByName(seeds)
 
+    # __ord is the PRECEDENCE time: untrusted-origin rows (surviving
+    # untrusted creations and seeds re-derived from them) are floored to
+    # UNTRUSTED_EPOCH so any trusted message, at any event time,
+    # supersedes them. The floor is internal — valid_from/audit validity
+    # keep the REAL event time (the reference stores the message's
+    # actual validFrom for untrusted-created entities).
+    ord_expr = F.when(
+        F.col("__unt"), F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
+    ).otherwise(F.col(spec.event_time))
+    # total order: precedence time, seeds-before-updates at equal times
+    # (pseudo seeds before the anchor), then seq
+    _order = [
+        F.col("__ord"),
+        F.col("__seed").desc(),
+        F.col("__anchor"),
+        F.col("__seq"),
+    ]
+    w = W.partitionBy(*key).orderBy(*_order)
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    we = W.partitionBy(*key, "__epoch").orderBy(*_order)
+    cume = we.rowsBetween(W.unboundedPreceding, W.currentRow)
+
+    state_cols: list[Column] = [F.col(k) for k in key]
+    for name, policy in spec.fields.items():
+        state_cols.extend(_fold_field_cum(name, policy, spec, cume))
+    state_cols.extend(
+        [
+            F.col(spec.event_time).alias("valid_from"),
+            F.col("__tomb").alias("is_deleted"),
+            F.first(F.col("__stored")).over(cume).alias("stored_from"),
+            F.col("__seq").alias("__seq"),
+            F.col("__seed").alias("__seed"),
+            F.col("__anchor").alias("__anchor"),
+            F.col("__epoch").alias("__epoch"),
+            F.col("__ord").alias("__ord"),
+            F.col("__unt").alias("__unt"),
+        ]
+    )
+    _sorder = [
+        F.col("__ord"),
+        F.col("__seed").desc(),
+        F.col("__anchor"),
+        F.col("__seq"),
+    ]
+    wfull_e = (
+        W.partitionBy(*key, "__epoch")
+        .orderBy(*_sorder)
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    ts_exprs = {
+        f"__ts_{name}": F.last(F.col(f"__t_{name}")).over(wfull_e)
+        for name, policy in spec.fields.items()
+        if policy in TRISTATES
+    }
+    sig = F.struct(*[F.col(f) for f in spec.fields], F.col("is_deleted"))
+    wk = W.partitionBy(*key).orderBy(*_sorder)
+    changed_expr = ~sig.eqNullSafe(F.lag(sig).over(wk))
+    wv = W.partitionBy(*key).orderBy(*_sorder)
+    valid_until_expr = F.lead("valid_from").over(wv)
+    rk_expr = F.row_number().over(
+        W.partitionBy(*key).orderBy(
+            F.col("__ord").desc(), F.col("__seed"), F.col("__anchor").desc(), F.col("__seq").desc()
+        )
+    )
+
+    t = {
+        "tomb": tomb,
+        "upd_cols": upd_cols,
+        "seed_structs": seed_structs,
+        "epoch_expr": F.sum(F.col("__tomb").cast("int")).over(cum),
+        "ord_expr": ord_expr,
+        "state_cols": state_cols,
+        "ts_exprs": ts_exprs,
+        "changed_expr": changed_expr,
+        "valid_until_expr": valid_until_expr,
+        "rk_expr": rk_expr,
+    }
     if spec.trusted:
         # M6 at message granularity (visitShouldBeUpdated,
         # VisitController.java:188-204): an untrusted message may only
@@ -711,11 +772,62 @@ def merge_batch_versions(
             F.col("__seq"),
         ]
         wfull = W.partitionBy(*key)
+        t["m6_rn"] = F.row_number().over(W.partitionBy(*key).orderBy(*_raw_order))
+        t["m6_seeded"] = F.max(F.col("__seed").cast("int")).over(wfull)
+    _MBV_CACHE[ck] = t
+    return t
+
+
+def merge_batch_versions(
+    current: DataFrame | None,
+    updates: DataFrame,
+    spec: MergeSpec,
+    stored_from,
+) -> MergeResult:
+    """Message-granularity merge (the reference's exact audit behavior):
+    every state-changing message yields an audit row for the version it
+    supersedes (RowState.java:186-201), so as-of works at any t.
+
+    Implementation: seed the fold with the current rows (positioned at
+    their validFrom in the total order), compute the running state after
+    each message with cumulative windows, keep rows where the state
+    changed, and split last-version-per-key (current) from the rest
+    (audit). Tombstones open a new "epoch": field folding restarts, so
+    resurrected entities inherit nothing (M9, order-invariant).
+
+    Sequential-fold-by-event-time IS newer-wins: messages older than the
+    seed land before it and are overwritten by it.
+
+    Column templates are memoized per (spec, schema) — only the
+    stored_from literals are fresh per batch (see _mbv_templates).
+    """
+    spark = updates.sparkSession
+    if current is None:
+        current = empty_current(spark, updates, spec)
+    for c in _ts_cols(spec):  # tolerate pre-metadata current frames
+        if c not in current.columns:
+            current = current.withColumn(c, F.lit(None).cast("timestamp_ntz"))
+    if spec.trusted and "__untrusted" not in current.columns:
+        current = current.withColumn("__untrusted", F.lit(False))
+
+    key = spec.key
+    T = _mbv_templates(spec, updates.schema)
+    if spec.tombstone:
+        updates = _mask_tombstone_fields(updates, spec, T["tomb"])
+    stored_lit = F.lit(stored_from).cast("timestamp_ntz")
+    upd = updates.select(*T["upd_cols"], stored_lit.alias("__stored"))
+
+    seeds = (
+        current.select(F.explode(F.array(*T["seed_structs"])).alias("__s"))
+        .filter(F.col("__s").isNotNull())
+        .select("__s.*")
+    )
+    seeded = upd.unionByName(seeds)
+
+    if spec.trusted:
         seeded = (
-            seeded.withColumn(
-                "__m6_rn", F.row_number().over(W.partitionBy(*key).orderBy(*_raw_order))
-            )
-            .withColumn("__m6_seeded", F.max(F.col("__seed").cast("int")).over(wfull))
+            seeded.withColumn("__m6_rn", T["m6_rn"])
+            .withColumn("__m6_seeded", T["m6_seeded"])
             .filter(
                 F.col("__trusted")
                 | ((F.col("__m6_rn") == 1) & (F.col("__m6_seeded") == 0))
@@ -723,90 +835,28 @@ def merge_batch_versions(
             .drop("__m6_rn", "__m6_seeded")
         )
 
-    # __ord is the PRECEDENCE time: untrusted-origin rows (surviving
-    # untrusted creations and seeds re-derived from them) are floored to
-    # UNTRUSTED_EPOCH so any trusted message, at any event time,
-    # supersedes them. The floor is internal — valid_from/audit validity
-    # keep the REAL event time (the reference stores the message's
-    # actual validFrom for untrusted-created entities).
-    seeded = seeded.withColumn(
-        "__ord",
-        F.when(
-            F.col("__unt"), F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
-        ).otherwise(F.col(spec.event_time)),
-    )
-    # total order: precedence time, seeds-before-updates at equal times
-    # (pseudo seeds before the anchor), then seq
-    _order = [
-        F.col("__ord"),
-        F.col("__seed").desc(),
-        F.col("__anchor"),
-        F.col("__seq"),
-    ]
-
-    w = W.partitionBy(*key).orderBy(*_order)
-    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    seeded = seeded.withColumn("__ord", T["ord_expr"])
     # tombstones split the history into epochs; folding restarts per epoch
-    seeded = seeded.withColumn(
-        "__epoch", F.sum(F.col("__tomb").cast("int")).over(cum)
-    )
-    we = W.partitionBy(*key, "__epoch").orderBy(*_order)
-    cume = we.rowsBetween(W.unboundedPreceding, W.currentRow)
+    seeded = seeded.withColumn("__epoch", T["epoch_expr"])
 
-    cols: list[Column] = [F.col(k) for k in key]
-    for name, policy in spec.fields.items():
-        cols.extend(_fold_field_cum(name, policy, spec, cume))
-    cols.extend(
-        [
-            F.col(spec.event_time).alias("valid_from"),
-            F.col("__tomb").alias("is_deleted"),
-            F.first(F.col("__stored")).over(cume).alias("stored_from"),
-            F.col("__seq").alias("__seq"),
-            F.col("__seed").alias("__seed"),
-            F.col("__anchor").alias("__anchor"),
-            F.col("__epoch").alias("__epoch"),
-            F.col("__ord").alias("__ord"),
-            F.col("__unt").alias("__unt"),
-        ]
-    )
-    states = seeded.select(*cols)
+    states = seeded.select(*T["state_cols"])
     # pseudo seeds exist to drive the fold windows; they are not states
     # of their own (the anchor carries the pre-batch snapshot)
     states = states.filter(~F.col("__seed") | F.col("__anchor"))
-    # downstream windows use the same precedence order as the fold
-    _sorder = [
-        F.col("__ord"),
-        F.col("__seed").desc(),
-        F.col("__anchor"),
-        F.col("__seq"),
-    ]
     # final per-field last-write times for the next batch's pseudo seeds:
     # the cumulative contribution time at the END of each key's last
     # epoch (window column, so it rides on whichever row becomes current
     # even when the newest action changed nothing visible)
-    wfull_e = (
-        W.partitionBy(*key, "__epoch")
-        .orderBy(*_sorder)
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
-    for name, policy in spec.fields.items():
-        if policy in TRISTATES:
-            states = states.withColumn(
-                f"__ts_{name}", F.last(F.col(f"__t_{name}")).over(wfull_e)
-            )
+    for name, expr in T["ts_exprs"].items():
+        states = states.withColumn(name, expr)
 
     # a row's state signature; consecutive duplicates are non-changes
-    sig = F.struct(*[F.col(f) for f in spec.fields], F.col("is_deleted"))
-    wk = W.partitionBy(*key).orderBy(*_sorder)
-    # first row per key: lag is NULL, eqNullSafe(struct, NULL) is false,
-    # so __changed is true — no special case needed
-    states = states.withColumn("__changed", ~sig.eqNullSafe(F.lag(sig).over(wk)))
+    # (first row per key: lag is NULL, eqNullSafe(struct, NULL) is false,
+    # so __changed is true — no special case needed)
+    states = states.withColumn("__changed", T["changed_expr"])
     versions = states.filter(F.col("__changed"))
-    wv = W.partitionBy(*key).orderBy(*_sorder)
-    versions = versions.withColumn("valid_until", F.lead("valid_from").over(wv)).withColumn(
-        "__rk", F.row_number().over(W.partitionBy(*key).orderBy(
-            F.col("__ord").desc(), F.col("__seed"), F.col("__anchor").desc(), F.col("__seq").desc()
-        ))
+    versions = versions.withColumn("valid_until", T["valid_until_expr"]).withColumn(
+        "__rk", T["rk_expr"]
     )
     if spec.trusted:
         versions = versions.withColumn("__untrusted", F.col("__unt"))
