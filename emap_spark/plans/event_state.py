@@ -414,3 +414,49 @@ def q32_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(us("day").alias("day_us"), "dau", "purchasers", "n_events")
     )
+
+
+# --------------------------------------------------------------------------
+# q103: salted aggregation over a manufactured hot key — the skew
+# operator driven end-to-end through the driver's oracle gate
+# --------------------------------------------------------------------------
+@register(
+    "q103_salted_hot_key_agg",
+    oracle="""
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT event_type)::BIGINT AS n_types,
+       max(event_id) AS max_event
+FROM (SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS user_id,
+             event_type, event_id
+      FROM events)
+GROUP BY user_id
+""",
+    doc=(
+        "Skew-immune aggregation (operators/skew.py): a third of all "
+        "events collapse onto one hot key; salted_agg spreads the first "
+        "shuffle over (key, salt) and combines per-salt partials, "
+        "salted_count_distinct dedupes salted by the VALUE hash. The "
+        "oracle is the plain GROUP BY — results must match exactly."
+    ),
+)
+def q103_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.operators.skew import salted_agg, salted_count_distinct
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, F.lit(-1)).otherwise(F.col("user_id")),
+    )
+    counts = salted_agg(
+        e,
+        ["user_id"],
+        [("event_id", "count", "n_events"), ("event_id", "max", "max_event")],
+        n_salt=16,
+    )
+    types = salted_count_distinct(e, ["user_id"], "event_type", n_salt=16)
+    return counts.join(types, "user_id").select(
+        "user_id",
+        "n_events",
+        F.col("n_distinct_event_type").alias("n_types"),
+        "max_event",
+    )

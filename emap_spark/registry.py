@@ -101,6 +101,7 @@ _PRIORITY = [
     # --- driver cap boundary (first 50 above get the hard driver check) ---
     "q44_dedup_survivors", "q49_doc_fingerprint",
     "q59_cosine_near_dup_pairs", "q102_media_builtin_decode",
+    "q103_salted_hot_key_agg",
     "q50_knn_bruteforce", "q51_ann_lsh_bucketed",
     "q45_jaccard_near_dup_pairs", "q46_minhash_signatures",
     "q21_stream_bounds",

@@ -122,3 +122,44 @@ def test_key_restricted_read_filters_below_window(spark, tmp_path):
     # and the restricted read equals the filtered full read
     full = delta.read_current().join(F.broadcast(touched), ["k"], "left_semi")
     assert _snap(restricted) == _snap(full)
+
+
+def test_crash_windows_converge(spark, tmp_path):
+    """Exactly-once under every crash window:
+    (1) delta dir written but manifest NOT updated (crash between data
+        write and log rename) -> replay recomputes from the pre-batch
+        state and overwrites the orphan;
+    (2) manifest updated but the PIPELINE marker not written (crash
+        before the driver-level commit) -> has_batch() makes the replay
+        skip the table merge entirely, so audit rows are neither lost
+        nor duplicated."""
+    root = str(tmp_path / "cw")
+    delta = DeltaLog(root, "t", ["k"], compact_every=100)
+    delta.load(spark)
+    _run(delta, spark, [(range(10), 1, "a")])
+    state_after_0 = _snap(delta.read_current())
+
+    # window (1): write the data files for batch 1 but "crash" before
+    # the manifest rename — simulate by writing the delta dir directly
+    updates = _batch(spark, range(5, 15), 2, "b")
+    res = merge_batch(
+        delta.read_current(keys=updates.select("k").distinct()),
+        updates, SPEC, "2024-06-01 00:00:01",
+    )
+    res.combined.withColumn("__v", F.lit(1).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "tables", "t", "delta", "batch=1"))
+    # orphan not in the log: reads are unaffected
+    assert _snap(delta.read_current()) == state_after_0
+    assert not delta.has_batch(1)
+    # replay of batch 1 recomputes and commits normally
+    _run(delta, spark, [(range(10), 1, "a"), (range(5, 15), 2, "b")])
+    state_after_1 = _snap(delta.read_current())
+    n_audit_1 = delta.read_audit().count()
+    assert delta.has_batch(1)
+
+    # window (2): manifest committed, pipeline marker lost -> the
+    # caller's replay consults has_batch and skips; state unchanged
+    _run(delta, spark, [(range(10), 1, "a"), (range(5, 15), 2, "b")])
+    assert _snap(delta.read_current()) == state_after_1
+    assert delta.read_audit().count() == n_audit_1

@@ -89,3 +89,22 @@ def test_salted_agg_two_shuffles_and_correct(spark, sf_dir):
         F.count_distinct("event_type").alias("n_distinct_event_type")
     )
     assert cd.exceptAll(plain_cd).count() + plain_cd.exceptAll(cd).count() == 0
+
+
+def test_new_round3_queries_plan_hygiene(spark, sf_dir):
+    """Plan audit for the round-3 operators: candidate joins stay
+    hash/broadcast equi-joins (never cartesian), and the salted agg
+    keeps its two-phase shape in the driver-checked query."""
+    for name in (
+        "q59_cosine_near_dup_pairs",
+        "q101_hl7_clinical_factories",
+        "q102_media_builtin_decode",
+        "q103_salted_hot_key_agg",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+    p59 = plan_of(spark, sf_dir, "q59_cosine_near_dup_pairs")
+    # bucket equi-join drives the candidate generation
+    assert "ShuffledHashJoin" in p59 or "SortMergeJoin" in p59 or "BroadcastHashJoin" in p59
+    p103 = plan_of(spark, sf_dir, "q103_salted_hot_key_agg")
+    assert "__salt" in p103
