@@ -115,6 +115,14 @@ def main() -> None:
         if adt_secs is None or secs < adt_secs:
             adt_secs = secs
             n_actions = eng.pipeline.metrics[-1].n_actions
+    # scale-up probe: the same engine at 5x the batch — per-batch fixed
+    # cost (staging action + one commit per table) amortizes, so
+    # msg/s must RISE with batch size; this is the claim that matters
+    # at 100 TB, where batches are large
+    adt_big = cut(adt_messages(spark, n_patients=25000))
+    t0 = time.perf_counter()
+    eng.process_batch(adt_big, 3)
+    big_secs = time.perf_counter() - t0
     # reported as its own top-level metric (not in the headline total,
     # which stays comparable across rounds)
 
@@ -130,6 +138,7 @@ def main() -> None:
                 "waveform_samples_per_sec": round(n_samples / wf_secs),
                 "adt_merge_seconds_20k_messages": round(adt_secs, 3),
                 "adt_messages_per_sec": round(n_msgs / adt_secs),
+                "adt_messages_per_sec_100k_batch": round(100_000 / big_secs),
                 "adt_spark_actions_per_batch": n_actions,
             }
         )
