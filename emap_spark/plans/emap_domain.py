@@ -240,3 +240,65 @@ def q63_interval_join_errors_to_sessions(spark: SparkSession, sf_dir: str) -> Da
         .groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_errors"))
     )
+
+
+# --------------------------------------------------------------------------
+# q104: the lakehouse MERGE sink (K2) driven through the oracle gate —
+# durable DeltaLog ingest across batches + an idempotent crash-replay
+# --------------------------------------------------------------------------
+_Q104_ORACLE = """
+SELECT * FROM (VALUES
+  ('core_demographic', 50, 0),
+  ('hospital_visit',   50, 50),
+  ('mrn',              50, 0)
+) t(tbl, n_live, n_audit)
+ORDER BY tbl
+"""
+
+
+@register(
+    "q104_lakehouse_sink_roundtrip",
+    oracle=_Q104_ORACLE,
+    doc=(
+        "K2 incremental-MERGE sink end-to-end (storage/delta.py): 50 "
+        "patients x 4 ADT messages ingested in two durable batches "
+        "through EmapEngine's DeltaLog backend, THEN batch 1 replayed "
+        "(crash recovery) — the transaction log makes the replay a "
+        "no-op, so live/audit counts match the closed form: every visit "
+        "has exactly one superseded version (admission state superseded "
+        "by the discharge write), demographics and mrn never change "
+        "after creation."
+    ),
+)
+def q104_lakehouse_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from emap_spark.app import EmapEngine
+    from emap_spark.sources.generators import adt_messages
+
+    adt = adt_messages(spark, n_patients=50)
+    b1 = adt.filter(F.col("source_message_id").endswith("-1") | F.col("source_message_id").endswith("-2"))
+    b2 = adt.filter(F.col("source_message_id").endswith("-3") | F.col("source_message_id").endswith("-4"))
+    eng = EmapEngine(storage_root=tempfile.mkdtemp(prefix="q104_"))
+    eng.process_batch(b1, 0)
+    eng.process_batch(b2, 1)
+    eng.process_batch(b1, 0)  # crash-replay: must be a no-op
+    rows = []
+    for tbl in ("core_demographic", "hospital_visit", "mrn"):
+        rows.append(
+            eng.table(tbl).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(1).alias("__one"),
+            )
+            .groupBy("tbl")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_live"))
+            .crossJoin(
+                F.broadcast(
+                    eng.audit(tbl).agg(F.count(F.lit(1)).cast("int").alias("n_audit"))
+                )
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select("tbl", "n_live", "n_audit").orderBy("tbl")

@@ -88,9 +88,9 @@ _PRIORITY = [
     "q85_stream_windowed_rollup", "q86_oru_vendor_observations",
     "q87_forms_pipeline", "q88_stream_dedupe_within_watermark",
     "q96_hl7_lab_vendor_parse", "q100_incremental_polling",
+    "q104_lakehouse_sink_roundtrip",
     # read-side operator queries (Q2/Q5/Q6/Q7/Q8 + state shapes)
     "q13_customer_event_reconciliation",
-    "q20_latest_event_per_user",
     "q22_user_current_state", "q23_scd2_validity_intervals",
     "q24_state_asof", "q25_gap_detection", "q26_sessionization",
     # LLM-data pipeline family (dedup/similarity/text)
@@ -99,6 +99,7 @@ _PRIORITY = [
     "q47_minhash_lsh_pairs", "q57_lsh_near_dup_verified",
     "q48_simhash", "q58_ann_ivf_probe",
     # --- driver cap boundary (first 50 above get the hard driver check) ---
+    "q20_latest_event_per_user",
     "q44_dedup_survivors", "q49_doc_fingerprint",
     "q59_cosine_near_dup_pairs", "q102_media_builtin_decode",
     "q103_salted_hot_key_agg",
