@@ -202,6 +202,37 @@ def _mask_tombstone_fields(updates: DataFrame, spec: MergeSpec, tomb: Column) ->
     return updates.select(*cols)
 
 
+# fold_updates' expression templates per spec (no batch-varying pieces
+# at all in the fold itself)
+_FOLD_CACHE: dict = {}
+
+
+def _fold_templates(spec: MergeSpec) -> dict:
+    ck = (
+        tuple(spec.key), tuple(spec.fields.items()), spec.event_time,
+        spec.seq, spec.tombstone,
+    )
+    t = _FOLD_CACHE.get(ck)
+    if t is not None:
+        return t
+    order = spec.ordering()
+    w = W.partitionBy(*spec.key).orderBy(*order)
+    frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    tomb = F.col(spec.tombstone) if spec.tombstone else F.lit(False)
+    last_tomb_t = F.max(F.when(tomb, F.col(spec.event_time))).over(
+        W.partitionBy(*spec.key)
+    )
+    cols: list[Column] = [F.col(k) for k in spec.key]
+    for name, policy in spec.fields.items():
+        cols.extend(_fold_field(name, policy, spec, frame))
+    cols.append(F.last(F.col(spec.event_time)).over(frame).alias("__event_time"))
+    cols.append(F.last(tomb).over(frame).alias("__tombstone"))
+    cols.append(F.row_number().over(w).alias("__rn"))
+    t = {"last_tomb_t": last_tomb_t, "fold_cols": cols}
+    _FOLD_CACHE[ck] = t
+    return t
+
+
 def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
     """Reduce a batch of update messages to one candidate row per key.
 
@@ -209,17 +240,10 @@ def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
     order — which is what makes whole-batch merging safe (§3.1 of
     SURVEY.md: per-message transactions become per-batch).
     """
-    order = spec.ordering()
-    w = W.partitionBy(*spec.key).orderBy(*order)
-    frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-
-    tomb = F.col(spec.tombstone) if spec.tombstone else F.lit(False)
+    T = _fold_templates(spec)
     # Ignore everything at-or-before the newest tombstone; the tombstone
     # row itself survives the cut so the delete action is visible.
-    last_tomb_t = F.max(F.when(tomb, F.col(spec.event_time))).over(
-        W.partitionBy(*spec.key)
-    )
-    updates = updates.withColumn("__last_tomb_t", last_tomb_t).filter(
+    updates = updates.withColumn("__last_tomb_t", T["last_tomb_t"]).filter(
         F.col("__last_tomb_t").isNull()
         | (F.col(spec.event_time) >= F.col("__last_tomb_t"))
     )
@@ -267,13 +291,7 @@ def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
         only_un = cand_un.join(cand_tr.select(*spec.key), spec.key, "left_anti")
         return cand_tr.unionByName(only_un)
 
-    cols: list[Column] = [F.col(k) for k in spec.key]
-    for name, policy in spec.fields.items():
-        cols.extend(_fold_field(name, policy, spec, frame))
-    cols.append(F.last(F.col(spec.event_time)).over(frame).alias("__event_time"))
-    cols.append(F.last(tomb).over(frame).alias("__tombstone"))
-    cols.append(F.row_number().over(w).alias("__rn"))
-    folded = updates.select(*cols).filter(F.col("__rn") == 1).drop("__rn")
+    folded = updates.select(*T["fold_cols"]).filter(F.col("__rn") == 1).drop("__rn")
     if "__trusted" not in folded.columns:
         folded = folded.withColumn("__trusted", F.lit(True))
     if "__real_t" not in folded.columns:
@@ -299,21 +317,44 @@ def _fold_first(updates: DataFrame, spec: MergeSpec) -> DataFrame:
     return updates.select(*cols).filter(F.col("__rn") == 1).drop("__rn")
 
 
+_EMPTY_SCHEMA_CACHE: dict = {}
+
+
+def _spec_schema_key(spec: MergeSpec, schema) -> tuple:
+    return (
+        tuple(spec.key),
+        tuple(spec.fields.items()),
+        spec.event_time,
+        spec.seq,
+        spec.trusted,
+        spec.tombstone,
+        tuple((f.name, f.dataType.simpleString()) for f in schema.fields),
+    )
+
+
 def empty_current(spark, updates: DataFrame, spec: MergeSpec) -> DataFrame:
-    """Schema-correct empty current frame derived from an updates frame."""
-    folded = fold_updates(updates.limit(0), spec)
-    sel = [F.col(k) for k in spec.key]
-    for name in spec.fields:
-        sel.append(F.col(name))
-    sel.append(F.col("__event_time").alias("valid_from"))
-    sel.append(F.col("__event_time").alias("stored_from"))
-    sel.append(F.lit(False).alias("is_deleted"))
-    for name, policy in spec.fields.items():
-        if policy in TRISTATES:
-            sel.append(F.col(f"__t_{name}").alias(f"__ts_{name}"))
-    if spec.trusted:
-        sel.append(F.lit(False).alias("__untrusted"))
-    return folded.select(*sel).limit(0)
+    """Schema-correct empty current frame derived from an updates frame.
+    The schema derivation builds (and analyzes) a full fold plan just to
+    learn the types — cached per (spec, schema) so only the first batch
+    of a spec's lifetime pays it."""
+    ck = _spec_schema_key(spec, updates.schema)
+    st = _EMPTY_SCHEMA_CACHE.get(ck)
+    if st is None:
+        folded = fold_updates(updates.limit(0), spec)
+        sel = [F.col(k) for k in spec.key]
+        for name in spec.fields:
+            sel.append(F.col(name))
+        sel.append(F.col("__event_time").alias("valid_from"))
+        sel.append(F.col("__event_time").alias("stored_from"))
+        sel.append(F.lit(False).alias("is_deleted"))
+        for name, policy in spec.fields.items():
+            if policy in TRISTATES:
+                sel.append(F.col(f"__t_{name}").alias(f"__ts_{name}"))
+        if spec.trusted:
+            sel.append(F.lit(False).alias("__untrusted"))
+        st = folded.select(*sel).schema
+        _EMPTY_SCHEMA_CACHE[ck] = st
+    return spark.createDataFrame([], st)
 
 
 def _ts_cols(spec: MergeSpec) -> list[str]:
@@ -363,6 +404,69 @@ def merge_batch(
     cnd = cand.alias("cnd")
     joined = cur.join(cnd, key, "full_outer")
 
+    T = _mb_templates(spec)
+    stored_lit = F.lit(stored_from).cast("timestamp_ntz")
+    # stored_from is the only batch-varying literal: the stored_from of
+    # a surviving row, plus the audit/combined stored_until below
+    new_stored_from = F.when(
+        T["keep_stored"], F.col("cur.stored_from")
+    ).otherwise(stored_lit)
+    merged = joined.select(
+        *T["merged_cols_head"],
+        new_stored_from.alias("stored_from"),
+        *T["merged_cols_tail"],
+    )
+
+    audit = merged.filter(F.col("__audit_me")).select(
+        *T["audit_cols"],
+        stored_lit.alias("stored_until"),
+    )
+    new_current = merged.select(
+        *key, *spec.fields, "valid_from", "stored_from", "is_deleted",
+        *_meta_cols(spec),
+    )
+    # combined: each merged row explodes into its new version (+ the
+    # superseded version when audited) in ONE pass over the join — no
+    # double computation of the fold when the pipeline persists it.
+    new_struct = F.struct(*T["new_struct_cols"])
+    old_struct = F.struct(
+        *T["old_struct_cols"],
+        stored_lit.alias("stored_until"),
+        F.lit(2).alias("__rk"),
+    )
+    combined = (
+        merged.select(
+            F.explode(
+                F.array(new_struct, F.when(F.col("__audit_me"), old_struct))
+            ).alias("__r")
+        )
+        .filter(F.col("__r").isNotNull())
+        .select("__r.*")
+    )
+    return MergeResult(current=new_current, audit=audit, combined=combined)
+
+
+# merge_batch's expression templates (everything that does not embed the
+# per-batch stored_from literal), cached per spec — see the _mbv_templates
+# note: Column objects are immutable templates, and rebuilding them per
+# call costs ~0.8s of py4j round trips.
+_MB_CACHE: dict = {}
+
+
+def _mb_templates(spec: MergeSpec) -> dict:
+    ck = (
+        tuple(spec.key),
+        tuple(spec.fields.items()),
+        spec.event_time,
+        spec.seq,
+        spec.trusted,
+        spec.tombstone,
+    )
+    t = _MB_CACHE.get(ck)
+    if t is not None:
+        return t
+
+    key = spec.key
     cur_exists = F.col("cur.valid_from").isNotNull() | F.col("cur.is_deleted").isNotNull()
     cnd_exists = F.col("cnd.__event_time").isNotNull()
     cur_deleted = F.coalesce(F.col("cur.is_deleted"), F.lit(False))
@@ -442,25 +546,20 @@ def merge_batch(
     new_valid_from = F.when(
         cnd_applies & cnd_newer, F.col("cnd.__real_t")
     ).otherwise(F.col("cur.valid_from"))
-    new_stored_from = F.when(
-        cur_exists & ~cur_deleted, F.col("cur.stored_from")
-    ).otherwise(F.lit(stored_from).cast("timestamp_ntz"))
     if spec.trusted:
-        new_untrusted = F.when(
-            cnd_applies & cnd_newer, ~F.col("cnd.__trusted")
-        ).otherwise(F.coalesce(F.col("cur.__untrusted"), F.lit(False)))
+        fill_meta.append(
+            F.when(cnd_applies & cnd_newer, ~F.col("cnd.__trusted"))
+            .otherwise(F.coalesce(F.col("cur.__untrusted"), F.lit(False)))
+            .alias("__untrusted")
+        )
 
     changed = F.lit(False)
-    for t in change_terms:
-        changed = changed | t
+    for term in change_terms:
+        changed = changed | term
     changed = changed | ~new_deleted.eqNullSafe(cur_deleted) | ~cur_exists
 
-    if spec.trusted:
-        fill_meta.append(new_untrusted.alias("__untrusted"))
-    merged = joined.select(
-        *out_fields,
-        new_valid_from.alias("valid_from"),
-        new_stored_from.alias("stored_from"),
+    merged_cols_head = [*out_fields, new_valid_from.alias("valid_from")]
+    merged_cols_tail = [
         new_deleted.alias("is_deleted"),
         *fill_meta,
         (cur_exists & changed).alias("__audit_me"),
@@ -469,31 +568,24 @@ def merge_batch(
         F.col("cur.valid_from").alias("__old_valid_from"),
         F.col("cur.stored_from").alias("__old_stored_from"),
         cur_deleted.alias("__old_is_deleted"),
-    )
+    ]
 
-    audit = merged.filter(F.col("__audit_me")).select(
-        *key,
+    audit_cols = [
+        *[F.col(k) for k in key],
         *[F.col(f"__old_{name}").alias(name) for name in spec.fields],
         F.col("__old_valid_from").alias("valid_from"),
         F.col("__old_stored_from").alias("stored_from"),
         F.col("__old_is_deleted").alias("is_deleted"),
         F.col("valid_from").alias("valid_until"),
-        F.lit(stored_from).cast("timestamp_ntz").alias("stored_until"),
-    )
-    new_current = merged.select(
-        *key, *spec.fields, "valid_from", "stored_from", "is_deleted",
-        *_meta_cols(spec),
-    )
-    # combined: each merged row explodes into its new version (+ the
-    # superseded version when audited) in ONE pass over the join — no
-    # double computation of the fold when the pipeline persists it.
+    ]
+
     meta = _meta_cols(spec)
 
     def _meta_null(c: str) -> Column:
-        t = "boolean" if c == "__untrusted" else "timestamp_ntz"
-        return F.lit(None).cast(t).alias(c)
+        mt = "boolean" if c == "__untrusted" else "timestamp_ntz"
+        return F.lit(None).cast(mt).alias(c)
 
-    new_struct = F.struct(
+    new_struct_cols = [
         *[F.col(k).alias(k) for k in key],
         *[F.col(n).alias(n) for n in spec.fields],
         F.col("valid_from").alias("valid_from"),
@@ -503,8 +595,8 @@ def merge_batch(
         F.lit(None).cast("timestamp_ntz").alias("valid_until"),
         F.lit(None).cast("timestamp_ntz").alias("stored_until"),
         F.lit(1).alias("__rk"),
-    )
-    old_struct = F.struct(
+    ]
+    old_struct_cols = [
         *[F.col(k).alias(k) for k in key],
         *[F.col(f"__old_{n}").alias(n) for n in spec.fields],
         F.col("__old_valid_from").alias("valid_from"),
@@ -512,19 +604,18 @@ def merge_batch(
         F.col("__old_is_deleted").alias("is_deleted"),
         *[_meta_null(c) for c in meta],
         F.col("valid_from").alias("valid_until"),
-        F.lit(stored_from).cast("timestamp_ntz").alias("stored_until"),
-        F.lit(2).alias("__rk"),
-    )
-    combined = (
-        merged.select(
-            F.explode(
-                F.array(new_struct, F.when(F.col("__audit_me"), old_struct))
-            ).alias("__r")
-        )
-        .filter(F.col("__r").isNotNull())
-        .select("__r.*")
-    )
-    return MergeResult(current=new_current, audit=audit, combined=combined)
+    ]
+
+    t = {
+        "keep_stored": cur_exists & ~cur_deleted,
+        "merged_cols_head": merged_cols_head,
+        "merged_cols_tail": merged_cols_tail,
+        "audit_cols": audit_cols,
+        "new_struct_cols": new_struct_cols,
+        "old_struct_cols": old_struct_cols,
+    }
+    _MB_CACHE[ck] = t
+    return t
 
 
 def _fold_field_cum(name: str, policy: str, spec: MergeSpec, frame) -> list[Column]:
