@@ -177,6 +177,68 @@ def _route_visit(batch: DataFrame) -> DataFrame:
     )
 
 
+def _route_condition(batch: DataFrame) -> DataFrame:
+    """D12: CONDITION_SCHEMA messages (interchange generator or the S8
+    HL7 factories) -> patient_condition update rows."""
+    return batch.select(
+        "mrn", "condition_type", "internal_id", "valid_from",
+        F.col("source_message_id").alias("seq"),
+        "status", "onset_date", "resolution_date", "comment", "severity",
+        "is_delete",
+    )
+
+
+def _route_reaction(batch: DataFrame) -> DataFrame:
+    """Allergen reactions: replace-set on the newest message's array
+    (PatientConditionController.java:213-240)."""
+    return batch.filter(
+        (F.col("condition_type") == "PATIENT_ALLERGY") | F.col("is_delete")
+    ).select(
+        "mrn", "condition_type", "internal_id", "valid_from",
+        F.col("source_message_id").alias("seq"), "reactions", "is_delete",
+    )
+
+
+def _route_condition_visit(batch: DataFrame) -> DataFrame:
+    """Condition-visit links accumulate add-only (:346)."""
+    return batch.filter(
+        F.col("visit_number").isNotNull() & ~F.col("is_delete")
+    ).select(
+        "mrn", "condition_type", "internal_id",
+        F.col("visit_number").alias("encounter"),
+        "valid_from", F.col("source_message_id").alias("seq"),
+        F.col("valid_from").alias("first_linked"),
+    )
+
+
+def _route_consult(batch: DataFrame) -> DataFrame:
+    """D13: consult interchange rows (consults_from_hl7 shape)."""
+    return batch.select(
+        "internal_id", "valid_from", F.col("source_message_id").alias("seq"),
+        "encounter", "consult_type", "scheduled_datetime",
+        "cancelled", "closed_on_discharge", "comments",
+    )
+
+
+def _route_consult_question(batch: DataFrame) -> DataFrame:
+    """D16: the consult questions map -> request_answer child rows."""
+    return (
+        batch.select(
+            "internal_id", "valid_from",
+            F.col("source_message_id").alias("seq"),
+            F.explode_outer("questions").alias("question", "raw"),
+        )
+        .filter(F.col("question").isNotNull())
+        .select(
+            "internal_id", "question", "valid_from", "seq",
+            F.struct(
+                F.col("raw").alias("value"),
+                F.when(F.col("raw") == '""', "DELETE").otherwise("SAVE").alias("status"),
+            ).alias("answer"),
+        )
+    )
+
+
 MRN_SPEC = MergeSpec(
     key=["mrn"],
     fields={"nhs_number": FILL_IF_NULL, "source_system": ASSIGN},
@@ -261,12 +323,46 @@ class EmapEngine:
                 storage_root, "location_visit", key=["visit_number"],
                 replace_set=True,
             )
+        # D12-D13/D16 clinical tables ride the same pipeline machinery
+        # (their message streams have their own schemas, so they get
+        # their own MergePipeline instances over the shared storage root)
+        from emap_spark.domains.observations import (
+            CONDITION_SPEC,
+            CONDITION_VISIT_SPEC,
+            CONSULT_QUESTION_SPEC,
+            CONSULT_SPEC,
+            REACTION_SPEC,
+        )
+
+        self.condition_pipeline = MergePipeline(
+            {
+                "patient_condition": (CONDITION_SPEC, _route_condition),
+                "allergen_reaction": (REACTION_SPEC, _route_reaction),
+                "condition_visits": (CONDITION_VISIT_SPEC, _route_condition_visit),
+            },
+            granularity=granularity,
+            validator=F.col("mrn").isNotNull() & F.col("internal_id").isNotNull(),
+            storage_root=os.path.join(storage_root, "conditions") if storage_root else None,
+            backend=backend,
+        )
+        self.consult_pipeline = MergePipeline(
+            {
+                "consult_request": (CONSULT_SPEC, _route_consult),
+                "consult_question": (CONSULT_QUESTION_SPEC, _route_consult_question),
+            },
+            granularity=granularity,
+            validator=F.col("internal_id").isNotNull(),
+            storage_root=os.path.join(storage_root, "consults") if storage_root else None,
+            backend=backend,
+        )
 
     # -- ingestion ---------------------------------------------------------
     def load(self, spark: SparkSession) -> None:
         """Restart path: reattach to durable state (no-op in memory mode)."""
         self._spark = spark
         self.pipeline.load(spark)
+        self.condition_pipeline.load(spark)
+        self.consult_pipeline.load(spark)
 
     def process_batch(self, adt_batch: DataFrame, batch_id: int = 0) -> None:
         self._spark = adt_batch.sparkSession
@@ -430,17 +526,36 @@ class EmapEngine:
             .start(**kw)
         )
 
+    def process_condition_batch(self, condition_msgs: DataFrame, batch_id: int = 0) -> None:
+        """D12 ingest: CONDITION_SCHEMA messages (problems / infections /
+        allergies — interchange-generated or parsed from raw HL7 by
+        sources/hl7_clinical.py) into patient_condition + children."""
+        self._spark = condition_msgs.sparkSession
+        self.condition_pipeline.process_batch(condition_msgs, batch_id)
+
+    def process_consult_batch(self, consult_msgs: DataFrame, batch_id: int = 0) -> None:
+        """D13/D16 ingest: consult rows (consults_from_hl7 shape) into
+        consult_request + the request_answer child."""
+        self._spark = consult_msgs.sparkSession
+        self.consult_pipeline.process_batch(consult_msgs, batch_id)
+
     # -- read surface ------------------------------------------------------
+    def _state_of(self, name: str):
+        for p in (self.pipeline, self.condition_pipeline, self.consult_pipeline):
+            if name in p.tables:
+                return p.tables[name]
+        raise KeyError(name)
+
     def table(self, name: str) -> DataFrame:
-        cur = self.pipeline.tables[name].current_df()
+        cur = self._state_of(name).current_df()
         meta = [c for c in cur.columns if c.startswith("__")]
         return cur.filter(~F.col("is_deleted")).drop("is_deleted", *meta)
 
     def audit(self, name: str) -> DataFrame | None:
-        return self.pipeline.tables[name].audit()
+        return self._state_of(name).audit()
 
     def table_asof(self, name: str, t) -> DataFrame:
-        state = self.pipeline.tables[name]
+        state = self._state_of(name)
         return as_of(state.current_df(), state.audit(), t)
 
     def mrn_to_live(self) -> DataFrame:
