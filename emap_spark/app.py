@@ -355,14 +355,61 @@ class EmapEngine:
             storage_root=os.path.join(storage_root, "consults") if storage_root else None,
             backend=backend,
         )
+        # D9-D11 lab family: split_lab_messages is the router per table
+        from emap_spark.domains.labs import (
+            ISOLATE_SPEC,
+            ORDER_SPEC,
+            RESULT_SPEC,
+            SAMPLE_SPEC,
+            SENSITIVITY_SPEC,
+            split_lab_messages,
+        )
+
+        def _lab_router(table: str):
+            return lambda b: split_lab_messages(b)[table]
+
+        self.lab_pipeline = MergePipeline(
+            {
+                "lab_sample": (SAMPLE_SPEC, _lab_router("lab_sample")),
+                "lab_order": (ORDER_SPEC, _lab_router("lab_order")),
+                "lab_result": (RESULT_SPEC, _lab_router("lab_result")),
+                "lab_isolate": (ISOLATE_SPEC, _lab_router("lab_isolate")),
+                "lab_sensitivity": (SENSITIVITY_SPEC, _lab_router("lab_sensitivity")),
+            },
+            granularity=granularity,
+            validator=F.col("external_lab_number").isNotNull(),
+            storage_root=os.path.join(storage_root, "labs") if storage_root else None,
+            backend=backend,
+        )
+        # D8 flowsheets -> visit_observation
+        from emap_spark.domains.observations import (
+            OBSERVATION_SPEC,
+            flowsheet_updates,
+        )
+
+        self.flowsheet_pipeline = MergePipeline(
+            {"visit_observation": (OBSERVATION_SPEC, flowsheet_updates)},
+            granularity=granularity,
+            validator=F.col("visit_number").isNotNull(),
+            storage_root=os.path.join(storage_root, "flowsheets") if storage_root else None,
+            backend=backend,
+        )
 
     # -- ingestion ---------------------------------------------------------
     def load(self, spark: SparkSession) -> None:
         """Restart path: reattach to durable state (no-op in memory mode)."""
         self._spark = spark
-        self.pipeline.load(spark)
-        self.condition_pipeline.load(spark)
-        self.consult_pipeline.load(spark)
+        for p in self._pipelines():
+            p.load(spark)
+
+    def _pipelines(self):
+        return (
+            self.pipeline,
+            self.condition_pipeline,
+            self.consult_pipeline,
+            self.lab_pipeline,
+            self.flowsheet_pipeline,
+        )
 
     def process_batch(self, adt_batch: DataFrame, batch_id: int = 0) -> None:
         self._spark = adt_batch.sparkSession
@@ -539,9 +586,20 @@ class EmapEngine:
         self._spark = consult_msgs.sparkSession
         self.consult_pipeline.process_batch(consult_msgs, batch_id)
 
+    def process_lab_batch(self, lab_msgs: DataFrame, batch_id: int = 0) -> None:
+        """D9-D11 ingest: LAB_ORDER_SCHEMA messages into the five lab
+        tables (sample/order/result + isolate/sensitivity children)."""
+        self._spark = lab_msgs.sparkSession
+        self.lab_pipeline.process_batch(lab_msgs, batch_id)
+
+    def process_flowsheet_batch(self, flowsheet_msgs: DataFrame, batch_id: int = 0) -> None:
+        """D8 ingest: FLOWSHEET_SCHEMA messages into visit_observation."""
+        self._spark = flowsheet_msgs.sparkSession
+        self.flowsheet_pipeline.process_batch(flowsheet_msgs, batch_id)
+
     # -- read surface ------------------------------------------------------
     def _state_of(self, name: str):
-        for p in (self.pipeline, self.condition_pipeline, self.consult_pipeline):
+        for p in self._pipelines():
             if name in p.tables:
                 return p.tables[name]
         raise KeyError(name)

@@ -62,3 +62,39 @@ def test_consults_from_hl7_through_engine_with_restart(spark, tmp_path):
     # fixture arithmetic at n=8: cancelled i%4==0 minus the DISCHAUTO
     # case i%8==4 -> {0}; closed {4}
     assert (cancelled, closed) == (1, 1)
+
+
+def test_lab_and_flowsheet_tables_through_engine(spark, tmp_path):
+    """D8-D11 through the one engine: lab children and typed
+    observations equal the direct domain processors' current state."""
+    from emap_spark.domains.labs import process_lab_orders
+    from emap_spark.domains.observations import process_flowsheets
+    from emap_spark.sources.generators import flowsheet_messages, micro_lab_messages
+
+    labs = micro_lab_messages(spark, 10)
+    flows = flowsheet_messages(spark, 30)
+    eng = EmapEngine(storage_root=str(tmp_path / "lf"))
+    eng.process_lab_batch(labs, 0)
+    eng.process_flowsheet_batch(flows, 0)
+
+    direct_labs = process_lab_orders({}, labs, "2024-06-01 00:00:00")
+    for tbl, cols in (
+        ("lab_sample", ["external_lab_number"]),
+        ("lab_order", ["external_lab_number", "battery_code"]),
+        ("lab_isolate", ["external_lab_number", "isolate_id", "isolate_code"]),
+        ("lab_sensitivity", ["external_lab_number", "isolate_id", "agent", "sensitivity"]),
+    ):
+        got = sorted(tuple(str(r[c]) for c in cols) for r in eng.table(tbl).collect())
+        want = sorted(
+            tuple(str(r[c]) for c in cols)
+            for r in direct_labs[tbl].live().select(*cols).collect()
+        )
+        assert got == want and got, tbl
+
+    direct_flows = process_flowsheets(None, flows, "2024-06-01 00:00:00")
+    cols = ["encounter", "observation_type", "value_as_real", "value_as_text"]
+    got = sorted(tuple(str(r[c]) for c in cols) for r in eng.table("visit_observation").collect())
+    want = sorted(
+        tuple(str(r[c]) for c in cols) for r in direct_flows.live().select(*cols).collect()
+    )
+    assert got == want and len(got) == 30
