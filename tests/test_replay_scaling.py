@@ -60,9 +60,12 @@ def test_incremental_location_visits_flat_and_equivalent(spark, tmp_path):
         t0 = _t.perf_counter()
         eng.process_batch(batch, b)
         times.append(_t.perf_counter() - t0)
+    # same tolerance as the engine-level flat-cost test: the bound
+    # guards against LINEAR growth (10x history -> ~10x cost), not
+    # scheduler noise under a loaded suite
     early = statistics.median(times[2:6])
     late = statistics.median(times[-4:])
-    assert late <= 2.5 * early, f"D6 per-batch cost grew: {times}"
+    assert late <= 3 * early, f"D6 per-batch cost grew: {times}"
 
     # maintained replace-set table == full-history recompute
     from emap_spark.operators.locations import infer_location_visits
