@@ -66,6 +66,17 @@ TRISTATE = "tristate"
 # alias kept for spec readability where the fill quirk is the intent
 TRISTATE_FILL = "tristate_fill"
 TRISTATES = (TRISTATE, TRISTATE_FILL)
+# Policies whose fields keep a per-field last-write time (__ts_<field>)
+# in the current frame. FILL_IF_NULL needs it for the same reason the
+# tri-states do: the reference applies messages one at a time in event
+# order, so "overwrite only if newer" compares against the time of the
+# write that produced the STORED FIELD VALUE — which, across batch
+# splits, is not the entity's valid_from (a later message touching other
+# fields advances valid_from past the fill field's own last write, and
+# the entity-level comparison then wrongly rejects the newer fill).
+# Reference: RowState.assignIfCurrentlyNullOrNewerAndDifferent,
+# core/.../RowState.java:207-238 under the order-permutation invariant.
+TS_TRACKED = (TRISTATE, TRISTATE_FILL, FILL_IF_NULL)
 
 SAVE, DELETE, IGNORE = "SAVE", "DELETE", "IGNORE"
 
@@ -227,6 +238,11 @@ def _fold_templates(spec: MergeSpec) -> dict:
         cols.extend(_fold_field(name, policy, spec, frame))
     cols.append(F.last(F.col(spec.event_time)).over(frame).alias("__event_time"))
     cols.append(F.last(tomb).over(frame).alias("__tombstone"))
+    # the newest in-batch tombstone time rides on the candidate so
+    # merge_batch can clear STORED state older than it (a mid-batch
+    # delete must wipe fields written by earlier batches, exactly as the
+    # sequential reference application would)
+    cols.append(F.col("__last_tomb_t").alias("__tomb_t"))
     cols.append(F.row_number().over(w).alias("__rn"))
     t = {"last_tomb_t": last_tomb_t, "fold_cols": cols}
     _FOLD_CACHE[ck] = t
@@ -313,6 +329,9 @@ def _fold_first(updates: DataFrame, spec: MergeSpec) -> DataFrame:
     cols.append(F.last(F.col(spec.event_time)).over(frame).alias("__event_time"))
     tomb = F.col(spec.tombstone) if spec.tombstone else F.lit(False)
     cols.append(F.last(tomb).over(frame).alias("__tombstone"))
+    # untrusted messages may only create (M6) — they never carry a
+    # batch-level delete into the merge
+    cols.append(F.lit(None).cast("timestamp_ntz").alias("__tomb_t"))
     cols.append(F.row_number().over(w).alias("__rn"))
     return updates.select(*cols).filter(F.col("__rn") == 1).drop("__rn")
 
@@ -348,7 +367,7 @@ def empty_current(spark, updates: DataFrame, spec: MergeSpec) -> DataFrame:
         sel.append(F.col("__event_time").alias("stored_from"))
         sel.append(F.lit(False).alias("is_deleted"))
         for name, policy in spec.fields.items():
-            if policy in TRISTATES:
+            if policy in TS_TRACKED:
                 sel.append(F.col(f"__t_{name}").alias(f"__ts_{name}"))
         if spec.trusted:
             sel.append(F.lit(False).alias("__untrusted"))
@@ -359,7 +378,7 @@ def empty_current(spark, updates: DataFrame, spec: MergeSpec) -> DataFrame:
 
 def _ts_cols(spec: MergeSpec) -> list[str]:
     """Per-field last-write-time metadata columns kept in current."""
-    return [f"__ts_{n}" for n, p in spec.fields.items() if p in TRISTATES]
+    return [f"__ts_{n}" for n, p in spec.fields.items() if p in TS_TRACKED]
 
 
 def _meta_cols(spec: MergeSpec) -> list[str]:
@@ -486,31 +505,65 @@ def _mb_templates(spec: MergeSpec) -> dict:
     # M6: untrusted candidates only act when the entity does not exist yet
     # (a tombstone row still counts as existing).
     cnd_applies = cnd_exists & (F.col("cnd.__trusted") | ~cur_exists)
+    # A mid-batch tombstone (newest in-batch delete at __tomb_t) must
+    # clear STORED state older than it, exactly as sequential application
+    # would: the whole stored row when the entity's newest write predates
+    # the delete, else just the individual fields whose own last writes
+    # predate it (the folded candidate only carries post-tombstone
+    # messages — see the tombstone cut in fold_updates).
+    tomb_t = F.col("cnd.__tomb_t")
+    wiped = (
+        cnd_applies & tomb_t.isNotNull() & cur_exists & ~cur_deleted
+        & (cur_prec < tomb_t)
+    )
+    cur_dead = cur_deleted | wiped
     new_deleted = F.when(
         cnd_applies & F.col("cnd.__tombstone") & cnd_newer, F.lit(True)
     ).otherwise(
-        F.when(cnd_applies & cnd_newer, F.lit(False)).otherwise(cur_deleted)
+        F.when(cnd_applies & cnd_newer, F.lit(False)).otherwise(cur_dead)
     )
 
     out_fields: list[Column] = [F.col(k) for k in key]
     change_terms: list[Column] = []
     fill_meta: list[Column] = []
     for name, policy in spec.fields.items():
-        cur_v = F.col(f"cur.{name}")
+        cur_v0 = F.col(f"cur.{name}")
         cnd_v = F.col(f"cnd.{name}")
         cnd_t = F.col(f"cnd.__t_{name}")
+        if policy in TS_TRACKED:
+            cur_ts0 = F.col(f"cur.__ts_{name}")
+            field_wiped = wiped | (
+                cnd_applies & tomb_t.isNotNull() & (cur_ts0 < tomb_t)
+            )
+            cur_ts = F.when(
+                field_wiped, F.lit(None).cast("timestamp_ntz")
+            ).otherwise(cur_ts0)
+        else:
+            field_wiped = wiped
+        cur_v = F.when(field_wiped, F.lit(None)).otherwise(cur_v0)
         if policy == ASSIGN:
             new_v = F.when(cnd_applies & cnd_newer, cnd_v).otherwise(cur_v)
         elif policy == FILL_IF_NULL:
-            # value applies if current slot empty, or the contributing
-            # message is newer than the entity (RowState.java:207-238)
+            # value applies if the current slot is empty, or the
+            # contributing message is not older than the SLOT'S OWN last
+            # write (__ts_<field>, the TRISTATE treatment) — comparing
+            # against the entity valid_from instead is not batch-split
+            # invariant (RowState.java:207-238 applied in event order).
             field_applies = cnd_applies & cnd_t.isNotNull() & (
                 ~cur_exists
-                | cur_deleted
+                | cur_dead
                 | cur_v.isNull()
-                | (cnd_t >= cur_prec)
+                | cur_ts.isNull()
+                | (cnd_t >= cur_ts)
             )
             new_v = F.when(field_applies, cnd_v).otherwise(cur_v)
+            new_ts = (
+                F.when(new_deleted, F.lit(None).cast("timestamp_ntz"))
+                .when(cur_dead & cnd_applies, cnd_t)
+                .when(field_applies, cnd_t)
+                .otherwise(cur_ts)
+            )
+            fill_meta.append(new_ts.alias(f"__ts_{name}"))
         elif policy in TRISTATES:
             # per-field last-write-wins: the batch's newest non-IGNORE
             # action applies iff it is not older than the field's stored
@@ -518,14 +571,13 @@ def _mb_templates(spec: MergeSpec) -> dict:
             # which IS the reference's admission/discharge fill quirk
             # (VisitController.java:163-186) — while a field erased by a
             # newer DELETE rejects older SAVEs (M8, removeIfExists).
-            cur_ts = F.col(f"cur.__ts_{name}")
             field_applies = cnd_applies & cnd_t.isNotNull() & (
-                ~cur_exists | cur_deleted | cur_ts.isNull() | (cnd_t >= cur_ts)
+                ~cur_exists | cur_dead | cur_ts.isNull() | (cnd_t >= cur_ts)
             )
             new_v = F.when(field_applies, cnd_v).otherwise(cur_v)
             new_ts = (
                 F.when(new_deleted, F.lit(None).cast("timestamp_ntz"))
-                .when(cur_deleted & cnd_applies, cnd_t)
+                .when(cur_dead & cnd_applies, cnd_t)
                 .when(field_applies, cnd_t)
                 .otherwise(cur_ts)
             )
@@ -536,10 +588,10 @@ def _mb_templates(spec: MergeSpec) -> dict:
         # a row that stays (or becomes) a tombstone carries none at all —
         # field payloads on deletes are masked, and keeping stale values
         # would make the tombstone row depend on arrival order
-        new_v = F.when(cur_deleted & cnd_applies, cnd_v).otherwise(new_v)
+        new_v = F.when(cur_dead & cnd_applies, cnd_v).otherwise(new_v)
         new_v = F.when(new_deleted, F.lit(None)).otherwise(new_v)
         out_fields.append(new_v.alias(name))
-        change_terms.append(~new_v.eqNullSafe(cur_v))
+        change_terms.append(~new_v.eqNullSafe(cur_v0))
 
     # the public valid_from is always the REAL event time (__real_t);
     # the floored __event_time is precedence metadata only
@@ -737,11 +789,30 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
                     )
                 else:
                     cols.append(_ignore_tristate(g))
+            elif p == FILL_IF_NULL:
+                # fill fields re-enter the fold at their OWN last-write
+                # time (pseudo seed); the anchor carries null for them —
+                # the fill fold ignores nulls, so only the pseudo seed
+                # positions the stored value in the event order
+                cols.append(
+                    (
+                        F.col(g)
+                        if (not is_anchor and g == which)
+                        else F.lit(None).cast(schema[g].dataType)
+                    ).alias(g)
+                )
             else:
                 cols.append(
                     (F.col(g) if is_anchor else F.lit(None).cast(schema[g].dataType)).alias(g)
                 )
-        t = anchor_t if is_anchor else F.col(f"__ts_{which}")
+        if is_anchor:
+            t = anchor_t
+        elif spec.fields[which] == FILL_IF_NULL:
+            # legacy current frames carry fill values with no __ts yet;
+            # fall back to the entity valid_from (the pre-fix semantics)
+            t = F.coalesce(F.col(f"__ts_{which}"), F.col("valid_from"))
+        else:
+            t = F.col(f"__ts_{which}")
         tomb_col = F.col("is_deleted") if is_anchor else F.lit(False)
         seed_unt = (
             F.coalesce(F.col("__untrusted"), F.lit(False))
@@ -760,13 +831,16 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
         ]
         struct = F.struct(*cols)
         if not is_anchor:
-            struct = F.when(
-                F.col(f"__ts_{which}").isNotNull() & ~F.col("is_deleted"), struct
-            )
+            if spec.fields[which] == FILL_IF_NULL:
+                # a fill seed exists iff there is a stored value to place
+                present = F.col(which).isNotNull()
+            else:
+                present = F.col(f"__ts_{which}").isNotNull()
+            struct = F.when(present & ~F.col("is_deleted"), struct)
         return struct
 
     seed_structs = [_seed_struct("__anchor")] + [
-        _seed_struct(f) for f, p in spec.fields.items() if p in TRISTATES
+        _seed_struct(f) for f, p in spec.fields.items() if p in TS_TRACKED
     ]
 
     # __ord is the PRECEDENCE time: untrusted-origin rows (surviving
@@ -821,7 +895,7 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
     ts_exprs = {
         f"__ts_{name}": F.last(F.col(f"__t_{name}")).over(wfull_e)
         for name, policy in spec.fields.items()
-        if policy in TRISTATES
+        if policy in TS_TRACKED
     }
     sig = F.struct(*[F.col(f) for f in spec.fields], F.col("is_deleted"))
     wk = W.partitionBy(*key).orderBy(*_sorder)

@@ -66,6 +66,11 @@ def _load_all() -> None:
 # q45 (documented quadratic oracle baseline), q46 (signature fold,
 # subsumed by q47's use of it) and q21 (trivial min/max shape) rotate
 # out to the local replica check, which still covers ALL queries.
+# Round-4 rotation (VERDICT r3 next-steps #2): q59 (embedding-cosine
+# dedup), q102 (real WAV/PPM decode) and q103 (salted hot-key agg) get
+# their first hard driver check; q22/q23/q26 rotate out — generic state
+# shapes that back no SURVEY §2 row (Q5/Q6 evidence stays via q24/q25
+# alongside q61/q71).
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
@@ -89,20 +94,21 @@ _PRIORITY = [
     "q87_forms_pipeline", "q88_stream_dedupe_within_watermark",
     "q96_hl7_lab_vendor_parse", "q100_incremental_polling",
     "q104_lakehouse_sink_roundtrip",
-    # read-side operator queries (Q2/Q5/Q6/Q7/Q8 + state shapes)
+    # read-side operator queries (Q5/Q6/Q8)
     "q13_customer_event_reconciliation",
-    "q22_user_current_state", "q23_scd2_validity_intervals",
-    "q24_state_asof", "q25_gap_detection", "q26_sessionization",
+    "q24_state_asof", "q25_gap_detection",
     # LLM-data pipeline family (dedup/similarity/text)
     "q40_token_stats", "q41_quality_score", "q42_lang_source_profile",
     "q43_exact_dup_groups",
     "q47_minhash_lsh_pairs", "q57_lsh_near_dup_verified",
     "q48_simhash", "q58_ann_ivf_probe",
-    # --- driver cap boundary (first 50 above get the hard driver check) ---
-    "q20_latest_event_per_user",
-    "q44_dedup_survivors", "q49_doc_fingerprint",
     "q59_cosine_near_dup_pairs", "q102_media_builtin_decode",
     "q103_salted_hot_key_agg",
+    # --- driver cap boundary (first 50 above get the hard driver check) ---
+    "q20_latest_event_per_user",
+    "q22_user_current_state", "q23_scd2_validity_intervals",
+    "q26_sessionization",
+    "q44_dedup_survivors", "q49_doc_fingerprint",
     "q50_knn_bruteforce", "q51_ann_lsh_bucketed",
     "q45_jaccard_near_dup_pairs", "q46_minhash_signatures",
     "q21_stream_bounds",

@@ -10,11 +10,18 @@ dependency-free local equivalent with the same interface shape:
 
   tables/{name}/delta/batch={id}/   row VERSIONS for keys touched by the
                                     batch (current rows tagged __rk=1,
-                                    superseded/audit rows __rk>1), each
-                                    carrying __v = batch id
-  tables/{name}/base/v={id}/        compacted fold of older deltas
+                                    superseded/audit rows __rk>1, each
+                                    carrying __v = batch id) — small by
+                                    construction, written unbucketed
+  tables/{name}/base/v={id}/__kb={b}/  compacted fold of older deltas,
+                                    hash-bucketed by key (__kb =
+                                    crc32(key) % n_buckets): the ONLY
+                                    O(table-state) file, so it alone
+                                    needs bucket pruning
   tables/{name}/_manifest.json      the transaction log: which files are
-                                    live, which batches are committed
+                                    live, which batches are committed,
+                                    and WHICH BUCKETS each live file
+                                    holds
 
 Contract:
   * commit(batch_id, combined)  — O(touched keys) write, never O(table).
@@ -23,18 +30,26 @@ Contract:
     skips the merge entirely when has_batch(id) is true, so a crash
     after the manifest rename but before the pipeline marker cannot
     re-merge against state that already absorbed the batch).
-  * read_current()              — latest committed version per key:
-    union(live files) -> window max(__v) per key, __rk == 1.  In
-    "replace_set" mode the whole row-set of the latest __v per set key
-    wins (D6 interval tables, where a new message for a visit replaces
-    ALL of that visit's interval rows, including removals).
+  * read_current(keys=...)      — latest committed version per key:
+    union(live bucket files) -> window max(__v) per key, __rk == 1.
+    With a key restriction the BASE scan is PRUNED TO THE TOUCHED
+    BUCKETS (explicit file enumeration off the manifest; callers pass
+    precomputed bucket ids or the store learns them with one tiny
+    collect on the broadcast-size key frame), so a micro-batch's seed
+    read is O(touched base buckets + recent deltas), not O(table
+    bytes): the scan cost per batch stays flat as table state grows.  In "replace_set" mode the whole
+    row-set of the latest __v per set key wins (D6 interval tables,
+    where a new message for a visit replaces ALL of that visit's
+    interval rows, including removals).
   * read_audit()                — append-only union of __rk>1 rows.
   * compaction every `compact_every` commits folds live files into one
     base so the read plan stays O(base + compact_every x batch).
 
-At cluster scale the same layout maps 1:1 onto Delta Lake (delta dirs =
-AddFiles, manifest = _delta_log, compaction = OPTIMIZE); swapping the
-backend is a constructor change, which is the point of the interface.
+At cluster scale the same layout maps 1:1 onto Delta Lake (delta bucket
+dirs = AddFiles with partition values, manifest = _delta_log + file
+stats, compaction = OPTIMIZE, bucket pruning = partition pruning off the
+log); swapping the backend is a constructor change, which is the point
+of the interface.
 """
 
 from __future__ import annotations
@@ -43,14 +58,16 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 META_RK = "__rk"
 META_V = "__v"
+META_KB = "__kb"
 
 
 class DeltaLog:
-    """One logical table backed by delta files + a JSON transaction log."""
+    """One logical table backed by bucketed delta files + a JSON
+    transaction log."""
 
     def __init__(
         self,
@@ -59,12 +76,17 @@ class DeltaLog:
         key: list[str],
         compact_every: int = 8,
         replace_set: bool = False,
+        n_buckets: int = 16,
     ) -> None:
         self.root = os.path.join(root, "tables", name)
         self.name = name
         self.key = key
         self.compact_every = compact_every
         self.replace_set = replace_set
+        # n_buckets is a TABLE property: fixed at creation, recorded in
+        # the manifest, and read back for existing tables (a mixed
+        # layout would break bucket pruning). 0 = unbucketed legacy.
+        self.n_buckets = n_buckets
         self.spark: SparkSession | None = None
         self._manifest: dict | None = None
 
@@ -80,8 +102,15 @@ class DeltaLog:
         if os.path.isfile(p):
             with open(p) as fh:
                 self._manifest = json.load(fh)
+            self.n_buckets = self._manifest.get("n_buckets", 0)
         else:
-            self._manifest = {"base": None, "deltas": [], "n_commits": 0}
+            self._manifest = {
+                "base": None,
+                "deltas": [],
+                "n_commits": 0,
+                "n_buckets": self.n_buckets,
+                "buckets": {},
+            }
 
     def _write_manifest(self) -> None:
         os.makedirs(self.root, exist_ok=True)
@@ -97,6 +126,34 @@ class DeltaLog:
             and batch_id in self._manifest.get("compacted", [])
         )
 
+    # -- bucketing ---------------------------------------------------------
+    def bucket_expr(self) -> Column:
+        """Deterministic key -> bucket id (crc32 of the concatenated key
+        cast to string, mod n_buckets)."""
+        raw = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in self.key])
+        return (F.crc32(raw.cast("binary")) % self.n_buckets).cast("int")
+
+    def bucket_of(self, values: list) -> int:
+        """Python mirror of bucket_expr for driver-side pruning: callers
+        that already hold the touched key values (e.g. the pipeline's
+        capped key collect) compute bucket ids without a Spark job.
+        zlib.crc32 is the same CRC-32 Spark's crc32() computes, and
+        concat_ws skips nulls — pinned by test_delta_bucketing."""
+        import zlib
+
+        raw = "\x1f".join(str(v) for v in values if v is not None)
+        return zlib.crc32(raw.encode("utf-8")) % self.n_buckets
+
+    def _file_buckets(self, path: str) -> list[int]:
+        """Bucket ids present under a written delta/base dir — a driver
+        metadata listing (one LIST call on an object store), no Spark
+        action."""
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith(f"{META_KB}=")
+        )
+
     # -- paths -------------------------------------------------------------
     def _delta_path(self, batch_id: int) -> str:
         return os.path.join(self.root, f"delta/batch={batch_id}")
@@ -104,31 +161,78 @@ class DeltaLog:
     def _base_path(self, v: int) -> str:
         return os.path.join(self.root, f"base/v={v}")
 
-    def _live_paths(self) -> list[str]:
-        paths = []
+    def _live_paths(self, buckets: list[int] | None = None) -> list[str]:
+        """Live file paths, pruned to `buckets` when given (bucketed
+        tables record each file's bucket ids in the manifest, so pruning
+        is a pure log lookup — no filesystem listing, no data read)."""
+        roots: list[tuple[str, str]] = []
         if self._manifest["base"] is not None:
-            paths.append(self._base_path(self._manifest["base"]))
-        paths.extend(self._delta_path(b) for b in self._manifest["deltas"])
+            roots.append((f"base:{self._manifest['base']}", self._base_path(self._manifest["base"])))
+        roots.extend(
+            (str(b), self._delta_path(b)) for b in self._manifest["deltas"]
+        )
+        if not self.n_buckets:
+            return [p for _, p in roots]
+        # bucketed tables always enumerate LEAF bucket dirs (never the
+        # batch roots): the scan then has no partition-style subdirs to
+        # discover, so no __kb column leaks into the schema and multiple
+        # batches' files read together without a basePath
+        want = None if buckets is None else set(buckets)
+        paths = []
+        for tag, p in roots:
+            have = self._manifest.get("buckets", {}).get(tag)
+            if have is None:  # pre-bucketing file: cannot prune it
+                paths.append(p)
+                continue
+            sel = have if want is None else [b for b in have if b in want]
+            paths.extend(os.path.join(p, f"{META_KB}={b}") for b in sel)
         return paths
 
     # -- reads -------------------------------------------------------------
-    def _read_live(self) -> DataFrame | None:
-        paths = self._live_paths()
+    def _read_live(self, buckets: list[int] | None = None) -> DataFrame | None:
+        paths = self._live_paths(buckets)
         if not paths:
             return None
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
-    def read_current(self, keys: DataFrame | None = None) -> DataFrame | None:
+    def read_current(
+        self,
+        keys: DataFrame | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame | None:
         """Latest committed version per key (tombstones included — the
         merge engine needs them; readers filter).
 
-        keys: optional frame of key values to restrict to. The restrict
-        happens BELOW the latest-per-key window (a key-filtered set has
-        the same per-key latest rows), so an incremental merge shuffles
-        only the touched keys' rows — windows block join pushdown in
-        Catalyst, so filtering after read_current() would shuffle the
-        WHOLE table every batch."""
-        live = self._read_live()
+        keys: optional frame of key values to restrict to. Two-level
+        restriction: (1) the SCAN is pruned to the buckets the keys hash
+        into (explicit bucket-file enumeration off the manifest — one
+        tiny collect on the broadcast-size key frame learns the ids), so
+        untouched buckets cost zero bytes; (2) within the scanned
+        buckets, a broadcast semi-join BELOW the latest-per-key window
+        drops other keys' rows before the shuffle (a key-filtered set
+        has the same per-key latest rows; filtering after read_current()
+        would shuffle the WHOLE table every batch).
+
+        buckets: optional precomputed touched-bucket ids (bucket_of) —
+        skips the collect when the caller already knows them."""
+        if (
+            keys is not None
+            and self.n_buckets
+            and buckets is None
+            and self._manifest["base"] is not None
+        ):
+            # learn the touched bucket ids with one tiny job (<=
+            # n_buckets distinct ints come back, never the keys) — only
+            # when a bucketed base exists, i.e. exactly when pruning can
+            # pay; a young table's files are all O(touched) deltas and
+            # reading them costs less than the extra job would
+            buckets = sorted(
+                r[0]
+                for r in keys.select(self.bucket_expr().alias(META_KB))
+                .distinct()
+                .collect()
+            )
+        live = self._read_live(buckets)
         if live is None:
             return None
         if keys is not None:
@@ -162,6 +266,18 @@ class DeltaLog:
         return aud.drop(*[c for c in aud.columns if c.startswith("__")])
 
     # -- writes ------------------------------------------------------------
+    def _write_bucketed(self, df: DataFrame, path: str) -> None:
+        """Write a frame hash-bucketed by key: one shuffle of the frame
+        (O(touched rows)) so each bucket lands in a single task — at
+        most one file per touched bucket, never tasks x buckets files."""
+        out = df.withColumn(META_KB, self.bucket_expr())
+        (
+            out.repartition(self.n_buckets, F.col(META_KB))
+            .write.mode("overwrite")
+            .partitionBy(META_KB)
+            .parquet(path)
+        )
+
     def commit(self, batch_id: int, combined: DataFrame) -> int:
         """Write the batch's row versions and commit them to the log;
         returns the number of Spark actions spent (1, +1 when this
@@ -174,9 +290,14 @@ class DeltaLog:
         if self.has_batch(batch_id):
             return 0
         path = self._delta_path(batch_id)
-        combined.withColumn(META_V, F.lit(batch_id).cast("long")).write.mode(
-            "overwrite"
-        ).parquet(path)
+        versioned = combined.withColumn(META_V, F.lit(batch_id).cast("long"))
+        # deltas are written UNBUCKETED: they are O(touched keys) small
+        # by construction, so pruning them buys nothing while the
+        # bucketing shuffle + per-bucket files would tax every batch.
+        # Only the BASE — the O(table-state) file — is bucketed (at
+        # compaction, amortized over compact_every commits); that is the
+        # scan that must stay flat as state grows.
+        versioned.write.mode("overwrite").parquet(path)
         self._manifest["deltas"].append(batch_id)
         self._manifest["n_commits"] += 1
         self._write_manifest()
@@ -201,7 +322,13 @@ class DeltaLog:
         folded = cur.unionByName(aud, allowMissingColumns=True).withColumn(
             META_V, F.lit(v).cast("long")
         )
-        folded.write.mode("overwrite").parquet(self._base_path(v))
+        base = self._base_path(v)
+        buckets_entry = None
+        if self.n_buckets:
+            self._write_bucketed(folded, base)
+            buckets_entry = self._file_buckets(base)
+        else:
+            folded.write.mode("overwrite").parquet(base)
         compacted = sorted(
             set(self._manifest.get("compacted", [])) | set(self._manifest["deltas"])
         )
@@ -210,10 +337,12 @@ class DeltaLog:
             "deltas": [],
             "n_commits": self._manifest["n_commits"],
             "compacted": compacted,
+            "n_buckets": self.n_buckets,
+            "buckets": {} if buckets_entry is None else {f"base:{v}": buckets_entry},
         }
         self._write_manifest()
         for p in old_paths:
-            if p != self._base_path(v):
+            if p != base:
                 shutil.rmtree(p, ignore_errors=True)
 
 

@@ -193,8 +193,10 @@ class MergePipeline:
                 # incremental MERGE: fold only the keys this batch touches;
                 # untouched rows are never read into the fold nor rewritten
                 # (the key restriction is applied BELOW the store's
-                # latest-per-key window — see DeltaLog.read_current — so
-                # the seed shuffle is O(touched rows), not O(table))
+                # latest-per-key window, and the bucketed-base scan is
+                # pruned to the touched buckets — see
+                # DeltaLog.read_current — so the seed read is O(touched
+                # base buckets + recent deltas), not O(table))
                 touched = updates.select(*state.spec.key).distinct()
                 current = state.store.read_current(keys=touched)
             else:
