@@ -55,13 +55,30 @@ def main() -> None:
     # tiny sf0.001 tables to fill JIT/codegen and the engine's plan-
     # template caches, then the sf run is timed. A long-lived analytics
     # service runs warm; one-off compilation is not the number that
-    # scales with data.
-    warm_dir = "/root/testdata/sf0.001"
+    # scales with data. The warm dir derives from sf_dir (overridable
+    # via SPARK_GRAFT_WARM_DIR) and is checked up front — a silent
+    # fallback to limit(1) on the timed dir would warm a DIFFERENT plan
+    # shape and quietly report partially-cold numbers.
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_DIR",
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001"),
+    )
+    warm_missing = not os.path.isdir(warm_dir)
+    if warm_missing:
+        print(
+            f"WARNING: warm dir {warm_dir} missing; warming with limit(1) "
+            "on the timed dir (different plan shape — numbers may be "
+            "partially cold)",
+            file=sys.stderr,
+        )
     for name in names:
         try:
-            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            qs[name](spark, sf_dir).limit(1).write.format("noop").mode("overwrite").save()
+            if warm_missing:
+                qs[name](spark, sf_dir).limit(1).write.format("noop").mode("overwrite").save()
+            else:
+                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # never silent: a cold query skews the total
+            print(f"WARNING: warm-up failed for {name}: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in names:

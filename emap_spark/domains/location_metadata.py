@@ -52,6 +52,9 @@ def process_bed_metadata(
 def state_history(result: MergeResult) -> DataFrame:
     """The *State table: all versions (closed intervals from audit +
     the open current interval), ordered per key."""
-    cur = result.current.withColumn("valid_until", F.lit(None).cast("timestamp_ntz"))
+    meta = [c for c in result.current.columns if c.startswith("__")]
+    cur = result.current.drop(*meta).withColumn(
+        "valid_until", F.lit(None).cast("timestamp_ntz")
+    )
     closed = result.audit.drop("stored_until")
     return closed.unionByName(cur).filter(~F.col("is_deleted")).drop("is_deleted")

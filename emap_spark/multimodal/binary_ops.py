@@ -172,16 +172,45 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
+def _ppm_header_tokens(payload: bytes, n: int) -> tuple[list[bytes], int]:
+    """Tokenize a PPM header per the Netpbm spec: tokens separated by
+    ANY whitespace run, '#' comments run to end-of-line, and the pixel
+    data starts after exactly ONE whitespace byte following the last
+    header token. Returns (tokens, data_offset)."""
+    toks: list[bytes] = []
+    i, ln = 0, len(payload)
+    while len(toks) < n and i < ln:
+        c = payload[i : i + 1]
+        if c in b" \t\r\n\x0b\x0c":
+            i += 1
+        elif c == b"#":
+            while i < ln and payload[i : i + 1] != b"\n":
+                i += 1
+        else:
+            j = i
+            while j < ln and payload[j : j + 1] not in b" \t\r\n\x0b\x0c#":
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+    if len(toks) < n:
+        raise ValueError("truncated PPM header")
+    return toks, i + 1  # one whitespace byte after maxval, then raster
+
+
 def _decode_ppm(payload: bytes) -> dict:
     import numpy as np
 
-    # P6 header: magic, width height, maxval, then raw RGB bytes
-    parts = payload.split(b"\n", 3)
-    if parts[0] != b"P6":
+    # P6 header per the spec: magic, width, height, maxval — separated
+    # by any whitespace, '#' comments legal anywhere between tokens;
+    # maxval > 255 switches to 2-byte big-endian samples
+    toks, off = _ppm_header_tokens(payload, 4)
+    if toks[0] != b"P6":
         raise ValueError("not a binary PPM (P6) payload")
-    w, h = (int(x) for x in parts[1].split())
-    maxval = int(parts[2])
-    pix = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
+    w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if not (0 < maxval < 65536):
+        raise ValueError(f"PPM maxval out of range: {maxval}")
+    dtype = np.uint8 if maxval < 256 else ">u2"
+    pix = np.frombuffer(payload, dtype=dtype, count=w * h * 3, offset=off)
     arr = pix.reshape(h, w, 3).astype(np.float64)
     return {
         "pixels_or_samples": w * h,

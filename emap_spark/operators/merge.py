@@ -218,6 +218,28 @@ def _mask_tombstone_fields(updates: DataFrame, spec: MergeSpec, tomb: Column) ->
 _FOLD_CACHE: dict = {}
 
 
+def _fold_field_running(name: str, policy: str, cum, w) -> list[Column]:
+    """Stage-1 fold cols for one field: the RUNNING value after each row
+    and the cumulative contribution count — inputs to the per-field
+    change marks (reference vf semantics: validFrom only advances when a
+    value actually changed, RowState.assignIfDifferent)."""
+    if policy == ASSIGN:
+        r: Column = F.col(name)  # every message carries plain fields
+        nc = F.row_number().over(w)
+    elif policy == FILL_IF_NULL:
+        r = F.last(F.col(name), ignorenulls=True).over(cum)
+        nc = F.count(F.col(name)).over(cum)
+    else:  # TRISTATES
+        st_ = F.col(name)["status"]
+        act = F.when(
+            st_ != IGNORE,
+            F.struct(F.when(st_ == SAVE, F.col(name)["value"]).alias("v")),
+        )
+        r = F.last(act, ignorenulls=True).over(cum)["v"]
+        nc = F.count(F.when(st_ != IGNORE, F.lit(1))).over(cum)
+    return [r.alias(f"__r_{name}"), nc.alias(f"__nc_{name}")]
+
+
 def _fold_templates(spec: MergeSpec) -> dict:
     ck = (
         tuple(spec.key), tuple(spec.fields.items()), spec.event_time,
@@ -229,13 +251,50 @@ def _fold_templates(spec: MergeSpec) -> dict:
     order = spec.ordering()
     w = W.partitionBy(*spec.key).orderBy(*order)
     frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     tomb = F.col(spec.tombstone) if spec.tombstone else F.lit(False)
     last_tomb_t = F.max(F.when(tomb, F.col(spec.event_time))).over(
         W.partitionBy(*spec.key)
     )
+    stage1: list[Column] = []
     cols: list[Column] = [F.col(k) for k in spec.key]
+    marks: list[Column] = []
     for name, policy in spec.fields.items():
         cols.extend(_fold_field(name, policy, spec, frame))
+        stage1.extend(_fold_field_running(name, policy, cum, w))
+        # Per-field change marks, computed over the stage-1 running
+        # values (real message times, __raw_t):
+        #   __c_<f>  time of the last change AFTER the field's first
+        #            in-batch contribution (unconditionally a real
+        #            change — the running value moved);
+        #   __f_<f>/__fv_<f>  time/value of the FIRST contribution —
+        #            whether it was a real change depends on the stored
+        #            value, which only merge_batch knows (it compares
+        #            __fv against the stored baseline).
+        r = F.col(f"__r_{name}")
+        nc = F.col(f"__nc_{name}")
+        chg = ~r.eqNullSafe(F.lag(r).over(w))
+        is_first = (nc == 1) & (
+            F.coalesce(F.lag(nc).over(w), F.lit(0)) == 0
+        )
+        marks.append(
+            F.max(F.when(chg & ~is_first, F.col("__raw_t"))).over(frame).alias(
+                f"__c_{name}"
+            )
+        )
+        marks.append(
+            F.max(F.when(is_first, F.col("__raw_t"))).over(frame).alias(
+                f"__f_{name}"
+            )
+        )
+        marks.append(
+            F.first(F.when(is_first, r), ignorenulls=True).over(frame).alias(
+                f"__fv_{name}"
+            )
+        )
+    marks.append(
+        F.min(F.when(~tomb, F.col("__raw_t"))).over(frame).alias("__first_live_t")
+    )
     cols.append(F.last(F.col(spec.event_time)).over(frame).alias("__event_time"))
     cols.append(F.last(tomb).over(frame).alias("__tombstone"))
     # the newest in-batch tombstone time rides on the candidate so
@@ -244,7 +303,11 @@ def _fold_templates(spec: MergeSpec) -> dict:
     # sequential reference application would)
     cols.append(F.col("__last_tomb_t").alias("__tomb_t"))
     cols.append(F.row_number().over(w).alias("__rn"))
-    t = {"last_tomb_t": last_tomb_t, "fold_cols": cols}
+    t = {
+        "last_tomb_t": last_tomb_t,
+        "stage1_cols": stage1,
+        "fold_cols": cols + marks,
+    }
     _FOLD_CACHE[ck] = t
     return t
 
@@ -256,7 +319,50 @@ def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
     order — which is what makes whole-batch merging safe (§3.1 of
     SURVEY.md: per-message transactions become per-batch).
     """
+    if spec.trusted:
+        # M6 unified fold (visitShouldBeUpdated, VisitController.java:
+        # 188-204 applied in EVENT order): an untrusted message may only
+        # CREATE, so at most the raw-earliest update per key acts when
+        # it is untrusted; every other untrusted message changes nothing
+        # and is dropped BEFORE the fold. The creator's event/field
+        # times are floored to UNTRUSTED_EPOCH (internal precedence —
+        # any trusted write, at any event time, supersedes them), which
+        # the fold inherits by flooring the creator's event-time column;
+        # since the creator is raw-first among kept rows, the floored
+        # ordering IS the raw order. The candidate also reports
+        # __u_creator_t — the creator's REAL event time — so merge_batch
+        # can arbitrate creator-vs-stored-untrusted-creation (earliest
+        # real event time wins, invariant under batch splits).
+        E = _trusted_fold_templates(spec)
+        kept = (
+            updates.withColumn("__m6_rn", E["rn"])
+            .filter(E["keep"])
+            .withColumn("__raw_t", F.col(spec.event_time))
+            .withColumn(spec.event_time, E["floored_t"])
+        )
+        spec_plain = MergeSpec(
+            key=spec.key,
+            fields=spec.fields,
+            event_time=spec.event_time,
+            seq=spec.seq,
+            tombstone=spec.tombstone,
+        )
+        T = _fold_templates(spec_plain)
+        kept = kept.withColumn("__last_tomb_t", T["last_tomb_t"]).filter(
+            F.col("__last_tomb_t").isNull()
+            | (F.col(spec.event_time) >= F.col("__last_tomb_t"))
+        )
+        if spec.tombstone:
+            kept = _mask_tombstone_fields(kept, spec_plain, F.col(spec.tombstone))
+        kept = kept.select("*", *T["stage1_cols"])
+        return (
+            kept.select(*T["fold_cols"], *E["extra_cols"])
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
     T = _fold_templates(spec)
+    updates = updates.withColumn("__raw_t", F.col(spec.event_time))
     # Ignore everything at-or-before the newest tombstone; the tombstone
     # row itself survives the cut so the delete action is visible.
     updates = updates.withColumn("__last_tomb_t", T["last_tomb_t"]).filter(
@@ -268,45 +374,7 @@ def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
     if spec.tombstone:
         updates = _mask_tombstone_fields(updates, spec, F.col(spec.tombstone))
 
-    if spec.trusted:
-        # M6: untrusted messages may only create. Fold trusted and
-        # untrusted separately; candidate = trusted fold if any trusted
-        # message exists, else the untrusted fold (earliest-create wins,
-        # i.e. the fold ordered ascending but taking FIRST values).
-        tr = updates.filter(F.col(spec.trusted))
-        un = updates.filter(~F.col(spec.trusted))
-        spec_plain = MergeSpec(
-            key=spec.key,
-            fields=spec.fields,
-            event_time=spec.event_time,
-            seq=spec.seq,
-            tombstone=spec.tombstone,
-        )
-        cand_tr = (
-            fold_updates(tr, spec_plain)
-            .withColumn("__trusted", F.lit(True))
-            .withColumn("__real_t", F.col("__event_time"))
-        )
-        cand_un = (
-            _fold_first(un, spec_plain)
-            .withColumn("__trusted", F.lit(False))
-            .withColumn("__real_t", F.col("__event_time"))
-        )
-        # untrusted creations carry the PRECEDENCE floor in __event_time
-        # and per-field times (internal — any trusted write supersedes
-        # them); __real_t keeps the message's actual event time for the
-        # public valid_from (see UNTRUSTED_EPOCH note).
-        floor = F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
-        floored = [
-            F.when(F.col(c).isNotNull(), floor).alias(c)
-            if c == "__event_time" or c.startswith("__t_")
-            else F.col(c)
-            for c in cand_un.columns
-        ]
-        cand_un = cand_un.select(*floored)
-        only_un = cand_un.join(cand_tr.select(*spec.key), spec.key, "left_anti")
-        return cand_tr.unionByName(only_un)
-
+    updates = updates.select("*", *T["stage1_cols"])
     folded = updates.select(*T["fold_cols"]).filter(F.col("__rn") == 1).drop("__rn")
     if "__trusted" not in folded.columns:
         folded = folded.withColumn("__trusted", F.lit(True))
@@ -315,25 +383,49 @@ def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
     return folded
 
 
-def _fold_first(updates: DataFrame, spec: MergeSpec) -> DataFrame:
-    """Create-only fold for untrusted sources: the EARLIEST message
-    creates the entity and later untrusted messages change nothing
-    (reference VisitController.visitShouldBeUpdated, :188-204)."""
-    order = [c.desc() for c in spec.ordering()]
-    w = W.partitionBy(*spec.key).orderBy(*order)
-    frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    cols: list[Column] = [F.col(k) for k in spec.key]
-    for name, policy in spec.fields.items():
-        # reverse ordering + last == first in ascending order
-        cols.extend(_fold_field(name, policy, spec, frame))
-    cols.append(F.last(F.col(spec.event_time)).over(frame).alias("__event_time"))
-    tomb = F.col(spec.tombstone) if spec.tombstone else F.lit(False)
-    cols.append(F.last(tomb).over(frame).alias("__tombstone"))
-    # untrusted messages may only create (M6) — they never carry a
-    # batch-level delete into the merge
-    cols.append(F.lit(None).cast("timestamp_ntz").alias("__tomb_t"))
-    cols.append(F.row_number().over(w).alias("__rn"))
-    return updates.select(*cols).filter(F.col("__rn") == 1).drop("__rn")
+# M6 expression templates for the unified trusted fold, per spec
+_TRUSTED_FOLD_CACHE: dict = {}
+
+
+def _trusted_fold_templates(spec: MergeSpec) -> dict:
+    ck = (
+        tuple(spec.key), tuple(spec.fields.items()), spec.event_time,
+        spec.seq, spec.trusted, spec.tombstone,
+    )
+    t = _TRUSTED_FOLD_CACHE.get(ck)
+    if t is not None:
+        return t
+    tr = F.col(spec.trusted)
+    order = [F.col(spec.event_time)]
+    if spec.seq:
+        order.append(F.col(spec.seq))
+    w_raw = W.partitionBy(*spec.key).orderBy(*order)
+    wkey = W.partitionBy(*spec.key)
+    floor = F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
+    # the fold below orders by the FLOORED event time; the kept creator
+    # is raw-first so it still folds first — extras ride that frame
+    forder = [F.col(spec.event_time)]
+    if spec.seq:
+        forder.append(F.col(spec.seq))
+    frame = (
+        W.partitionBy(*spec.key)
+        .orderBy(*forder)
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    t = {
+        "rn": F.row_number().over(w_raw),
+        "keep": tr | (F.col("__m6_rn") == 1),
+        "floored_t": F.when(~tr, floor).otherwise(F.col(spec.event_time)),
+        "extra_cols": [
+            F.max(tr).over(wkey).alias("__trusted"),
+            F.last(F.col("__raw_t")).over(frame).alias("__real_t"),
+            F.max(F.when(~tr, F.col("__raw_t"))).over(wkey).alias(
+                "__u_creator_t"
+            ),
+        ],
+    }
+    _TRUSTED_FOLD_CACHE[ck] = t
+    return t
 
 
 _EMPTY_SCHEMA_CACHE: dict = {}
@@ -369,6 +461,8 @@ def empty_current(spark, updates: DataFrame, spec: MergeSpec) -> DataFrame:
         for name, policy in spec.fields.items():
             if policy in TS_TRACKED:
                 sel.append(F.col(f"__t_{name}").alias(f"__ts_{name}"))
+        sel.append(F.lit(None).cast("timestamp_ntz").alias("__floor_t"))
+        sel.append(F.lit(None).cast("timestamp_ntz").alias("__cre_t"))
         if spec.trusted:
             sel.append(F.lit(False).alias("__untrusted"))
         st = folded.select(*sel).schema
@@ -383,12 +477,16 @@ def _ts_cols(spec: MergeSpec) -> list[str]:
 
 def _meta_cols(spec: MergeSpec) -> list[str]:
     """All internal metadata columns kept in the current frame: per-field
-    last-write times + (for trusted specs) the untrusted-creation flag.
+    last-write times, the incarnation floor __floor_t (the newest
+    tombstone time at-or-before this incarnation — contributions older
+    than it were voided by the delete and may never fill the new
+    incarnation's slots), + (for trusted specs) the untrusted-creation
+    flag.
     The M6 precedence floor (UNTRUSTED_EPOCH) lives ONLY in these
     internals — the public surface (valid_from, audit validity) always
     carries the message's real event time, matching the reference, which
     stores the actual validFrom for untrusted-created entities."""
-    cols = _ts_cols(spec)
+    cols = _ts_cols(spec) + ["__floor_t", "__cre_t"]
     if spec.trusted:
         cols = cols + ["__untrusted"]
     return cols
@@ -410,7 +508,7 @@ def merge_batch(
     spark = updates.sparkSession
     if current is None:
         current = empty_current(spark, updates, spec)
-    for c in _ts_cols(spec):  # tolerate pre-metadata current frames
+    for c in [*_ts_cols(spec), "__floor_t", "__cre_t"]:  # tolerate pre-metadata frames
         if c not in current.columns:
             current = current.withColumn(c, F.lit(None).cast("timestamp_ntz"))
     if spec.trusted and "__untrusted" not in current.columns:
@@ -502,9 +600,33 @@ def _mb_templates(spec: MergeSpec) -> dict:
     cnd_newer = cnd_exists & (
         ~cur_exists | (F.col("cnd.__event_time") >= cur_prec)
     )
-    # M6: untrusted candidates only act when the entity does not exist yet
-    # (a tombstone row still counts as existing).
-    cnd_applies = cnd_exists & (F.col("cnd.__trusted") | ~cur_exists)
+    # M6: untrusted candidates only act when the entity does not exist
+    # yet (a tombstone row still counts as existing) — with ONE
+    # exception: a batch's untrusted creator with an earlier REAL event
+    # time than a stored UNTRUSTED-CREATED row replaces it wholesale
+    # (under in-order replay the earlier creation happens first and the
+    # later one is skipped; earliest-event-time-wins is the batch-split
+    # invariant choice, like the per-field tri-state rule). When the
+    # stored row blocks the batch's creator instead, the creator's
+    # contributions — identifiable by their floored times — are masked
+    # out of the candidate so only its trusted writes act.
+    floor_lit = F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
+    if spec.trusted:
+        creator_t = F.col("cnd.__u_creator_t")
+        cur_unt = F.coalesce(F.col("cur.__untrusted"), F.lit(False))
+        un_replaces = (
+            cur_exists
+            & cur_unt
+            & creator_t.isNotNull()
+            & (creator_t < F.col("cur.valid_from"))
+        )
+        creator_invalid = creator_t.isNotNull() & cur_exists & ~un_replaces
+    else:
+        un_replaces = F.lit(False)
+        creator_invalid = F.lit(False)
+    cnd_applies = cnd_exists & (
+        F.col("cnd.__trusted") | ~cur_exists | un_replaces
+    )
     # A mid-batch tombstone (newest in-batch delete at __tomb_t) must
     # clear STORED state older than it, exactly as sequential application
     # would: the whole stored row when the entity's newest write predates
@@ -516,20 +638,50 @@ def _mb_templates(spec: MergeSpec) -> dict:
         cnd_applies & tomb_t.isNotNull() & cur_exists & ~cur_deleted
         & (cur_prec < tomb_t)
     )
-    cur_dead = cur_deleted | wiped
+    # a replaced untrusted creation behaves like a wiped row: the batch
+    # rebuilds the entity from its own contributions alone
+    cur_dead = cur_deleted | wiped | un_replaces
     new_deleted = F.when(
         cnd_applies & F.col("cnd.__tombstone") & cnd_newer, F.lit(True)
     ).otherwise(
         F.when(cnd_applies & cnd_newer, F.lit(False)).otherwise(cur_dead)
     )
+    # The stored INCARNATION FLOOR: contributions older than the newest
+    # tombstone at-or-before the current incarnation were voided by that
+    # delete and may never fill this incarnation's slots — without it, a
+    # late-arriving pre-delete write would leak into the resurrected
+    # entity (a tombstone row's own valid_from IS the floor for its
+    # future resurrection).
+    stored_floor = F.when(
+        cur_deleted,
+        F.greatest(F.col("cur.valid_from"), F.col("cur.__floor_t")),
+    ).otherwise(F.col("cur.__floor_t"))
 
     out_fields: list[Column] = [F.col(k) for k in key]
     change_terms: list[Column] = []
     fill_meta: list[Column] = []
+    vf_terms: list[Column] = []
+    equal_terms: list[Column] = []
+    created_like = ~cur_exists | cur_dead
+
+    def _above_floor(t: Column) -> Column:
+        return stored_floor.isNull() | (t >= stored_floor)
+
+    def _floor_guard(t: Column) -> Column:
+        return F.when(_above_floor(t), t)
+
     for name, policy in spec.fields.items():
         cur_v0 = F.col(f"cur.{name}")
         cnd_v = F.col(f"cnd.{name}")
         cnd_t = F.col(f"cnd.__t_{name}")
+        if spec.trusted and policy in TS_TRACKED:
+            # a blocked creator's contributions (floored times) must not
+            # act — only the batch's trusted writes may
+            from_creator = creator_invalid & cnd_t.eqNullSafe(floor_lit)
+            cnd_t = F.when(
+                from_creator, F.lit(None).cast("timestamp_ntz")
+            ).otherwise(cnd_t)
+            cnd_v = F.when(from_creator, F.lit(None)).otherwise(cnd_v)
         if policy in TS_TRACKED:
             cur_ts0 = F.col(f"cur.__ts_{name}")
             field_wiped = wiped | (
@@ -549,7 +701,10 @@ def _mb_templates(spec: MergeSpec) -> dict:
             # write (__ts_<field>, the TRISTATE treatment) — comparing
             # against the entity valid_from instead is not batch-split
             # invariant (RowState.java:207-238 applied in event order).
-            field_applies = cnd_applies & cnd_t.isNotNull() & (
+            # Contributions below the incarnation floor never apply.
+            field_applies = cnd_applies & cnd_t.isNotNull() & _above_floor(
+                cnd_t
+            ) & (
                 ~cur_exists
                 | cur_dead
                 | cur_v.isNull()
@@ -559,7 +714,7 @@ def _mb_templates(spec: MergeSpec) -> dict:
             new_v = F.when(field_applies, cnd_v).otherwise(cur_v)
             new_ts = (
                 F.when(new_deleted, F.lit(None).cast("timestamp_ntz"))
-                .when(cur_dead & cnd_applies, cnd_t)
+                .when(cur_dead & cnd_applies, _floor_guard(cnd_t))
                 .when(field_applies, cnd_t)
                 .otherwise(cur_ts)
             )
@@ -567,17 +722,20 @@ def _mb_templates(spec: MergeSpec) -> dict:
         elif policy in TRISTATES:
             # per-field last-write-wins: the batch's newest non-IGNORE
             # action applies iff it is not older than the field's stored
-            # last-write time. A never-written field accepts any age —
-            # which IS the reference's admission/discharge fill quirk
-            # (VisitController.java:163-186) — while a field erased by a
-            # newer DELETE rejects older SAVEs (M8, removeIfExists).
-            field_applies = cnd_applies & cnd_t.isNotNull() & (
+            # last-write time. A never-written field accepts any age
+            # above the incarnation floor — which IS the reference's
+            # admission/discharge fill quirk (VisitController.java:
+            # 163-186) — while a field erased by a newer DELETE rejects
+            # older SAVEs (M8, removeIfExists).
+            field_applies = cnd_applies & cnd_t.isNotNull() & _above_floor(
+                cnd_t
+            ) & (
                 ~cur_exists | cur_dead | cur_ts.isNull() | (cnd_t >= cur_ts)
             )
             new_v = F.when(field_applies, cnd_v).otherwise(cur_v)
             new_ts = (
                 F.when(new_deleted, F.lit(None).cast("timestamp_ntz"))
-                .when(cur_dead & cnd_applies, cnd_t)
+                .when(cur_dead & cnd_applies, _floor_guard(cnd_t))
                 .when(field_applies, cnd_t)
                 .otherwise(cur_ts)
             )
@@ -587,17 +745,67 @@ def _mb_templates(spec: MergeSpec) -> dict:
         # a resurrected or fresh entity never inherits old field values;
         # a row that stays (or becomes) a tombstone carries none at all —
         # field payloads on deletes are masked, and keeping stale values
-        # would make the tombstone row depend on arrival order
-        new_v = F.when(cur_dead & cnd_applies, cnd_v).otherwise(new_v)
+        # would make the tombstone row depend on arrival order. Tracked
+        # contributions below the incarnation floor stay out even here.
+        res_v = cnd_v if policy == ASSIGN else F.when(_above_floor(cnd_t), cnd_v)
+        new_v = F.when(cur_dead & cnd_applies, res_v).otherwise(new_v)
         new_v = F.when(new_deleted, F.lit(None)).otherwise(new_v)
         out_fields.append(new_v.alias(name))
         change_terms.append(~new_v.eqNullSafe(cur_v0))
+        # the field's TRUE last-change time within the batch (reference
+        # vf semantics): intra-batch changes after the first contribution
+        # are unconditional (__c); the first contribution counts iff its
+        # value differs from the stored baseline (null for fresh /
+        # resurrected entities). Marks below the incarnation floor are
+        # voided history, not changes.
+        base = F.when(created_like, F.lit(None)).otherwise(cur_v)
+        first_real = F.when(
+            ~F.col(f"cnd.__fv_{name}").eqNullSafe(base), F.col(f"cnd.__f_{name}")
+        )
+        vf_terms.append(
+            F.greatest(
+                _floor_guard(F.col(f"cnd.__c_{name}")), _floor_guard(first_real)
+            )
+        )
+        equal_terms.append(F.col(f"cnd.{name}").eqNullSafe(cur_v0))
 
-    # the public valid_from is always the REAL event time (__real_t);
-    # the floored __event_time is precedence metadata only
-    new_valid_from = F.when(
-        cnd_applies & cnd_newer, F.col("cnd.__real_t")
-    ).otherwise(F.col("cur.valid_from"))
+    # carry the incarnation floor forward: the old floor, the tombstone
+    # this resurrection rose from, and any in-batch tombstone all bound
+    # future late arrivals
+    fill_meta.append(
+        F.greatest(
+            F.col("cur.__floor_t"),
+            F.when(cur_deleted & cnd_applies & cnd_newer, F.col("cur.valid_from")),
+            F.when(cnd_applies, tomb_t),
+        ).alias("__floor_t")
+    )
+    # RETROACTIVE CREATION: a late-arriving batch whose messages all
+    # precede the stored incarnation's creation, change nothing, and sit
+    # above the floor means the incarnation was really created EARLIER —
+    # in-order replay has the early message create and the stored
+    # creation message become a no-op. Only sound when nothing has
+    # changed since creation (valid_from == __cre_t) and every candidate
+    # value equals the stored one; otherwise the stored writes were real
+    # changes and keep their times. mbv's seeded fold gets this for free;
+    # the entity-granularity fold needs the stored creation time.
+    values_equal = F.lit(True)
+    for term in equal_terms:
+        values_equal = values_equal & term
+    cre = F.col("cur.__cre_t")
+    first_live = F.col("cnd.__first_live_t")
+    retro = (
+        cnd_exists
+        & F.col("cnd.__trusted")
+        & ~F.col("cnd.__tombstone")
+        & tomb_t.isNull()
+        & cur_exists & ~cur_deleted & ~wiped & ~un_replaces
+        & first_live.isNotNull()
+        & cre.isNotNull()
+        & (first_live < cre)
+        & _above_floor(first_live)
+        & F.col("cur.valid_from").eqNullSafe(cre)
+        & values_equal
+    )
     if spec.trusted:
         fill_meta.append(
             F.when(cnd_applies & cnd_newer, ~F.col("cnd.__trusted"))
@@ -609,6 +817,64 @@ def _mb_templates(spec: MergeSpec) -> dict:
     for term in change_terms:
         changed = changed | term
     changed = changed | ~new_deleted.eqNullSafe(cur_deleted) | ~cur_exists
+    # a delete + recreate that reproduces the old values verbatim is
+    # still a state change (the superseded row must be audited)
+    changed = changed | ((wiped | un_replaces) & ~new_deleted)
+    # ...as is an intra-batch change that nets out to the stored values
+    # (y -> x in one batch over stored x: the reference audits the y
+    # version and advances validFrom to the x write)
+    for term in vf_terms:
+        changed = changed | (cnd_applies & cnd_newer & term.isNotNull())
+
+    # The public valid_from is always a REAL event time (the floored
+    # times are precedence metadata only) and it only advances when
+    # something actually changed: the reference sets validFrom on
+    # entityCreated/entityUpdated alone
+    # (RowState.saveEntityOrAuditLogIfRequired, RowState.java:186-199),
+    # so no-op messages — including same-value rewrites — leave the
+    # stored validFrom untouched. The new validFrom is the time of the
+    # NEWEST change: the per-field change marks, the creation/
+    # resurrection point (first live message) for entities built this
+    # batch, or the already-stored validFrom when it is newer than
+    # anything this batch changed (an older message back-filling a slot
+    # does not regress the entity's validFrom).
+    # the no-regress term uses the PRECEDENCE time (cur_prec): an
+    # untrusted-created row sits at the floor, so a trusted write at any
+    # real event time supersedes its validFrom (M6)
+    vf_value = F.greatest(
+        *vf_terms,
+        F.when(created_like, F.col("cnd.__first_live_t")),
+        F.when(cur_exists & ~cur_dead, cur_prec),
+    )
+    vf_value = F.when(new_deleted, F.col("cnd.__real_t")).otherwise(
+        F.coalesce(vf_value, F.col("cnd.__real_t"))
+    )
+    # retro vf: the creation moves to the batch's first live message (or
+    # its own later intra-batch change marks); no audit — it is a
+    # metadata correction of the same logical version
+    retro_terms = [_floor_guard(t) for t in vf_terms]
+    retro_vf = F.coalesce(
+        F.greatest(*retro_terms, first_live)
+        if len(retro_terms) >= 1
+        else first_live,
+        first_live,
+    )
+    new_valid_from = (
+        F.when(retro, retro_vf)
+        .when(cnd_applies & cnd_newer & changed, vf_value)
+        .otherwise(F.col("cur.valid_from"))
+    )
+    # incarnation creation time: set at creation/resurrection, pulled
+    # back by retro, cleared on tombstones
+    fill_meta.append(
+        F.when(retro, first_live)
+        .when(
+            created_like & cnd_applies & cnd_newer & ~new_deleted, first_live
+        )
+        .when(new_deleted, F.lit(None).cast("timestamp_ntz"))
+        .otherwise(cre)
+        .alias("__cre_t")
+    )
 
     merged_cols_head = [*out_fields, new_valid_from.alias("valid_from")]
     merged_cols_tail = [
@@ -677,10 +943,12 @@ def _fold_field_cum(name: str, policy: str, spec: MergeSpec, frame) -> list[Colu
     rows) so per-field newer-wins honors M6 trusted-supersedes."""
     t = F.col("__ord")
     if policy == ASSIGN:
-        # a seed row contributes only non-null values (it represents
-        # existing state, not a message carrying every field)
+        # updates always carry plain fields; among seeds only the ANCHOR
+        # contributes (its stored value, null included — a stored null
+        # must reassert over an older out-of-order message folding
+        # before it). Pseudo seeds carry no assign state.
         mask = F.when(
-            ~F.col("__seed") | F.col(name).isNotNull(),
+            ~F.col("__seed") | F.col("__anchor"),
             F.struct(F.col(name).alias("v"), t.alias("t")),
         )
         picked = F.last(mask, ignorenulls=True).over(frame)
@@ -744,6 +1012,7 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
         tomb.alias("__tomb"),
         F.lit(False).alias("__seed"),
         F.lit(False).alias("__anchor"),
+        F.lit(None).cast("timestamp_ntz").alias("__orig_vf"),
         (F.col(spec.trusted) if spec.trusted else F.lit(True)).alias("__trusted"),
         (~F.col(spec.trusted) if spec.trusted else F.lit(False)).alias("__unt"),
     ]
@@ -772,11 +1041,20 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
         if _ts_cols(spec) else F.col("valid_from")
 
     def _seed_struct(which: str) -> Column:
-        """One seed row as a struct: which='__anchor' or a tri-state
-        field name (pseudo seed for that field)."""
+        """One seed row as a struct: which='__anchor', '__floor__' (the
+        stored incarnation floor re-entering as a pseudo TOMBSTONE so
+        late arrivals older than it fold into the voided epoch), or a
+        tracked field name (pseudo seed for that field)."""
         is_anchor = which == "__anchor"
+        is_floor = which == "__floor__"
         cols: list[Column] = [F.col(k).alias(k) for k in key]
         for g, p in spec.fields.items():
+            if is_floor:
+                if p in TRISTATES:
+                    cols.append(_ignore_tristate(g))
+                else:
+                    cols.append(F.lit(None).cast(schema[g].dataType).alias(g))
+                continue
             if p in TRISTATES:
                 if not is_anchor and g == which:
                     cols.append(
@@ -807,16 +1085,24 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
                 )
         if is_anchor:
             t = anchor_t
+        elif is_floor:
+            t = F.col("__floor_t")
         elif spec.fields[which] == FILL_IF_NULL:
             # legacy current frames carry fill values with no __ts yet;
             # fall back to the entity valid_from (the pre-fix semantics)
             t = F.coalesce(F.col(f"__ts_{which}"), F.col("valid_from"))
         else:
             t = F.col(f"__ts_{which}")
-        tomb_col = F.col("is_deleted") if is_anchor else F.lit(False)
+        tomb_col = (
+            F.col("is_deleted")
+            if is_anchor
+            else F.lit(True) if is_floor else F.lit(False)
+        )
+        # floor seeds keep their REAL time (a tombstone's position in
+        # event order is its time regardless of source trust)
         seed_unt = (
             F.coalesce(F.col("__untrusted"), F.lit(False))
-            if spec.trusted
+            if spec.trusted and not is_floor
             else F.lit(False)
         )
         cols += [
@@ -825,12 +1111,25 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
             tomb_col.alias("__tomb"),
             F.lit(True).alias("__seed"),
             F.lit(is_anchor).alias("__anchor"),
+            # the anchor's STATE carries the stored valid_from — its fold
+            # POSITION (anchor_t, max of the per-field times) can sit
+            # past the last visible change, and reasserted stored state
+            # must not advance the entity's validFrom
+            (
+                F.col("valid_from")
+                if is_anchor
+                else F.lit(None).cast("timestamp_ntz")
+            ).alias("__orig_vf"),
             F.col("stored_from").alias("__stored"),
             F.lit(True).alias("__trusted"),
             seed_unt.alias("__unt"),
         ]
         struct = F.struct(*cols)
-        if not is_anchor:
+        if is_floor:
+            struct = F.when(
+                F.col("__floor_t").isNotNull() & ~F.col("is_deleted"), struct
+            )
+        elif not is_anchor:
             if spec.fields[which] == FILL_IF_NULL:
                 # a fill seed exists iff there is a stored value to place
                 present = F.col(which).isNotNull()
@@ -839,7 +1138,7 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
             struct = F.when(present & ~F.col("is_deleted"), struct)
         return struct
 
-    seed_structs = [_seed_struct("__anchor")] + [
+    seed_structs = [_seed_struct("__anchor"), _seed_struct("__floor__")] + [
         _seed_struct(f) for f, p in spec.fields.items() if p in TS_TRACKED
     ]
 
@@ -868,9 +1167,32 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
     state_cols: list[Column] = [F.col(k) for k in key]
     for name, policy in spec.fields.items():
         state_cols.extend(_fold_field_cum(name, policy, spec, cume))
+    # the incarnation floor carried to the next batch: newest tombstone
+    # time known for the key (real update tombs, the deleted anchor, and
+    # the re-seeded stored floor all count)
+    state_cols.append(
+        F.max(F.when(F.col("__tomb"), F.col(spec.event_time)))
+        .over(W.partitionBy(*key))
+        .alias("__floor_t")
+    )
+    # incarnation creation time: earliest live non-pseudo row of the
+    # epoch (updates + the anchor; pseudo seeds are field history, not
+    # creations) — merge_batch's retro-creation rule reads it
+    state_cols.append(
+        F.min(
+            F.when(
+                ~F.col("__tomb") & (~F.col("__seed") | F.col("__anchor")),
+                F.col(spec.event_time),
+            )
+        )
+        .over(W.partitionBy(*key, "__epoch"))
+        .alias("__cre_t")
+    )
     state_cols.extend(
         [
-            F.col(spec.event_time).alias("valid_from"),
+            F.coalesce(F.col("__orig_vf"), F.col(spec.event_time)).alias(
+                "valid_from"
+            ),
             F.col("__tomb").alias("is_deleted"),
             F.first(F.col("__stored")).over(cume).alias("stored_from"),
             F.col("__seq").alias("__seq"),
@@ -922,14 +1244,18 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
     }
     if spec.trusted:
         # M6 at message granularity (visitShouldBeUpdated,
-        # VisitController.java:188-204): an untrusted message may only
-        # CREATE the entity — it applies iff it is the very first event in
-        # the key's total order and no seed (existing entity) is present.
-        # Trusted messages always apply. Skipped messages contribute no
-        # version (the reference writes no audit row for skipped updates),
-        # so they are dropped before the fold — which keeps the result
-        # permutation-invariant (the filter depends only on the total
-        # order, not arrival order).
+        # VisitController.java:188-204, under the event-order invariant):
+        # an untrusted message may only CREATE the entity. The batch's
+        # only possible creator is the raw-first UPDATE per key, and it
+        # acts iff it is untrusted, no trusted-origin state exists, and
+        # it precedes any stored untrusted creation (earliest REAL event
+        # time wins — the batch-split-invariant choice). When the
+        # creator wins, the stored untrusted creation's seed rows are
+        # dropped: the replaced creation never happened, so the new
+        # creator rebuilds the entity wholesale. Skipped messages
+        # contribute no version (the reference writes no audit row for
+        # skipped updates) and are dropped before the fold — the filter
+        # depends only on the total order, never on arrival order.
         _raw_order = [
             F.col(spec.event_time),
             F.col("__seed").desc(),
@@ -938,7 +1264,37 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
         ]
         wfull = W.partitionBy(*key)
         t["m6_rn"] = F.row_number().over(W.partitionBy(*key).orderBy(*_raw_order))
-        t["m6_seeded"] = F.max(F.col("__seed").cast("int")).over(wfull)
+        first_rn = F.col("__m6_first_rn")
+        rn = F.col("__m6_rn")
+        t["m6_first_rn"] = F.min(F.when(~F.col("__seed"), rn)).over(wfull)
+        seeded_tr = F.coalesce(
+            F.max((F.col("__seed") & ~F.col("__unt")).cast("int")).over(wfull),
+            F.lit(0),
+        )
+        unt_anchor_vf = F.max(
+            F.when(F.col("__anchor") & F.col("__unt"), F.col(spec.event_time))
+        ).over(wfull)
+        first_is_unt = (
+            F.coalesce(
+                F.max(
+                    F.when(rn == first_rn, (~F.col("__trusted")).cast("int"))
+                ).over(wfull),
+                F.lit(0),
+            )
+            == 1
+        )
+        first_upd_t = F.max(
+            F.when(rn == first_rn, F.col(spec.event_time))
+        ).over(wfull)
+        t["m6_creator"] = (
+            first_is_unt
+            & (seeded_tr == 0)
+            & (unt_anchor_vf.isNull() | (first_upd_t < unt_anchor_vf))
+        )
+        creator = F.col("__m6_creator")
+        t["m6_keep"] = (
+            ~F.col("__seed") & (F.col("__trusted") | (creator & (rn == first_rn)))
+        ) | (F.col("__seed") & ~(F.col("__unt") & creator))
     _MBV_CACHE[ck] = t
     return t
 
@@ -969,7 +1325,7 @@ def merge_batch_versions(
     spark = updates.sparkSession
     if current is None:
         current = empty_current(spark, updates, spec)
-    for c in _ts_cols(spec):  # tolerate pre-metadata current frames
+    for c in [*_ts_cols(spec), "__floor_t", "__cre_t"]:  # tolerate pre-metadata frames
         if c not in current.columns:
             current = current.withColumn(c, F.lit(None).cast("timestamp_ntz"))
     if spec.trusted and "__untrusted" not in current.columns:
@@ -992,12 +1348,10 @@ def merge_batch_versions(
     if spec.trusted:
         seeded = (
             seeded.withColumn("__m6_rn", T["m6_rn"])
-            .withColumn("__m6_seeded", T["m6_seeded"])
-            .filter(
-                F.col("__trusted")
-                | ((F.col("__m6_rn") == 1) & (F.col("__m6_seeded") == 0))
-            )
-            .drop("__m6_rn", "__m6_seeded")
+            .withColumn("__m6_first_rn", T["m6_first_rn"])
+            .withColumn("__m6_creator", T["m6_creator"])
+            .filter(T["m6_keep"])
+            .drop("__m6_rn", "__m6_first_rn", "__m6_creator")
         )
 
     seeded = seeded.withColumn("__ord", T["ord_expr"])

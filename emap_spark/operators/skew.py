@@ -51,11 +51,16 @@ def salted_agg(
 
     aggs: (input_col, how, alias) with how in _TWO_PHASE. The first
     groupBy shuffles on (keys..., salt) — a hot key spreads over n_salt
-    reducers; the second shuffles n_salt rows per key. salt_on defaults
-    to a hash of the input column set (deterministic per row content).
+    reducers; the second shuffles n_salt rows per key. The default salt
+    is ROW-UNIQUE (monotonically_increasing_id cycled through n_salt),
+    so the spread holds even when a hot key's rows carry constant or
+    low-cardinality values — a value-hash salt would funnel those
+    through few reducers. Caller-supplied salt_on trades that guarantee
+    for content determinism; it must still be well-distributed over the
+    hot key's rows to keep the skew immunity.
     """
     if salt_on is None:
-        salt_on = F.xxhash64(*[F.col(c) for c, _, _ in aggs])
+        salt_on = F.monotonically_increasing_id()
     salted = df.withColumn("__salt", F.pmod(salt_on, F.lit(n_salt)))
     partials = []
     finals = []

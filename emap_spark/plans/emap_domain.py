@@ -302,3 +302,65 @@ def q104_lakehouse_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.select("tbl", "n_live", "n_audit").orderBy("tbl")
+
+
+# --------------------------------------------------------------------------
+# q105: the SQL-warehouse upsert mirror (the reference's ACTUAL sink — a
+# Postgres star schema written transactionally per upsert,
+# core/.../RowState.java:186-201; DuckDB stands in for the warehouse)
+# --------------------------------------------------------------------------
+_Q105_ORACLE = """
+SELECT * FROM (VALUES
+  ('core_demographic', 40, 0),
+  ('hospital_visit',   40, 40),
+  ('mrn',              40, 0)
+) t(tbl, n_live, n_audit)
+ORDER BY tbl
+"""
+
+
+@register(
+    "q105_jdbc_upsert_mirror",
+    oracle=_Q105_ORACLE,
+    doc=(
+        "K2 as a transactional SQL MERGE (storage/jdbc.py): the same "
+        "two-durable-batch + crash-replay drill as q104 run through the "
+        "JdbcUpsertStore backend — staging transfer is O(touched rows), "
+        "the upsert is one server-side delete-insert MERGE, and the "
+        "batch ledger commits in the same transaction, so the replay is "
+        "a no-op. Live/audit counts match the closed form, proving the "
+        "reference's Postgres-sink contract on a SQL warehouse."
+    ),
+)
+def q105_jdbc_upsert_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from emap_spark.app import EmapEngine
+    from emap_spark.sources.generators import adt_messages
+
+    adt = adt_messages(spark, n_patients=40)
+    b1 = adt.filter(F.col("source_message_id").endswith("-1") | F.col("source_message_id").endswith("-2"))
+    b2 = adt.filter(F.col("source_message_id").endswith("-3") | F.col("source_message_id").endswith("-4"))
+    eng = EmapEngine(storage_root=tempfile.mkdtemp(prefix="q105_"), backend="jdbc")
+    eng.process_batch(b1, 0)
+    eng.process_batch(b2, 1)
+    eng.process_batch(b1, 0)  # crash-replay: must be a no-op
+    rows = []
+    for tbl in ("core_demographic", "hospital_visit", "mrn"):
+        rows.append(
+            eng.table(tbl).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(1).alias("__one"),
+            )
+            .groupBy("tbl")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_live"))
+            .crossJoin(
+                F.broadcast(
+                    eng.audit(tbl).agg(F.count(F.lit(1)).cast("int").alias("n_audit"))
+                )
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select("tbl", "n_live", "n_audit").orderBy("tbl")

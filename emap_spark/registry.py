@@ -93,10 +93,11 @@ _PRIORITY = [
     "q85_stream_windowed_rollup", "q86_oru_vendor_observations",
     "q87_forms_pipeline", "q88_stream_dedupe_within_watermark",
     "q96_hl7_lab_vendor_parse", "q100_incremental_polling",
-    "q104_lakehouse_sink_roundtrip",
-    # read-side operator queries (Q5/Q6/Q8)
+    "q104_lakehouse_sink_roundtrip", "q105_jdbc_upsert_mirror",
+    # read-side operator queries (Q5/Q8; Q6 keeps in-window evidence
+    # via q71, q25 moves to the local replica)
     "q13_customer_event_reconciliation",
-    "q24_state_asof", "q25_gap_detection",
+    "q24_state_asof",
     # LLM-data pipeline family (dedup/similarity/text)
     "q40_token_stats", "q41_quality_score", "q42_lang_source_profile",
     "q43_exact_dup_groups",
@@ -107,7 +108,7 @@ _PRIORITY = [
     # --- driver cap boundary (first 50 above get the hard driver check) ---
     "q20_latest_event_per_user",
     "q22_user_current_state", "q23_scd2_validity_intervals",
-    "q26_sessionization",
+    "q25_gap_detection", "q26_sessionization",
     "q44_dedup_survivors", "q49_doc_fingerprint",
     "q50_knn_bruteforce", "q51_ann_lsh_bucketed",
     "q45_jaccard_near_dup_pairs", "q46_minhash_signatures",

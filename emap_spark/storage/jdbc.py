@@ -1,0 +1,202 @@
+"""RDBMS upsert mirror for the star tables — the K2 sink expressed as
+transactional SQL MERGE against a relational warehouse, which is what
+the reference actually runs (its star schema IS Postgres: every upsert
+is persisted transactionally per message, core/.../RowState.java:186-201
+and saveEntityOrAuditLogIfRequired; capacity notes
+docs/technical_overview/Technical_overview_of_EMAP.md:273-275).
+
+The container has no Postgres and no JDBC driver jar, so DuckDB (in
+process) stands in as the SQL warehouse and proves the CONTRACT:
+
+  * per-batch cost is O(touched rows): only the batch's row versions
+    cross the wire into a staging relation; the upsert is one
+    delete-insert MERGE server-side — never a table rewrite;
+  * the batch-id ledger commits IN THE SAME TRANSACTION as the data, so
+    a crash between commit and the pipeline marker replays as a no-op
+    (exactly-once, like DeltaLog's manifest rename);
+  * current + audit read back exactly what the DeltaLog backend holds
+    (asserted by test_durable_pipeline across all three backends).
+
+At cluster scale the same shape maps onto Postgres:
+``df.write.format("jdbc")`` into a staging table (executor-parallel
+partition writes), then one server-side ``INSERT ... ON CONFLICT DO
+UPDATE`` / ``MERGE`` statement and the ledger insert in one
+transaction. Only the driver of this class changes; the pipeline
+contract (load / has_batch / read_current / read_audit / commit) is the
+same one DeltaLog and SnapshotStore implement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+_LOCK = threading.Lock()  # duckdb: one writer per database file
+
+
+class JdbcUpsertStore:
+    """One logical table mirrored into a SQL warehouse via upserts."""
+
+    def __init__(self, root: str, name: str, key: list[str]) -> None:
+        self.root = os.path.join(root, "tables", name)
+        self.name = name
+        self.key = key
+        self.spark: SparkSession | None = None
+        self._schema: T.StructType | None = None
+
+    # -- connection --------------------------------------------------------
+    def _db_path(self) -> str:
+        return os.path.join(self.root, "store.duckdb")
+
+    def _connect(self):
+        import duckdb
+
+        os.makedirs(self.root, exist_ok=True)
+        con = duckdb.connect(self._db_path())
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS _batches (batch_id BIGINT PRIMARY KEY)"
+        )
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS _meta (k VARCHAR PRIMARY KEY, v VARCHAR)"
+        )
+        return con
+
+    def load(self, spark: SparkSession) -> None:
+        self.spark = spark
+        with _LOCK:
+            con = self._connect()
+            try:
+                row = con.execute(
+                    "SELECT v FROM _meta WHERE k = 'schema'"
+                ).fetchone()
+                if row:
+                    self._schema = T.StructType.fromJson(json.loads(row[0]))
+            finally:
+                con.close()
+
+    def has_batch(self, batch_id: int) -> bool:
+        with _LOCK:
+            con = self._connect()
+            try:
+                row = con.execute(
+                    "SELECT 1 FROM _batches WHERE batch_id = ?", [batch_id]
+                ).fetchone()
+                return row is not None
+            finally:
+                con.close()
+
+    # -- reads -------------------------------------------------------------
+    def _read(self, table: str, keys_pdf=None) -> DataFrame | None:
+        if self._schema is None:
+            return None
+        with _LOCK:
+            con = self._connect()
+            try:
+                exists = con.execute(
+                    "SELECT 1 FROM information_schema.tables WHERE table_name = ?",
+                    [table],
+                ).fetchone()
+                if not exists:
+                    return None
+                if keys_pdf is not None:
+                    con.register("_wanted_keys", keys_pdf)
+                    on = " AND ".join(
+                        f"t.{k} IS NOT DISTINCT FROM w.{k}" for k in self.key
+                    )
+                    pdf = con.execute(
+                        f"SELECT t.* FROM {table} t SEMI JOIN _wanted_keys w ON {on}"
+                    ).df()
+                else:
+                    pdf = con.execute(f"SELECT * FROM {table}").df()
+            finally:
+                con.close()
+        cols = [f.name for f in self._schema.fields if f.name in pdf.columns]
+        schema = T.StructType([self._schema[c] for c in cols])
+        return self.spark.createDataFrame(pdf[cols], schema)
+
+    def read_current(self, keys: DataFrame | None = None) -> DataFrame | None:
+        """Current rows (tombstones included). keys: optional restriction
+        frame — collected (touched keys are broadcast-size) and pushed
+        into the SQL as a semi join, so the warehouse returns O(touched)
+        rows; this is exactly the per-key lookup pattern the reference's
+        repositories run against Postgres."""
+        keys_pdf = keys.toPandas() if keys is not None else None
+        return self._read(f"{self.name}_current", keys_pdf)
+
+    def read_audit(self) -> DataFrame | None:
+        df = self._read(f"{self.name}_audit")
+        if df is None:
+            return None
+        return df.drop(*[c for c in df.columns if c.startswith("__")])
+
+    # -- writes ------------------------------------------------------------
+    def commit(self, batch_id: int, combined: DataFrame) -> int:
+        """One transaction: stage the batch's row versions, MERGE current
+        (delete-insert per touched key), append audit, record the batch
+        id. Costs one Spark action (materializing the batch)."""
+        if self.has_batch(batch_id):
+            return 0
+        if self._schema is None:
+            self._schema = combined.schema
+        pdf = combined.toPandas()  # O(touched rows) — the staging transfer
+        cur_t, aud_t = f"{self.name}_current", f"{self.name}_audit"
+        non_meta = [
+            f.name
+            for f in self._schema.fields
+            if not f.name.startswith("__") and f.name not in ("valid_until", "stored_until")
+        ]
+        cur_cols = [
+            f.name
+            for f in self._schema.fields
+            if f.name not in ("valid_until", "stored_until", "__rk")
+        ]
+        aud_cols = [c for c in non_meta] + ["valid_until", "stored_until"]
+        on = " AND ".join(f"c.{k} IS NOT DISTINCT FROM s.{k}" for k in self.key)
+        with _LOCK:
+            con = self._connect()
+            try:
+                con.register("_staging", pdf)
+                con.execute("BEGIN TRANSACTION")
+                con.execute(
+                    f"CREATE TABLE IF NOT EXISTS {cur_t} AS "
+                    f"SELECT {', '.join(cur_cols)} FROM _staging WHERE 1=0"
+                )
+                con.execute(
+                    f"CREATE TABLE IF NOT EXISTS {aud_t} AS "
+                    f"SELECT {', '.join(aud_cols)} FROM _staging WHERE 1=0"
+                )
+                # MERGE: the batch's touched keys replace their current
+                # rows; superseded versions append to audit
+                con.execute(
+                    f"DELETE FROM {cur_t} c USING "
+                    f"(SELECT DISTINCT {', '.join(self.key)} FROM _staging) s "
+                    f"WHERE {on}"
+                )
+                con.execute(
+                    f"INSERT INTO {cur_t} SELECT {', '.join(cur_cols)} "
+                    f"FROM _staging WHERE __rk = 1"
+                )
+                con.execute(
+                    f"INSERT INTO {aud_t} SELECT {', '.join(aud_cols)} "
+                    f"FROM _staging WHERE __rk > 1"
+                )
+                con.execute(
+                    "INSERT INTO _batches VALUES (?)", [batch_id]
+                )
+                con.execute(
+                    "INSERT OR REPLACE INTO _meta VALUES ('schema', ?)",
+                    [json.dumps(self._schema.jsonValue())],
+                )
+                con.execute("COMMIT")
+            except Exception:
+                try:
+                    con.execute("ROLLBACK")
+                finally:
+                    pass
+                raise
+            finally:
+                con.close()
+        return 1

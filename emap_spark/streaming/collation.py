@@ -297,8 +297,17 @@ def collate_stream(
                 else None
             )
             keep = _retain_unemitted(new, emitted_until)
-            keep = keep.sort_values("observation_time").drop_duplicates(
-                subset=["observation_time"], keep="first"
+            # same deterministic tiebreak as _collate_key (smallest
+            # payload wins): a duplicate pair in the retained zone must
+            # keep the row the collation would later declare the winner,
+            # not whichever landed first in frame order — otherwise the
+            # buffer can hold the very payload that was just emitted as
+            # a dead-letter row and silently drop the declared winner
+            keep = (
+                keep.assign(__vk=keep["values"].map(tuple))
+                .sort_values(["observation_time", "__vk"], kind="stable")
+                .drop_duplicates(subset=["observation_time"], keep="first")
+                .drop(columns="__vk")
             )
             # pure-Python values only: numpy scalars in the state tuple fail
             # JVM-side unpickling (razorvine has no numpy.dtype constructor)

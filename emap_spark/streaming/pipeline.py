@@ -52,7 +52,7 @@ from emap_spark.operators.merge import (
     merge_batch_versions,
     split_combined,
 )
-from emap_spark.storage import DeltaLog, SnapshotStore
+from emap_spark.storage import DeltaLog, JdbcUpsertStore, SnapshotStore
 
 # deterministic, monotonic stored_from: base + batch_id seconds (audit
 # bitemporal queries need stored_from non-decreasing in batch order)
@@ -157,6 +157,10 @@ class MergePipeline:
         for name, state in self.tables.items():
             if self.backend == "delta":
                 state.store = DeltaLog(self.storage_root, name, state.spec.key)
+            elif self.backend == "jdbc":
+                state.store = JdbcUpsertStore(
+                    self.storage_root, name, state.spec.key
+                )
             else:
                 state.store = SnapshotStore(self.storage_root, name, state.spec.key)
             state.store.load(spark)
@@ -189,7 +193,7 @@ class MergePipeline:
         if state.store is not None:
             if state.store.has_batch(batch_id):
                 return 0  # this table already committed the batch (replay)
-            if isinstance(state.store, DeltaLog):
+            if isinstance(state.store, (DeltaLog, JdbcUpsertStore)):
                 # incremental MERGE: fold only the keys this batch touches;
                 # untouched rows are never read into the fold nor rewritten
                 # (the key restriction is applied BELOW the store's

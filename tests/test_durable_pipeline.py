@@ -37,7 +37,7 @@ def _snapshot(eng):
     return vis, lv, n_aud
 
 
-@pytest.mark.parametrize("backend", ["delta", "snapshot"])
+@pytest.mark.parametrize("backend", ["delta", "snapshot", "jdbc"])
 def test_restart_resumes_identical_state(spark, tmpdir, backend):
     adt = adt_messages(spark, n_patients=4)
     b1 = adt.filter(F.col("message_type") == "ADMIT")
@@ -80,6 +80,34 @@ def test_restart_resumes_identical_state(spark, tmpdir, backend):
     # metrics log reloaded across the restart
     m = e2.metrics(spark).collect()
     assert sorted(x.batch_id for x in m) == [0, 1, 2]
+
+
+def test_jdbc_mirror_matches_delta(spark, tmpdir):
+    """The SQL-warehouse mirror (JdbcUpsertStore, DuckDB stand-in for
+    the reference's Postgres star schema) holds EXACTLY the rows the
+    DeltaLog backend holds — current AND audit — after the same batches,
+    including an idempotent replay of a committed batch."""
+    import os
+
+    adt = adt_messages(spark, n_patients=4)
+    b1 = adt.filter(F.col("message_type") == "ADMIT")
+    b2 = adt.filter(~(F.col("message_type") == "ADMIT"))
+
+    ed = EmapEngine(storage_root=os.path.join(tmpdir, "d"), backend="delta")
+    ej = EmapEngine(storage_root=os.path.join(tmpdir, "j"), backend="jdbc")
+    for i, b in enumerate([b1, b2]):
+        ed.process_batch(b, i)
+        ej.process_batch(b, i)
+    ej.process_batch(b2, 1)  # replay: transactional ledger makes it a no-op
+
+    for table in ["mrn", "core_demographic", "hospital_visit"]:
+        cur_d = sorted(map(tuple, ed.table(table).collect()))
+        cur_j = sorted(map(tuple, ej.table(table).collect()))
+        assert cur_j == cur_d, table
+        aud_d, aud_j = ed.audit(table), ej.audit(table)
+        rows_d = sorted(map(tuple, aud_d.collect())) if aud_d is not None else []
+        rows_j = sorted(map(tuple, aud_j.collect())) if aud_j is not None else []
+        assert rows_j == rows_d, f"audit {table}"
 
 
 def test_quarantine_and_stored_from_monotonic(spark, tmpdir):

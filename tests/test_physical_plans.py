@@ -108,3 +108,31 @@ def test_new_round3_queries_plan_hygiene(spark, sf_dir):
     assert "ShuffledHashJoin" in p59 or "SortMergeJoin" in p59 or "BroadcastHashJoin" in p59
     p103 = plan_of(spark, sf_dir, "q103_salted_hot_key_agg")
     assert "__salt" in p103
+
+
+def test_ppm_decoder_accepts_spec_variants():
+    """The builtin PPM parser follows the Netpbm spec, not just the
+    fixture writer's layout: comments between header tokens, arbitrary
+    whitespace separators, and maxval > 255 (2-byte big-endian samples)
+    all decode; a truncated header raises rather than mis-parsing."""
+    import numpy as np
+    import pytest
+
+    from emap_spark.multimodal.binary_ops import _decode_ppm
+
+    raster = bytes(range(12))  # 2x2 RGB
+    std = _decode_ppm(b"P6\n2 2\n255\n" + raster)
+    fancy = _decode_ppm(
+        b"P6 # comment\n# full comment line\n 2\t2 # wh\n255 " + raster
+    )
+    assert std["pixels_or_samples"] == fancy["pixels_or_samples"] == 4
+    assert np.array_equal(std["pixels"], fancy["pixels"])
+
+    r16 = b"".join(int(v).to_bytes(2, "big") for v in range(12))
+    wide = _decode_ppm(b"P6\n2 2\n65535\n" + r16)
+    assert wide["maxval"] == 65535 and wide["peak"] == 11.0
+
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6\n2 2\n")  # truncated header
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P5\n2 2\n255\n" + raster)  # not P6

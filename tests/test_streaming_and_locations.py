@@ -338,3 +338,62 @@ def test_priority_live_over_backfill(spark):
     p3 = MergePipeline({"visit": (spec, lambda df: df)})
     process_prioritized(p3, live, backfill, 0, backfill_budget_rows=2)
     assert p3.metrics[-1].n_input == 2
+
+
+def test_waveform_store_scheduled_orphan_repair(spark, tmp_path):
+    """The D19 durable log repairs orphans on schedule (verdict r3 #10):
+    waveforms arriving BEFORE their visit land as orphans (att=0 files);
+    once the LocationVisit exists, the scheduled repair pass — scanning
+    only the orphan files — attaches them; the repair is idempotent and
+    shadows, never rewrites (the reference leaves such rows NULL forever,
+    WaveformController.java:60-66)."""
+    import datetime
+
+    from emap_spark.streaming.waveform_store import WaveformStore
+
+    def wf(loc, hour, visit=None):
+        return (loc, "52912", datetime.datetime(2024, 1, 1, hour, 0), visit)
+
+    schema = (
+        "source_location string, source_stream_id string,"
+        " observation_datetime timestamp_ntz, visit_number string"
+    )
+    lv_schema = (
+        "visit_number string, location_string string,"
+        " admission_datetime timestamp_ntz, discharge_datetime timestamp_ntz"
+    )
+    no_visits = spark.createDataFrame([], lv_schema)
+
+    store = WaveformStore(str(tmp_path), repair_every=2)
+    store.load(spark)
+    # batch 0: the visit does not exist yet -> orphan
+    store.ingest(spark.createDataFrame([wf("T03^B1", 13)], schema), 0, no_visits)
+    assert store.orphan_count() == 1
+
+    # the ADT catches up: LocationVisit for T03^B1 now exists
+    lv = spark.createDataFrame(
+        [("V1", "T03^B1", datetime.datetime(2024, 1, 1, 12, 0), None)], lv_schema
+    )
+    # batch 1 (2nd ingest) triggers the scheduled repair pass
+    store.ingest(spark.createDataFrame([wf("T03^B1", 14)], schema), 1, lv)
+    assert store.orphan_count() == 0
+    got = {
+        (r.source_location, str(r.observation_datetime)): r.visit_number
+        for r in store.read().collect()
+    }
+    assert got[("T03^B1", "2024-01-01 13:00:00")] == "V1"  # repaired
+    assert got[("T03^B1", "2024-01-01 14:00:00")] == "V1"  # attached at ingest
+    assert len(got) == 2
+
+    # idempotent: a second pass repairs nothing and duplicates nothing
+    assert store.repair(lv) == 0
+    assert store.read().count() == 2
+
+    # replayed batch id is a no-op (restart path)
+    store.ingest(spark.createDataFrame([wf("T03^B1", 13)], schema), 0, lv)
+    assert store.read().count() == 2
+
+    # a restarted store resumes from the manifest
+    again = WaveformStore(str(tmp_path), repair_every=2)
+    again.load(spark)
+    assert again.orphan_count() == 0 and again.read().count() == 2
