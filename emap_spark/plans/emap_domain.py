@@ -23,7 +23,7 @@ ASOF_T = "2024-01-10 00:00:00"  # time-travel target inside batch 1
 
 def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    return e.select(
+    m = e.select(
         F.col("user_id"),
         F.col("ts").alias("valid_from"),
         F.col("event_id").alias("seq"),
@@ -31,6 +31,13 @@ def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.when(F.col("event_type") == "purchase", F.col("value")).alias("last_purchase_value"),
     )
+    # pre-partition by the merge key at full width: the fold's windows
+    # reuse this exchange directly (hash on key satisfies their
+    # distribution), and a USER repartition is exempt from AQE's
+    # bytes-based coalescing — which would otherwise squeeze the
+    # window-heavy fold of 100k rows into ~3 tasks because the shuffled
+    # BYTES are small while the per-row window work is not
+    return m.repartition(spark.sparkContext.defaultParallelism, F.col("user_id"))
 
 
 _SPEC = MergeSpec(

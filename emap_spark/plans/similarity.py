@@ -28,7 +28,12 @@ LSH_BITS = 8
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings")
+    # parallelism follows COMPUTE, not bytes: the embedding table
+    # compresses below one split, and the dot-product/LSH work per row
+    # dwarfs its bytes — fan it out (see text_dedup._docs for the full
+    # rationale; at 100 TB the file count provides the splits)
+    return e.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _dot(a: str, b: str) -> Column:

@@ -30,7 +30,16 @@ _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents")
+    # Parallelism must follow COMPUTE, not input bytes: the documents
+    # table compresses to well under one split, so Spark's size-based
+    # splitting would run the whole shingle/minhash/md5 pipeline in ONE
+    # task with every other core idle. One cheap round-robin shuffle of
+    # the raw text fans the compute across the cluster. (At 100 TB the
+    # file count provides the splits and this repartition coalesces into
+    # the scan's natural parallelism — it protects exactly the small-
+    # input/heavy-compute corner where size-based splitting fails.)
+    return d.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _words(df: DataFrame) -> DataFrame:
