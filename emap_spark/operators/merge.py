@@ -463,6 +463,7 @@ def empty_current(spark, updates: DataFrame, spec: MergeSpec) -> DataFrame:
                 sel.append(F.col(f"__t_{name}").alias(f"__ts_{name}"))
         sel.append(F.lit(None).cast("timestamp_ntz").alias("__floor_t"))
         sel.append(F.lit(None).cast("timestamp_ntz").alias("__cre_t"))
+        sel.append(F.lit(None).cast("timestamp_ntz").alias("__seen_t"))
         if spec.trusted:
             sel.append(F.lit(False).alias("__untrusted"))
         st = folded.select(*sel).schema
@@ -486,7 +487,7 @@ def _meta_cols(spec: MergeSpec) -> list[str]:
     internals — the public surface (valid_from, audit validity) always
     carries the message's real event time, matching the reference, which
     stores the actual validFrom for untrusted-created entities."""
-    cols = _ts_cols(spec) + ["__floor_t", "__cre_t"]
+    cols = _ts_cols(spec) + ["__floor_t", "__cre_t", "__seen_t"]
     if spec.trusted:
         cols = cols + ["__untrusted"]
     return cols
@@ -508,7 +509,7 @@ def merge_batch(
     spark = updates.sparkSession
     if current is None:
         current = empty_current(spark, updates, spec)
-    for c in [*_ts_cols(spec), "__floor_t", "__cre_t"]:  # tolerate pre-metadata frames
+    for c in [*_ts_cols(spec), "__floor_t", "__cre_t", "__seen_t"]:  # tolerate pre-metadata frames
         if c not in current.columns:
             current = current.withColumn(c, F.lit(None).cast("timestamp_ntz"))
     if spec.trusted and "__untrusted" not in current.columns:
@@ -587,18 +588,31 @@ def _mb_templates(spec: MergeSpec) -> dict:
     cur_exists = F.col("cur.valid_from").isNotNull() | F.col("cur.is_deleted").isNotNull()
     cnd_exists = F.col("cnd.__event_time").isNotNull()
     cur_deleted = F.coalesce(F.col("cur.is_deleted"), F.lit(False))
-    # precedence time of the stored row: an untrusted-created entity sits
-    # at the floor internally (any trusted write supersedes it) while its
-    # public valid_from keeps the real message time (M6 / advice round 2)
+    # TWO stored times with distinct jobs:
+    #  * __seen_t — the M4 newer-wins boundary: the newest message time
+    #    the entity has absorbed, INCLUDING no-ops. The reference gets
+    #    this for free by advancing validFrom on every update; since our
+    #    validFrom is change-gated (reference-exact), a no-op's time
+    #    must survive somewhere or an out-of-order older ASSIGN would
+    #    later overwrite state a newer no-op had reasserted.
+    #  * valid_from — the public change time (only advances on real
+    #    changes), used for the vf no-regress floor.
+    # Both sit at the UNTRUSTED_EPOCH floor for untrusted-created rows
+    # (any trusted write supersedes them, M6).
+    raw_seen = F.coalesce(F.col("cur.__seen_t"), F.col("cur.valid_from"))
     if spec.trusted:
+        _unt_floor = F.coalesce(F.col("cur.__untrusted"), F.lit(False))
+        cur_seen = F.when(
+            _unt_floor, F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
+        ).otherwise(raw_seen)
         cur_prec = F.when(
-            F.coalesce(F.col("cur.__untrusted"), F.lit(False)),
-            F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz"),
+            _unt_floor, F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
         ).otherwise(F.col("cur.valid_from"))
     else:
+        cur_seen = raw_seen
         cur_prec = F.col("cur.valid_from")
     cnd_newer = cnd_exists & (
-        ~cur_exists | (F.col("cnd.__event_time") >= cur_prec)
+        ~cur_exists | (F.col("cnd.__event_time") >= cur_seen)
     )
     # M6: untrusted candidates only act when the entity does not exist
     # yet (a tombstone row still counts as existing) — with ONE
@@ -634,9 +648,13 @@ def _mb_templates(spec: MergeSpec) -> dict:
     # predate it (the folded candidate only carries post-tombstone
     # messages — see the tombstone cut in fold_updates).
     tomb_t = F.col("cnd.__tomb_t")
+    # wholesale wipe compares against __seen_t: a stored no-op NEWER
+    # than the in-batch delete still re-creates the entity in replay
+    # (the delete clears, the later message recreates), so the row
+    # survives and only its older FIELDS clear
     wiped = (
         cnd_applies & tomb_t.isNotNull() & cur_exists & ~cur_deleted
-        & (cur_prec < tomb_t)
+        & (cur_seen < tomb_t)
     )
     # a replaced untrusted creation behaves like a wiped row: the batch
     # rebuilds the entity from its own contributions alone
@@ -769,6 +787,14 @@ def _mb_templates(spec: MergeSpec) -> dict:
         )
         equal_terms.append(F.col(f"cnd.{name}").eqNullSafe(cur_v0))
 
+    # the newer-wins boundary advances on every absorbed message —
+    # no-ops included (their event time is knowledge even when their
+    # content changes nothing)
+    fill_meta.append(
+        F.greatest(
+            raw_seen, F.when(cnd_applies, F.col("cnd.__event_time"))
+        ).alias("__seen_t")
+    )
     # carry the incarnation floor forward: the old floor, the tombstone
     # this resurrection rose from, and any in-batch tombstone all bound
     # future late arrivals
@@ -1037,8 +1063,16 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
     # Anchor + pseudo rows are produced by ONE explode over current
     # (one union into the fold): N chained unionByName calls each
     # re-analyze the growing plan — quadratic driver time per batch.
-    anchor_t = F.greatest(F.col("valid_from"), *[F.col(c) for c in _ts_cols(spec)]) \
-        if _ts_cols(spec) else F.col("valid_from")
+    # the anchor folds at the newest time the entity has absorbed —
+    # per-field last writes AND the __seen_t newer-wins boundary (a
+    # stored no-op's time must still shield the state from older
+    # out-of-order updates) — so it always reasserts over anything the
+    # stored state already supersedes
+    anchor_t = F.greatest(
+        F.col("valid_from"),
+        F.coalesce(F.col("__seen_t"), F.col("valid_from")),
+        *[F.col(c) for c in _ts_cols(spec)],
+    )
 
     def _seed_struct(which: str) -> Column:
         """One seed row as a struct: which='__anchor', '__floor__' (the
@@ -1174,6 +1208,12 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
         F.max(F.when(F.col("__tomb"), F.col(spec.event_time)))
         .over(W.partitionBy(*key))
         .alias("__floor_t")
+    )
+    # the newer-wins boundary carried to the next batch: the newest
+    # PRECEDENCE time absorbed (floored for untrusted-origin rows); the
+    # anchor's position re-seeds the stored boundary recursively
+    state_cols.append(
+        F.max(F.col("__ord")).over(W.partitionBy(*key)).alias("__seen_t")
     )
     # incarnation creation time: earliest live non-pseudo row of the
     # epoch (updates + the anchor; pseudo seeds are field history, not
@@ -1325,7 +1365,7 @@ def merge_batch_versions(
     spark = updates.sparkSession
     if current is None:
         current = empty_current(spark, updates, spec)
-    for c in [*_ts_cols(spec), "__floor_t", "__cre_t"]:  # tolerate pre-metadata frames
+    for c in [*_ts_cols(spec), "__floor_t", "__cre_t", "__seen_t"]:  # tolerate pre-metadata frames
         if c not in current.columns:
             current = current.withColumn(c, F.lit(None).cast("timestamp_ntz"))
     if spec.trusted and "__untrusted" not in current.columns:

@@ -296,8 +296,11 @@ class DeltaLog:
         # bucketing shuffle + per-bucket files would tax every batch.
         # Only the BASE — the O(table-state) file — is bucketed (at
         # compaction, amortized over compact_every commits); that is the
-        # scan that must stay flat as state grows.
-        versioned.write.mode("overwrite").parquet(path)
+        # scan that must stay flat as table state grows. The write
+        # re-narrows to a few files (the upstream merge runs cluster-
+        # wide; an O(touched-rows) shuffle keeps per-delta file counts
+        # bounded for the read-back union).
+        versioned.repartition(4).write.mode("overwrite").parquet(path)
         self._manifest["deltas"].append(batch_id)
         self._manifest["n_commits"] += 1
         self._write_manifest()

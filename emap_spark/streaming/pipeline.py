@@ -190,6 +190,17 @@ class MergePipeline:
         state = self.tables[name]
         merge = merge_batch if self.granularity == "batch" else merge_batch_versions
         updates = self.routers[name](deduped)
+        # fan the fold's compute across the cluster: the staged batch is
+        # one tiny parquet split and AQE's bytes-based coalescing would
+        # otherwise run the window-heavy merge in ONE task (measured
+        # 2.2s -> 1.5s on a 20k-message batch); a USER repartition on
+        # the merge key is exempt from coalescing and the fold's windows
+        # reuse it directly. The store write re-narrows the touched-rows
+        # output so delta files stay bounded.
+        updates = updates.repartition(
+            updates.sparkSession.sparkContext.defaultParallelism,
+            *state.spec.key,
+        )
         if state.store is not None:
             if state.store.has_batch(batch_id):
                 return 0  # this table already committed the batch (replay)
