@@ -616,3 +616,208 @@ def q56_query_similarity_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("doc_id", F.col("n_common").cast("long").alias("n_common"), "jaccard_to_query")
     )
+
+
+# --------------------------------------------------------------------------
+# q106: LSH parameter sweep — the banding-config tuner for dedup pipelines
+# --------------------------------------------------------------------------
+_SWEEP_CONFIGS = [
+    ("1x8", [list(range(8))]),
+    ("2x4", [[0, 1, 2, 3], [4, 5, 6, 7]]),
+    ("4x2", [[0, 1], [2, 3], [4, 5], [6, 7]]),
+]
+
+
+def _sweep_band_sql(cfg: str, groups: list[list[int]]) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{cfg}' AS cfg, doc_id, "
+        f"md5({' || '.join(f'h{i}' for i in g)}) AS bkey FROM sig"
+        for g in groups
+    )
+
+
+_Q106_BANDS_SQL = "\nUNION ALL\n".join(
+    _sweep_band_sql(c, g) for c, g in _SWEEP_CONFIGS
+)
+
+
+@register(
+    "q106_lsh_parameter_sweep",
+    oracle=f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id, {_MINHASH_SQL_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_Q106_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.cfg = b.cfg AND a.bkey = b.bkey
+   AND a.doc_id < b.doc_id
+),
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_common
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
+  GROUP BY p.doc_a, p.doc_b
+),
+ver AS (
+  SELECT i.doc_a, i.doc_b,
+         (n_common::DOUBLE / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}) AS is_dup
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT c.cfg,
+       count(*)::BIGINT AS n_candidates,
+       coalesce(sum(CASE WHEN v.is_dup THEN 1 ELSE 0 END), 0)::BIGINT AS n_verified,
+       round(coalesce(sum(CASE WHEN v.is_dup THEN 1 ELSE 0 END), 0)::DOUBLE
+             / count(*), 6) AS precision
+FROM cand c LEFT JOIN ver v ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+GROUP BY c.cfg
+ORDER BY c.cfg
+""",
+    doc=(
+        "Fuzzy-dedup parameter sweep: the SAME 8-hash signatures banded "
+        "three ways (1x8 strict .. 4x2 loose) in one pass — per config, "
+        "candidate volume and exact-verify precision, the curve an "
+        "operator reads to pick the banding knee before a 100 TB run. "
+        "Signatures and the verify join are computed once and shared; "
+        "each config adds only a band-key equi-join (linear shuffle)."
+    ),
+)
+def q106_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(_shingles(spark, sf_dir), N_MINHASH)
+    band_frames = []
+    for cfg, groups in _SWEEP_CONFIGS:
+        keys = [
+            F.md5(F.concat(*[F.col(f"h{i}") for i in g]).cast("binary"))
+            for g in groups
+        ]
+        band_frames.append(
+            sig.select(
+                F.lit(cfg).alias("cfg"),
+                "doc_id",
+                F.explode(F.array(*keys)).alias("bkey"),
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.cfg", F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify each UNIQUE pair once (exact Jaccard on candidates only,
+    # the q57 shape), then attribute per config; the dup decision uses
+    # the RAW ratio, matching the oracle bit-for-bit
+    pairs = cand.select("doc_a", "doc_b").distinct()
+    ss = _shingle_sets(spark, sf_dir)
+    sa = ss.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    sb = ss.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb")).cast("double")
+    ver = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                n_common / (F.size("sa") + F.size("sb") - n_common)
+                >= JACCARD_THRESHOLD
+            ).alias("is_dup"),
+        )
+    )
+    return (
+        cand.join(ver, ["doc_a", "doc_b"], "left")
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_verified"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("is_dup"), 1).otherwise(0)), F.lit(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("precision"),
+        )
+        .orderBy("cfg")
+    )
+
+
+# --------------------------------------------------------------------------
+# q107: normalized (cross-variant) dedup — catches case/punctuation copies
+# --------------------------------------------------------------------------
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@register(
+    "q107_normalized_dup_groups",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000, upper(text)
+  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 3)
+  UNION ALL
+  SELECT doc_id + 30000000, text || '!!!'
+  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 2)
+)
+SELECT md5({_NORM_SQL.format(c='text')}) AS norm_hash,
+       count(*) AS group_size,
+       min(doc_id) AS canonical_doc_id,
+       count(DISTINCT md5(text)) AS n_exact_variants
+FROM seeded
+GROUP BY 1
+HAVING count(*) > 1
+""",
+    doc=(
+        "Normalization-aware dedup: lowercase, strip non-alphanumerics, "
+        "collapse whitespace, THEN hash-group — finds the case/"
+        "punctuation copies exact dedup (q43) misses. 3 uppercase and 2 "
+        "punctuation variants are seeded identically in both engines; "
+        "n_exact_variants > 1 proves each group is invisible to the "
+        "exact hash. Same hash-groupBy scale shape as q43."
+    ),
+)
+def q107_normalized_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    head3 = d.orderBy("doc_id").limit(3).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"), F.upper("text").alias("text")
+    )
+    head2 = d.orderBy("doc_id").limit(2).select(
+        (F.col("doc_id") + 30000000).alias("doc_id"),
+        F.concat("text", F.lit("!!!")).alias("text"),
+    )
+    seeded = d.unionByName(head3).unionByName(head2)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        seeded.select("doc_id", F.md5(norm.cast("binary")).alias("norm_hash"),
+                      F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.countDistinct("text_hash").alias("n_exact_variants"),
+        )
+        .filter(F.col("group_size") > 1)
+    )

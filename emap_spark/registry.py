@@ -70,7 +70,9 @@ def _load_all() -> None:
 # dedup), q102 (real WAV/PPM decode) and q103 (salted hot-key agg) get
 # their first hard driver check; q22/q23/q26 rotate out — generic state
 # shapes that back no SURVEY §2 row (Q5/Q6 evidence stays via q24/q25
-# alongside q61/q71).
+# alongside q61/q71). Late round 4: q105 (JDBC upsert mirror) and q106
+# (LSH parameter sweep) rotate in for q25 and q85 (windowed rollup —
+# not §2 evidence); q107 joins the local-replica set.
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
@@ -90,7 +92,7 @@ _PRIORITY = [
     "q81_identity_merge_closure", "q82_location_metadata_scd", "q99_metadata_dimensions",
     "q83_pending_transfer_match", "q84_consults_and_questions",
     "q92_patient_conditions", "q98_advance_decisions",
-    "q85_stream_windowed_rollup", "q86_oru_vendor_observations",
+    "q86_oru_vendor_observations",
     "q87_forms_pipeline", "q88_stream_dedupe_within_watermark",
     "q96_hl7_lab_vendor_parse", "q100_incremental_polling",
     "q104_lakehouse_sink_roundtrip", "q105_jdbc_upsert_mirror",
@@ -104,8 +106,9 @@ _PRIORITY = [
     "q47_minhash_lsh_pairs", "q57_lsh_near_dup_verified",
     "q48_simhash", "q58_ann_ivf_probe",
     "q59_cosine_near_dup_pairs", "q102_media_builtin_decode",
-    "q103_salted_hot_key_agg",
+    "q103_salted_hot_key_agg", "q106_lsh_parameter_sweep",
     # --- driver cap boundary (first 50 above get the hard driver check) ---
+    "q85_stream_windowed_rollup", "q107_normalized_dup_groups",
     "q20_latest_event_per_user",
     "q22_user_current_state", "q23_scd2_validity_intervals",
     "q25_gap_detection", "q26_sessionization",
