@@ -311,6 +311,7 @@ class EmapEngine:
         self._movement_parts: list[DataFrame] = []
         self._merge_parts: list[DataFrame] = []
         self._spark: SparkSession | None = None
+        self._wf_store = None  # D19 waveform log, created on first use
         # D6 incremental: location_visit maintained as a replace-set
         # delta table — each batch recomputes intervals ONLY for the
         # visits it touches and commits O(touched) rows (durable mode).
@@ -713,6 +714,38 @@ class EmapEngine:
 
     def occupancy(self, t) -> DataFrame:
         return occupancy(self.location_visits(), t)
+
+    # -- waveform surface (D19) --------------------------------------------
+    def waveform_store(self):
+        """The durable waveform log with scheduled orphan repair
+        (streaming/waveform_store.py; requires storage_root)."""
+        if not self.storage_root:
+            raise ValueError("waveform ingest needs storage_root")
+        if self._wf_store is None:
+            from emap_spark.streaming.waveform_store import WaveformStore
+
+            self._wf_store = WaveformStore(self.storage_root)
+            self._wf_store.load(self._spark)
+        return self._wf_store
+
+    def ingest_waveforms(self, collated: DataFrame, batch_id: int) -> None:
+        """D19 through the engine: attach collated waveform rows to the
+        CURRENT location-visit intervals at ingest; orphans (waveforms
+        arriving before their ADT) land in attachment-partitioned files
+        and the scheduled repair pass re-joins ONLY those against the
+        newer intervals — the attach-later path the reference lacks
+        (WaveformController.java:60-66 leaves visit NULL forever)."""
+        self._spark = collated.sparkSession
+        store = self.waveform_store()
+        try:
+            lv = self.location_visits()
+        except ValueError:  # no ADT yet: everything lands as an orphan
+            lv = None
+        store.ingest(collated, batch_id, lv)
+
+    def waveforms(self) -> DataFrame | None:
+        """All ingested waveform rows, repaired attachments included."""
+        return self.waveform_store().read()
 
     def metrics(self, spark) -> DataFrame:
         return self.pipeline.metrics_df(spark)

@@ -669,9 +669,11 @@ def _mb_templates(spec: MergeSpec) -> dict:
     # delete and may never fill this incarnation's slots — without it, a
     # late-arriving pre-delete write would leak into the resurrected
     # entity (a tombstone row's own valid_from IS the floor for its
-    # future resurrection).
+    # future resurrection — EXCEPT under un_replaces, where the stored
+    # row is a voided untrusted creation-tombstone: in replay that
+    # delete never happened, so only the previously carried floor binds).
     stored_floor = F.when(
-        cur_deleted,
+        cur_deleted & ~un_replaces,
         F.greatest(F.col("cur.valid_from"), F.col("cur.__floor_t")),
     ).otherwise(F.col("cur.__floor_t"))
 
@@ -801,7 +803,10 @@ def _mb_templates(spec: MergeSpec) -> dict:
     fill_meta.append(
         F.greatest(
             F.col("cur.__floor_t"),
-            F.when(cur_deleted & cnd_applies & cnd_newer, F.col("cur.valid_from")),
+            F.when(
+                cur_deleted & ~un_replaces & cnd_applies & cnd_newer,
+                F.col("cur.valid_from"),
+            ),
             F.when(cnd_applies, tomb_t),
         ).alias("__floor_t")
     )

@@ -81,11 +81,11 @@ class WaveformStore:
         reference lacks."""
         if batch_id in self._manifest["batches"]:
             return  # replay
+        if "visit_number" not in collated.columns:
+            collated = collated.withColumn(
+                "visit_number", F.lit(None).cast("string")
+            )
         if location_visits is not None:
-            if "visit_number" not in collated.columns:
-                collated = collated.withColumn(
-                    "visit_number", F.lit(None).cast("string")
-                )
             collated = repair_orphan_waveforms(collated, location_visits)
         out = collated.withColumn(
             "att", F.col("visit_number").isNotNull().cast("int")

@@ -4,13 +4,32 @@ random message sequences; a pure-Python sequential-application model
 (one message at a time, exactly the reference's processing style)
 computes the expected state; merge_batch folding the whole set at once
 must agree.
+
+Two hypothesis profiles: CI runs DERANDOMIZED (a fixed example corpus
+plus every previously-found falsifier from .hypothesis — deterministic
+green, full regression value); set HYPOTHESIS_EXPLORE=1 to search fresh
+random examples with a bigger budget (how every bug this suite has
+found was found — run it when touching the engine).
 """
 
 from __future__ import annotations
 
 import datetime
+import os
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
+
+settings.register_profile(
+    "ci", derandomize=True, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+settings.register_profile(
+    "explore", derandomize=False, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+settings.load_profile(
+    "explore" if os.environ.get("HYPOTHESIS_EXPLORE") else "ci"
+)
 from pyspark.sql import Row, types as T
 
 from emap_spark.operators.merge import (
@@ -296,6 +315,18 @@ trusted_msg_strategy = st.fixed_dictionaries(
 @given(
     st.lists(trusted_msg_strategy, min_size=1, max_size=8),
     st.lists(st.integers(0, 2), min_size=2, max_size=8),
+)
+# pinned falsifier (explore run, round 4): a voided untrusted
+# creation-TOMBSTONE must not leave an incarnation floor behind when an
+# earlier creator replaces it — the delete never happened in replay
+@example(
+    raw=[
+        {"k": "u", "minute": 30, "a": None, "f": None, "tmode": "ignore",
+         "dead": True},
+        {"k": "u", "minute": 0, "a": None, "f": None, "tmode": "save2",
+         "dead": False},
+    ],
+    split=[0, 1],
 )
 def test_trusted_matrix_batch_and_versions_agree_with_model(spark, raw, split):
     """Full policy matrix with M6 trust (verdict r3 #4): the same random

@@ -397,3 +397,49 @@ def test_waveform_store_scheduled_orphan_repair(spark, tmp_path):
     again = WaveformStore(str(tmp_path), repair_every=2)
     again.load(spark)
     assert again.orphan_count() == 0 and again.read().count() == 2
+
+
+def test_engine_waveform_ingest_with_repair(spark, tmp_path):
+    """D19 through the ENGINE surface: ADT builds the location-visit
+    intervals; waveforms that arrived before their ADT start as orphans
+    and the engine's scheduled repair attaches them once the visit
+    exists — end to end, one engine."""
+    import datetime
+
+    from emap_spark.app import EmapEngine
+    from emap_spark.sources.generators import adt_messages
+
+    eng = EmapEngine(
+        storage_root=str(tmp_path / "eng"), maintain_location_visits=True
+    )
+    adt = adt_messages(spark, n_patients=2)
+    admits = adt.filter(adt.message_type == "ADMIT")
+    # learn a real location + admission time from the generated stream
+    from pyspark.sql import functions as F
+
+    sample = admits.select(
+        F.col("location")["value"].alias("loc"), "event_occurred"
+    ).limit(1).collect()[0]
+    loc, t_adm = sample.loc, sample.event_occurred
+
+    schema = (
+        "source_location string, source_stream_id string,"
+        " observation_datetime timestamp_ntz, visit_number string"
+    )
+    wf_early = spark.createDataFrame(
+        [(loc, "52912", t_adm + datetime.timedelta(minutes=5), None)], schema
+    )
+    # waveform arrives BEFORE any ADT: orphan
+    eng.ingest_waveforms(wf_early, 0)
+    assert eng.waveform_store().orphan_count() == 1
+
+    # ADT catches up -> intervals exist; store repairs on schedule
+    eng.process_batch(adt, 0)
+    wf_later = spark.createDataFrame(
+        [(loc, "52912", t_adm + datetime.timedelta(minutes=6), None)], schema
+    )
+    for b in range(1, 4):  # reach the repair_every=4 schedule point
+        eng.ingest_waveforms(wf_later.limit(1 if b == 1 else 0), b)
+    assert eng.waveform_store().orphan_count() == 0
+    got = eng.waveforms().filter("visit_number IS NOT NULL")
+    assert got.count() == 2  # the repaired orphan + the attached row
