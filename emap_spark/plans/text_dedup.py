@@ -821,3 +821,147 @@ def q107_normalized_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("group_size") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# q108: near-dup clustering + survivor selection (the step that actually
+# deduplicates a corpus: LSH pairs -> connected components -> keep one)
+# --------------------------------------------------------------------------
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc_a, doc_b) undirected edges -> (doc_id, cluster_id) with
+    cluster_id = the component's smallest member.
+
+    Min-label propagation: each round every node takes the smallest
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds — near-dup components are dense and shallow (dup
+    families, not long chains), so 2-3 rounds in practice. The driver
+    loop is bounded and exits on fixpoint, mirroring the sanctioned
+    identity-closure loop (operators/identity.py); every round cuts
+    lineage. At 100 TB this is the standard big-CC recipe (the
+    large-star/small-star refinement drops in if diameters ever grow)."""
+    from emap_spark.lineage import cut
+
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("b"), F.col("cluster_id").alias("nl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nl"))
+            .withColumnRenamed("a", "doc_id")
+        )
+        new = cut(
+            labels.join(nbr, "doc_id", "left").select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nl"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        converged = new.alias("x").join(
+            labels.alias("y"),
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.cluster_id") != F.col("y.cluster_id")),
+            "left_semi",
+        ).isEmpty()
+        labels = new
+        if converged:
+            break
+    return labels
+
+
+def near_dup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The production dedup API: docs minus every near-dup cluster's
+    non-survivors (survivor = smallest doc_id per component; only
+    cluster members shuffle — the untouched corpus anti-joins against
+    the small removed set)."""
+    cc = connected_components(pairs)
+    removed = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(F.broadcast(removed), "doc_id", "left_anti")
+
+
+@register(
+    "q108_near_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id, {_MINHASH_SQL_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, md5(h0 || h1 || h2 || h3) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, md5(h4 || h5 || h6 || h7) AS bkey FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+),
+dup AS (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM dup
+  UNION SELECT doc_b, doc_a FROM dup
+),
+reach(a, b) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+),
+cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+SELECT cluster_id,
+       count(*)::BIGINT AS n_docs,
+       cluster_id AS survivor_doc_id,
+       (count(*) - 1)::BIGINT AS n_removed
+FROM cc
+GROUP BY cluster_id
+HAVING count(*) > 1
+""",
+    doc=(
+        "Near-dup CLUSTERING over verified LSH pairs (q57's output) via "
+        "min-label connected components, with one survivor per cluster "
+        "(smallest doc_id) — the operation that actually shrinks a "
+        "training corpus. The oracle computes components by recursive "
+        "transitive closure; Spark uses bounded min-label propagation "
+        "(O(diameter) rounds, the sanctioned driver loop)."
+    ),
+)
+def q108_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cands = lsh_candidate_pairs(_shingles(spark, sf_dir), N_MINHASH, 2)
+    dup_pairs = verify_candidates(_shingle_sets(spark, sf_dir), cands).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(dup_pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "cluster_id",
+            "n_docs",
+            F.col("cluster_id").alias("survivor_doc_id"),
+            (F.col("n_docs") - 1).cast("long").alias("n_removed"),
+        )
+    )

@@ -136,3 +136,30 @@ def test_ivf_refine_and_probe(spark):
     out = ivf_ann(emb, n_queries=1, k=4, n_probes=2, top_k=5, iters=1)
     neighbors = {r.neighbor_id for r in out.collect()}
     assert 900 in neighbors  # the planted near-dup is in the probed cells
+
+
+def test_connected_components_and_survivors(spark):
+    """Near-dup clustering (q108's core): multi-hop chains collapse to
+    one component labeled by the smallest member; survivors = corpus
+    minus non-canonical cluster members; untouched docs pass through."""
+    from pyspark.sql import Row, functions as F
+
+    from emap_spark.plans.text_dedup import (
+        connected_components,
+        near_dup_survivors,
+    )
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=5, doc_b=1), Row(doc_a=5, doc_b=3),  # chain 1-5-3
+         Row(doc_a=9, doc_b=7)],                        # separate pair
+        "doc_a long, doc_b long",
+    )
+    cc = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 3: 1, 5: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in (1, 3, 5, 7, 9, 42)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in near_dup_survivors(docs, pairs).collect())
+    assert kept == [1, 7, 42]
