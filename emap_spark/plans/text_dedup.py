@@ -965,3 +965,48 @@ def q108_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - 1).cast("long").alias("n_removed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q109: BPE-ish regex tokenization (the second tokenizer from the north
+# star: whitespace counting is q40; this splits GPT-style — letter runs,
+# digit runs, single punctuation — the pre-tokenization BPE vocabularies
+# are trained over)
+# --------------------------------------------------------------------------
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "q109_bpe_regex_tokens",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_RE}'))) AS n_distinct_bpe,
+       len(list_filter(regexp_extract_all(text, '{_BPE_RE}'),
+                       t -> regexp_matches(t, '^[0-9]+$'))) AS n_number_runs,
+       round(len(regexp_extract_all(text, '{_BPE_RE}'))::DOUBLE
+             / len(string_split(text, ' ')), 6) AS bpe_per_word
+FROM documents
+""",
+    doc=(
+        "BPE-style pre-tokenization counts: letter runs / digit runs / "
+        "single punctuation via one regex shared verbatim by both "
+        "engines — token-budget estimation for an LLM corpus (the "
+        "whitespace counter q40 underestimates subword token cost). "
+        "Pure column expressions; one scan, no shuffle."
+    ),
+)
+def q109_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe"),
+        F.size(
+            F.expr(f"filter(regexp_extract_all(text, '{_BPE_RE}', 0), t -> t rlike '^[0-9]+$')")
+        ).cast("long").alias("n_number_runs"),
+        F.round(
+            F.size(toks).cast("double") / F.size(F.split("text", " ")), 6
+        ).alias("bpe_per_word"),
+    )
