@@ -1107,3 +1107,44 @@ def q102_media_builtin_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# --------------------------------------------------------------------------
+# q110: REAL image resize (multimodal resize op from the north star)
+# --------------------------------------------------------------------------
+# fixture closed form: odd ids are 32x24 constant-color PPMs with every
+# channel == (i*7)%256, so an 8x6 nearest-neighbor resize keeps the mean
+# exactly and the PPM re-encode is header(11B for 'P6\n8 6\n255\n') +
+# 8*6*3 raster bytes = 155
+_Q110_ORACLE = """
+SELECT i::BIGINT AS media_id,
+       32 AS src_w, 24 AS src_h, 8 AS out_w, 6 AS out_h,
+       155::BIGINT AS out_bytes,
+       ((i * 7) % 256)::DOUBLE AS mean_value
+FROM range(40) t(i)
+WHERE i % 2 = 1
+"""
+
+
+@register(
+    "q110_media_resize",
+    oracle=_Q110_ORACLE,
+    doc=(
+        "REAL nearest-neighbor image resize (multimodal/binary_ops."
+        "resize_images): decode the PPM raster, numpy index-grid "
+        "resample, re-encode — Arrow-batched mapInPandas, one image "
+        "batch per worker. The fixture's constant-color images give the "
+        "oracle a closed form (mean preserved, output size exact); the "
+        "resample plumbing itself is the real pipeline."
+    ),
+)
+def q110_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.multimodal.binary_ops import (
+        resize_images,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, n=40)
+    return resize_images(media, out_w=8, out_h=6).select(
+        "media_id", "src_w", "src_h", "out_w", "out_h", "out_bytes", "mean_value"
+    )
