@@ -354,9 +354,10 @@ def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
         )
         if spec.tombstone:
             kept = _mask_tombstone_fields(kept, spec_plain, F.col(spec.tombstone))
-        kept = kept.select("*", *T["stage1_cols"])
+        S = _shadow_templates(spec_plain, spec.trusted)
+        kept = kept.select("*", *T["stage1_cols"], *S["stage1"])
         return (
-            kept.select(*T["fold_cols"], *E["extra_cols"])
+            kept.select(*T["fold_cols"], *S["marks"], *E["extra_cols"])
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
@@ -381,6 +382,88 @@ def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
     if "__real_t" not in folded.columns:
         folded = folded.withColumn("__real_t", F.col("__event_time"))
     return folded
+
+
+# Shadow-mark templates for trusted specs: the same per-field change
+# marks, computed AS IF the batch's untrusted creator were absent
+_SHADOW_CACHE: dict = {}
+
+
+def _shadow_templates(spec: MergeSpec, trusted: str) -> dict:
+    """Per-field change marks gated to TRUSTED rows (``__c2_/__f2_/
+    __fv2_`` + ``__first_live2_t``).
+
+    Why: the unified trusted fold keeps the batch's untrusted raw-first
+    message as a candidate creator, because at fold time nobody knows
+    whether the stored entity exists. When merge_batch then finds it
+    DOES exist (creator_invalid), the creator's VALUES are masked — but
+    the ungated change marks were computed with the creator in the
+    sequence, so a trusted write could look like a change relative to
+    the creator's value (phantom audit + validFrom advance) or inherit
+    the creator's first-contribution time (ADVICE r4 merge.py:700,
+    reference semantics VisitController.visitShouldBeUpdated,
+    core/.../VisitController.java:188-204). merge_batch switches to
+    these shadow marks exactly when creator_invalid, making mixed-trust
+    batches over existing entities equal sequential replay."""
+    ck = (
+        tuple(spec.key), tuple(spec.fields.items()), spec.event_time,
+        spec.seq, spec.tombstone, trusted,
+    )
+    t = _SHADOW_CACHE.get(ck)
+    if t is not None:
+        return t
+    order = spec.ordering()
+    w = W.partitionBy(*spec.key).orderBy(*order)
+    frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    tr = F.col(trusted)
+    tomb = F.col(spec.tombstone) if spec.tombstone else F.lit(False)
+    stage1: list[Column] = []
+    marks: list[Column] = []
+    for name, policy in spec.fields.items():
+        if policy == ASSIGN:
+            contrib = F.when(tr, F.struct(F.col(name).alias("v")))
+        elif policy == FILL_IF_NULL:
+            contrib = F.when(
+                tr & F.col(name).isNotNull(), F.struct(F.col(name).alias("v"))
+            )
+        else:  # TRISTATES
+            st_ = F.col(name)["status"]
+            contrib = F.when(
+                tr & (st_ != IGNORE),
+                F.struct(F.when(st_ == SAVE, F.col(name)["value"]).alias("v")),
+            )
+        stage1.append(
+            F.last(contrib, ignorenulls=True).over(cum)["v"].alias(f"__r2_{name}")
+        )
+        stage1.append(F.count(contrib).over(cum).alias(f"__nc2_{name}"))
+        r2 = F.col(f"__r2_{name}")
+        nc2 = F.col(f"__nc2_{name}")
+        chg2 = ~r2.eqNullSafe(F.lag(r2).over(w))
+        is_first2 = (nc2 == 1) & (F.coalesce(F.lag(nc2).over(w), F.lit(0)) == 0)
+        marks.append(
+            F.max(F.when(chg2 & ~is_first2, F.col("__raw_t"))).over(frame).alias(
+                f"__c2_{name}"
+            )
+        )
+        marks.append(
+            F.max(F.when(is_first2, F.col("__raw_t"))).over(frame).alias(
+                f"__f2_{name}"
+            )
+        )
+        marks.append(
+            F.first(F.when(is_first2, r2), ignorenulls=True).over(frame).alias(
+                f"__fv2_{name}"
+            )
+        )
+    marks.append(
+        F.min(F.when(~tomb & tr, F.col("__raw_t"))).over(frame).alias(
+            "__first_live2_t"
+        )
+    )
+    t = {"stage1": stage1, "marks": marks}
+    _SHADOW_CACHE[ck] = t
+    return t
 
 
 # M6 expression templates for the unified trusted fold, per spec
@@ -716,6 +799,15 @@ def _mb_templates(spec: MergeSpec) -> dict:
         if policy == ASSIGN:
             new_v = F.when(cnd_applies & cnd_newer, cnd_v).otherwise(cur_v)
         elif policy == FILL_IF_NULL:
+            # legacy pre-metadata current frames carry fill VALUES with
+            # no __ts yet; fall back to the entity valid_from as the
+            # slot's presumed last write (mirrors the mbv pseudo-seed
+            # fallback below) — without it, cur_ts.isNull() reads the
+            # populated slot as never-written and an OLDER out-of-order
+            # message would overwrite it
+            cur_ts = F.when(
+                cur_v.isNotNull(), F.coalesce(cur_ts, cur_prec)
+            ).otherwise(cur_ts)
             # value applies if the current slot is empty, or the
             # contributing message is not older than the SLOT'S OWN last
             # write (__ts_<field>, the TRISTATE treatment) — comparing
@@ -777,15 +869,30 @@ def _mb_templates(spec: MergeSpec) -> dict:
         # are unconditional (__c); the first contribution counts iff its
         # value differs from the stored baseline (null for fresh /
         # resurrected entities). Marks below the incarnation floor are
-        # voided history, not changes.
+        # voided history, not changes. When the stored entity BLOCKS the
+        # batch's untrusted creator (creator_invalid), the shadow marks
+        # — computed as if the creator were absent — replace the ungated
+        # ones, so a blocked creator can neither make a trusted no-op
+        # look like a change nor donate its first-contribution time
+        # (ADVICE r4; VisitController.java:188-204 sequential semantics).
+        if spec.trusted:
+            c_mark = F.when(
+                creator_invalid, F.col(f"cnd.__c2_{name}")
+            ).otherwise(F.col(f"cnd.__c_{name}"))
+            f_mark = F.when(
+                creator_invalid, F.col(f"cnd.__f2_{name}")
+            ).otherwise(F.col(f"cnd.__f_{name}"))
+            fv_mark = F.when(
+                creator_invalid, F.col(f"cnd.__fv2_{name}")
+            ).otherwise(F.col(f"cnd.__fv_{name}"))
+        else:
+            c_mark = F.col(f"cnd.__c_{name}")
+            f_mark = F.col(f"cnd.__f_{name}")
+            fv_mark = F.col(f"cnd.__fv_{name}")
         base = F.when(created_like, F.lit(None)).otherwise(cur_v)
-        first_real = F.when(
-            ~F.col(f"cnd.__fv_{name}").eqNullSafe(base), F.col(f"cnd.__f_{name}")
-        )
+        first_real = F.when(~fv_mark.eqNullSafe(base), f_mark)
         vf_terms.append(
-            F.greatest(
-                _floor_guard(F.col(f"cnd.__c_{name}")), _floor_guard(first_real)
-            )
+            F.greatest(_floor_guard(c_mark), _floor_guard(first_real))
         )
         equal_terms.append(F.col(f"cnd.{name}").eqNullSafe(cur_v0))
 
@@ -823,7 +930,14 @@ def _mb_templates(spec: MergeSpec) -> dict:
     for term in equal_terms:
         values_equal = values_equal & term
     cre = F.col("cur.__cre_t")
-    first_live = F.col("cnd.__first_live_t")
+    # a blocked creator is not a live message of this batch: creation /
+    # resurrection / retro points come from the first TRUSTED live row
+    if spec.trusted:
+        first_live = F.when(
+            creator_invalid, F.col("cnd.__first_live2_t")
+        ).otherwise(F.col("cnd.__first_live_t"))
+    else:
+        first_live = F.col("cnd.__first_live_t")
     retro = (
         cnd_exists
         & F.col("cnd.__trusted")
@@ -1389,6 +1503,15 @@ def merge_batch_versions(
         .select("__s.*")
     )
     seeded = upd.unionByName(seeds)
+    # parallelism follows compute, not bytes (SURVEY §8a0 #7): the union
+    # discards any upstream key partitioning, so the 11 window passes
+    # below would otherwise run over ONE AQE-coalesced task (the
+    # ENSURE_REQUIREMENTS exchange is bytes-tiny for a message batch but
+    # compute-heavy) — a USER repartition on the fold key is exempt from
+    # coalescing and every window pass reuses it (one exchange total)
+    seeded = seeded.repartition(
+        spark.sparkContext.defaultParallelism, *[F.col(k) for k in key]
+    )
 
     if spec.trusted:
         seeded = (

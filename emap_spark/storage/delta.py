@@ -138,10 +138,28 @@ class DeltaLog:
         that already hold the touched key values (e.g. the pipeline's
         capped key collect) compute bucket ids without a Spark job.
         zlib.crc32 is the same CRC-32 Spark's crc32() computes, and
-        concat_ws skips nulls — pinned by test_delta_bucketing."""
+        concat_ws skips nulls — pinned by test_delta_bucketing.
+
+        Values are rendered the way Spark's cast-to-string renders them
+        (booleans as 'true'/'false', floats via repr which matches JVM
+        Double.toString for round-trippable values); key columns beyond
+        string/int/bool are rejected rather than silently pruning to the
+        wrong bucket (ADVICE r4)."""
         import zlib
 
-        raw = "\x1f".join(str(v) for v in values if v is not None)
+        def _spark_str(v) -> str:
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, (str, int)):
+                return str(v)
+            raise TypeError(
+                f"bucket_of supports string/int/bool key values only, got "
+                f"{type(v).__name__}: Python str() diverges from Spark's "
+                f"cast-to-string for this type (use string keys or extend "
+                f"_spark_str with the exact JVM rendering)"
+            )
+
+        raw = "\x1f".join(_spark_str(v) for v in values if v is not None)
         return zlib.crc32(raw.encode("utf-8")) % self.n_buckets
 
     def _file_buckets(self, path: str) -> list[int]:
@@ -156,7 +174,12 @@ class DeltaLog:
 
     # -- paths -------------------------------------------------------------
     def _delta_path(self, batch_id: int) -> str:
-        return os.path.join(self.root, f"delta/batch={batch_id}")
+        # fused multi-table commits register an EXTERNAL delta dir (the
+        # table's partition of the shared fused file) in the manifest
+        override = self._manifest.get("delta_paths", {}) if self._manifest else {}
+        return override.get(str(batch_id)) or os.path.join(
+            self.root, f"delta/batch={batch_id}"
+        )
 
     def _base_path(self, v: int) -> str:
         return os.path.join(self.root, f"base/v={v}")
@@ -193,7 +216,18 @@ class DeltaLog:
         paths = self._live_paths(buckets)
         if not paths:
             return None
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # fused delta files carry the SUPERSET of the fused tables'
+        # columns (the other tables' columns are all-null and, being
+        # columnar, cost ~nothing on disk and are never scanned after
+        # this projection); the manifest records THIS table's columns so
+        # the read surface stays exactly the table schema
+        cols = self._manifest.get("columns")
+        if cols:
+            keep = [c for c in cols if c in df.columns]
+            keep += [c for c in (META_V,) if c in df.columns and c not in cols]
+            df = df.select(*keep)
+        return df
 
     def read_current(
         self,
@@ -301,13 +335,39 @@ class DeltaLog:
         # wide; an O(touched-rows) shuffle keeps per-delta file counts
         # bounded for the read-back union).
         versioned.repartition(4).write.mode("overwrite").parquet(path)
+        return 1 + self._register(batch_id, combined.columns)
+
+    def commit_external(self, batch_id: int, path: str, columns: list[str]) -> int:
+        """Register an ALREADY-WRITTEN delta dir (this table's partition
+        of a fused multi-table file — see commit_fused) in the
+        transaction log; returns extra Spark actions spent (1 when the
+        registration triggered a compaction, else 0 — the fused write
+        itself was the caller's single action)."""
+        if self.has_batch(batch_id):
+            return 0
+        self._manifest.setdefault("delta_paths", {})[str(batch_id)] = path
+        return self._register(batch_id, columns)
+
+    def _register(self, batch_id: int, columns: list[str]) -> int:
+        """Append a written delta to the log (atomic manifest rename) and
+        compact when due. Also records the table's column list so reads
+        of fused (superset-schema) delta files project back to exactly
+        the table schema; new columns append (schema evolution)."""
+        cols = self._manifest.get("columns") or []
+        cols = cols + [c for c in columns if c not in cols]
+        self._manifest["columns"] = cols
         self._manifest["deltas"].append(batch_id)
         self._manifest["n_commits"] += 1
         self._write_manifest()
         if len(self._manifest["deltas"]) >= self.compact_every:
             self._compact()
-            return 2
-        return 1
+            return 1
+        return 0
+
+    def fused_root(self) -> str:
+        """Shared parent dir for fused multi-table delta files (sibling
+        of the per-table roots)."""
+        return os.path.join(os.path.dirname(self.root), "_fused")
 
     def _compact(self) -> None:
         """Fold live files into one base (current + all audit rows) so
@@ -342,11 +402,102 @@ class DeltaLog:
             "compacted": compacted,
             "n_buckets": self.n_buckets,
             "buckets": {} if buckets_entry is None else {f"base:{v}": buckets_entry},
+            # the base was written through the pruned read surface, so
+            # from here the table's files carry exactly these columns
+            "columns": self._manifest.get("columns"),
         }
         self._write_manifest()
         for p in old_paths:
             if p != base:
                 shutil.rmtree(p, ignore_errors=True)
+                # a fused delta lives as one partition of a shared
+                # batch dir — remove the parent once every table's
+                # partition is compacted away and only write markers
+                # (_SUCCESS etc.) remain (concurrent table compactions
+                # can race on the same parent: best-effort)
+                parent = os.path.dirname(p)
+                try:
+                    if os.path.basename(parent).startswith("batch=") and not any(
+                        e.lstrip(".").startswith("__tbl=")
+                        or not e.lstrip(".").startswith("_")
+                        for e in os.listdir(parent)
+                    ):
+                        shutil.rmtree(parent, ignore_errors=True)
+                except OSError:
+                    pass
+
+
+def commit_fused(
+    batch_id: int, parts: dict[str, tuple["DeltaLog", DataFrame]]
+) -> int:
+    """Commit SEVERAL tables' combined frames for one batch in ONE Spark
+    job (VERDICT r4 #1): the reference commits all of a message's tables
+    in a single transaction (core/.../App.java:92-101); the Spark
+    analogue is one action per batch, not one per table.
+
+    The frames union on the SUPERSET of their columns (missing columns
+    null — columnar files store and scan them for ~free) plus a __tbl
+    discriminator, one partitioned write lands every table's rows under
+    its own leaf dir, and each table's transaction log then registers
+    its partition via commit_external. Independent sub-plans of one job
+    run as concurrent stages, so the fold parallelism of the per-table
+    design is kept while 3 write jobs (driver scheduling, output
+    commits) collapse into 1.
+
+    Falls back to per-table commits when the frames' schemas conflict
+    (same column name, different type — cannot union) or fewer than two
+    tables still need the batch (crash-replay can leave a subset).
+    Returns Spark actions spent."""
+    pending = {
+        n: (log, df) for n, (log, df) in parts.items() if not log.has_batch(batch_id)
+    }
+    if not pending:
+        return 0
+    if len(pending) == 1:
+        ((log, df),) = pending.values()
+        return log.commit(batch_id, df)
+    logs = [log for log, _ in pending.values()]
+    fused_root = logs[0].fused_root()
+    types: dict[str, object] = {}
+    conflict = any(l.fused_root() != fused_root for l in logs)
+    for _, df in pending.values():
+        for f in df.schema.fields:
+            if types.setdefault(f.name, f.dataType) != f.dataType:
+                conflict = True
+    if conflict:  # per-table fallback: correctness over fusion
+        return sum(log.commit(batch_id, df) for log, df in pending.values())
+
+    all_cols = list(types)
+    fused = None
+    for name, (_, df) in pending.items():
+        part = df.select(
+            F.lit(name).alias("__tbl"),
+            *[
+                F.col(c) if c in df.columns else F.lit(None).cast(types[c]).alias(c)
+                for c in all_cols
+            ],
+        ).withColumn(META_V, F.lit(batch_id).cast("long"))
+        fused = part if fused is None else fused.unionByName(part)
+
+    # a FRESH attempt dir per write: a crash after the write but before
+    # every manifest registered must never overwrite (and so destroy)
+    # the partitions of tables that DID register — replay writes the
+    # still-pending tables to the next attempt dir and the orphaned
+    # previous attempt is dead weight until compaction removes its
+    # registered siblings
+    attempt, path = 0, os.path.join(fused_root, f"batch={batch_id}")
+    while os.path.exists(path):
+        attempt += 1
+        path = os.path.join(fused_root, f"batch={batch_id}.r{attempt}")
+    # same re-narrowing rationale as DeltaLog.commit: O(touched) rows,
+    # a handful of round-robin tasks each writing every table's leaf dir
+    fused.repartition(4).write.mode("overwrite").partitionBy("__tbl").parquet(path)
+    actions = 1
+    for name, (log, df) in pending.items():
+        actions += log.commit_external(
+            batch_id, os.path.join(path, f"__tbl={name}"), df.columns
+        )
+    return actions
 
 
 class SnapshotStore:

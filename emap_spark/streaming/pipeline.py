@@ -183,10 +183,9 @@ class MergePipeline:
         os.replace(tmp, self._marker_path())
 
     # -- ingestion ---------------------------------------------------------
-    def _merge_one_table(self, name: str, deduped: DataFrame, batch_id: int, stored: str) -> int:
-        """Merge + persist one table; returns the number of Spark actions
-        spent. Independent across tables — called concurrently; the
-        normal cost is exactly ONE action (the combined-frame write)."""
+    def _build_merge(self, name: str, deduped: DataFrame, stored: str) -> MergeResult:
+        """Construct one table's merge PLAN against its current state
+        (no Spark action beyond the store's tiny bucket-id collect)."""
         state = self.tables[name]
         merge = merge_batch if self.granularity == "batch" else merge_batch_versions
         updates = self.routers[name](deduped)
@@ -196,29 +195,42 @@ class MergePipeline:
         # 2.2s -> 1.5s on a 20k-message batch); a USER repartition on
         # the merge key is exempt from coalescing and the fold's windows
         # reuse it directly. The store write re-narrows the touched-rows
-        # output so delta files stay bounded.
-        updates = updates.repartition(
-            updates.sparkSession.sparkContext.defaultParallelism,
-            *state.spec.key,
-        )
+        # output so delta files stay bounded. merge_batch_versions
+        # repartitions internally AFTER its seed union (the union would
+        # discard this one), so only the batch-granularity path needs it.
+        if self.granularity == "batch":
+            updates = updates.repartition(
+                updates.sparkSession.sparkContext.defaultParallelism,
+                *state.spec.key,
+            )
+        if state.store is not None and isinstance(
+            state.store, (DeltaLog, JdbcUpsertStore)
+        ):
+            # incremental MERGE: fold only the keys this batch touches;
+            # untouched rows are never read into the fold nor rewritten
+            # (the key restriction is applied BELOW the store's
+            # latest-per-key window, and the bucketed-base scan is
+            # pruned to the touched buckets — see
+            # DeltaLog.read_current — so the seed read is O(touched
+            # base buckets + recent deltas), not O(table))
+            touched = updates.select(*state.spec.key).distinct()
+            current = state.store.read_current(keys=touched)
+        elif state.store is not None:
+            current = state.store.read_current()
+        else:
+            current = state.current
+        return merge(current, updates, state.spec, stored)
+
+    def _merge_one_table(self, name: str, deduped: DataFrame, batch_id: int, stored: str) -> int:
+        """Merge + persist one table; returns the number of Spark actions
+        spent. Independent across tables — called concurrently; the
+        normal cost is exactly ONE action (the combined-frame write)."""
+        state = self.tables[name]
+        if state.store is not None and state.store.has_batch(batch_id):
+            return 0  # this table already committed the batch (replay)
+        res = self._build_merge(name, deduped, stored)
         if state.store is not None:
-            if state.store.has_batch(batch_id):
-                return 0  # this table already committed the batch (replay)
-            if isinstance(state.store, (DeltaLog, JdbcUpsertStore)):
-                # incremental MERGE: fold only the keys this batch touches;
-                # untouched rows are never read into the fold nor rewritten
-                # (the key restriction is applied BELOW the store's
-                # latest-per-key window, and the bucketed-base scan is
-                # pruned to the touched buckets — see
-                # DeltaLog.read_current — so the seed read is O(touched
-                # base buckets + recent deltas), not O(table))
-                touched = updates.select(*state.spec.key).distinct()
-                current = state.store.read_current(keys=touched)
-            else:
-                current = state.store.read_current()
-            res: MergeResult = merge(current, updates, state.spec, stored)
             return state.store.commit(batch_id, res.combined)
-        res = merge(state.current, updates, state.spec, stored)
         # ONE materialization per table: persist combined, derive both
         # views from the file (cut also breaks cross-batch lineage)
         c = cut(res.combined)
@@ -226,6 +238,16 @@ class MergePipeline:
         state.current = cur
         state.audit_parts.append(aud)
         return 1
+
+    def _prepare_fused_part(
+        self, name: str, deduped: DataFrame, batch_id: int, stored: str
+    ):
+        """Fused-commit prep for one table: (store, combined plan), or
+        None when the table already committed the batch (crash replay)."""
+        state = self.tables[name]
+        if state.store.has_batch(batch_id):
+            return None
+        return state.store, self._build_merge(name, deduped, stored).combined
 
     def process_batch(
         self, batch_df: DataFrame, batch_id: int, aux_tasks: list | None = None
@@ -291,10 +313,44 @@ class MergePipeline:
                 )
 
         stored = stored_from_for_batch(batch_id)
-        # independent tables -> concurrent jobs (each a single action); a
-        # tiny batch leaves most cores idle otherwise. Joined together
-        # with the aux futures before the batch commits.
-        if ex is not None:
+        # FUSED multi-table commit (delta backend, >1 table): all tables'
+        # merge plans are BUILT concurrently (py4j/analysis round trips
+        # and the stores' tiny bucket-id collects overlap), then ONE
+        # partitioned write commits every table's row versions — the
+        # reference commits all of a message's tables in one transaction
+        # (core/.../App.java:92-101); independent fold sub-plans still
+        # run as concurrent stages of the single job.
+        # MEASURED (r5, 20k ADT batch, local[32], same session A/B):
+        # fused = 4 actions/batch but 5.6s vs per-table 6 actions and
+        # 4.1s — the single job's superset union + dynamic-partition
+        # write costs more than the two saved job submissions, so fusion
+        # is OPT-IN (EMAP_FUSED_COMMIT=1) until a workload where action
+        # count dominates (e.g. remote commit coordination) proves it
+        # out; correctness of both paths is pinned by test_fused_commit
+        # and the 3-backend durable equality test.
+        fuse = (
+            self.backend == "delta"
+            and self.storage_root is not None
+            and len(self.tables) > 1
+            and os.environ.get("EMAP_FUSED_COMMIT", "0") == "1"
+        )
+        if fuse:
+            from emap_spark.storage.delta import commit_fused
+
+            try:
+                preps = {
+                    name: ex.submit(
+                        self._prepare_fused_part, name, deduped, batch_id, stored
+                    )
+                    for name in self.tables
+                }
+                parts = {n: f.result() for n, f in preps.items()}
+                parts = {n: p for n, p in parts.items() if p is not None}
+                self._n_actions += commit_fused(batch_id, parts)
+                self._n_actions += sum(f.result() for f in aux_futs)
+            finally:
+                ex.shutdown()
+        elif ex is not None:
             try:
                 futs = [
                     ex.submit(self._merge_one_table, name, deduped, batch_id, stored)

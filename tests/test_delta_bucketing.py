@@ -95,6 +95,25 @@ def test_python_bucket_of_matches_spark_bucket_expr(spark, tmp_path):
         assert log.bucket_of([r.k1, r.k2]) == r.kb, (r.k1, r.k2)
 
 
+def test_python_bucket_of_bool_int_and_rejects_floats(spark, tmp_path):
+    """ADVICE r4: Python str(True) is 'True' but Spark casts to 'true' —
+    bucket_of must render Spark-style for bool/int keys and REJECT types
+    whose rendering diverges (floats) instead of silently pruning to the
+    wrong bucket."""
+    import pytest
+
+    log = DeltaLog(str(tmp_path / "t"), "t3", ["k1", "k2"], n_buckets=16)
+    log.load(spark)
+    df = spark.createDataFrame(
+        [(True, 7), (False, -3), (None, 0)], "k1 boolean, k2 long"
+    )
+    got = df.select("k1", "k2", log.bucket_expr().alias("kb")).collect()
+    for r in got:
+        assert log.bucket_of([r.k1, r.k2]) == r.kb, (r.k1, r.k2)
+    with pytest.raises(TypeError, match="string/int/bool"):
+        log.bucket_of([1.5])
+
+
 def test_touched_bucket_read_stays_flat_as_state_grows(spark, tmp_path):
     """10x more table state must not grow the bytes a keyed read scans:
     the per-key file count is bounded by one base bucket + the

@@ -30,6 +30,16 @@ settings.register_profile(
 settings.load_profile(
     "explore" if os.environ.get("HYPOTHESIS_EXPLORE") else "ci"
 )
+
+# explore searches 4x deeper than CI (VERDICT r4 next-step #9 ratchet —
+# this harness found every real engine bug three rounds running, so its
+# scheduled budget grows); per-test @settings would otherwise pin the
+# profile's example count.
+_EXPLORE_MULT = 4 if os.environ.get("HYPOTHESIS_EXPLORE") else 1
+
+
+def _n(n: int) -> int:
+    return n * _EXPLORE_MULT
 from pyspark.sql import Row, types as T
 
 from emap_spark.operators.merge import (
@@ -143,7 +153,7 @@ msg_strategy = st.fixed_dictionaries(
 
 
 @settings(
-    max_examples=12,
+    max_examples=_n(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -182,7 +192,7 @@ def test_batch_fold_equals_sequential_model(spark, raw):
 
 
 @settings(
-    max_examples=8,
+    max_examples=_n(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -250,11 +260,11 @@ TRUSTED_SPEC = MergeSpec(
     tombstone="dead",
 )
 
-# trust is a PER-KEY property ('x' = trusted feed, 'u' = untrusted feed):
-# within-key mixing of trusted and untrusted sources has documented
-# approximation corners at entity granularity (see the M6 notes in
-# operators/merge.py); per-feed trust is the reference's actual topology
-# (each queue/source system is trusted or not as a whole).
+# trust is a PER-KEY property in THIS suite ('x' = trusted feed, 'u' =
+# untrusted feed) — the reference's actual topology (each queue/source
+# system is trusted or not as a whole). Round 5 closed the within-key
+# mixing envelope too (shadow marks, merge.py _shadow_templates):
+# test_mixed_trust_per_key below samples trust PER MESSAGE.
 _TRUST = {"x": True, "u": False}
 
 
@@ -308,7 +318,7 @@ trusted_msg_strategy = st.fixed_dictionaries(
 
 
 @settings(
-    max_examples=8,
+    max_examples=_n(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -381,7 +391,7 @@ def test_trusted_matrix_batch_and_versions_agree_with_model(spark, raw, split):
 
 
 @settings(
-    max_examples=6,
+    max_examples=_n(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -463,3 +473,129 @@ def test_all_persistence_modes_agree(spark, tmp_path_factory, raw, split):
     # (same engine, same knowledge — including valid_from)
     assert snap_state(delta.read_current()) == mem_state
     assert snap_state(snapshot.read_current()) == mem_state
+
+
+# ---------------------------------------------------------------------------
+# Mixed trust WITHIN a key (VERDICT r4 next-step #5): the reference
+# resolves trust per MESSAGE against the stored entity
+# (visitShouldBeUpdated, core/.../VisitController.java:188-204), so a
+# key's stream may interleave trusted and untrusted sources. Round 5
+# closes the previously-documented approximation corner with shadow
+# marks (merge.py _shadow_templates).
+# ---------------------------------------------------------------------------
+
+mixed_msg_strategy = st.fixed_dictionaries(
+    {
+        "k": st.sampled_from(["x", "u"]),
+        "minute": st.integers(0, 30),
+        "a": st.sampled_from([None, "a1", "a2"]),
+        "f": st.sampled_from([None, "f1", "f2"]),
+        "tmode": st.sampled_from(["ignore", "save1", "save2", "delete"]),
+        "dead": st.booleans(),
+        "trusted": st.booleans(),  # per MESSAGE, not per key
+    }
+)
+
+
+@settings(
+    max_examples=_n(8),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(mixed_msg_strategy, min_size=1, max_size=8),
+    st.lists(st.integers(0, 2), min_size=2, max_size=8),
+)
+def test_mixed_trust_per_key_agrees_with_model(spark, raw, split):
+    """Trust sampled per message: random splits through both merge
+    granularities must still equal the sequential model (values +
+    liveness — the cross-batch invariant)."""
+    import itertools as it
+
+    messages = []
+    for i, r in enumerate(raw):
+        t = {"ignore": Row(value=None, status="IGNORE"),
+             "save1": Row(value="t1", status="SAVE"),
+             "save2": Row(value="t2", status="SAVE"),
+             "delete": Row(value=None, status="DELETE")}[r["tmode"]]
+        messages.append(
+            {
+                "k": r["k"],
+                "valid_from": datetime.datetime(2024, 1, 1, 0, r["minute"], i),
+                "seq": i,
+                "a": r["a"],
+                "f": r["f"],
+                "t": t,
+                "dead": r["dead"] and i % 3 == 0,
+                "trusted": r["trusted"],
+            }
+        )
+    expected = model_fold_trusted(
+        [{**m, "t": None if m["t"] is None else {"value": m["t"].value, "status": m["t"].status}}
+         for m in messages]
+    )
+    batches = [[], [], []]
+    for m, b in zip(messages, it.cycle(split)):
+        batches[b].append(m)
+
+    def run(merge):
+        cur = None
+        for bid, b in enumerate(batches):
+            if not b:
+                continue
+            df = spark.createDataFrame([Row(**m) for m in b], TRUSTED_SCHEMA)
+            cur = merge(cur, df, TRUSTED_SPEC, f"2024-06-01 00:00:{bid:02d}").current
+            cur = cur.localCheckpoint()
+        return {
+            r.k: (r.a, r.f, r.t, r.valid_from)
+            for r in cur.filter(~cur.is_deleted).collect()
+        }
+
+    assert_matches_model(run(merge_batch), expected)
+    assert_matches_model(run(merge_batch_versions), expected)
+
+
+def test_blocked_creator_leaves_no_phantom_audit(spark):
+    """Deterministic pin of the ADVICE r4 corner (merge.py:700): a batch
+    mixing an untrusted raw-first message with trusted messages over an
+    EXISTING entity must behave exactly as sequential replay — the
+    blocked creator's values must not turn a trusted no-op into a
+    phantom audit row / validFrom advance, nor donate its
+    first-contribution time to a real trusted change."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 10, 1)  # minute 10, seq/second 1
+
+    def m(minute, seq, a, trusted):
+        return Row(
+            k="k", valid_from=datetime.datetime(2024, 1, 1, 0, minute, seq),
+            seq=seq, a=a, f=None, t=Row(value=None, status="IGNORE"),
+            dead=False, trusted=trusted,
+        )
+
+    for merge in (merge_batch, merge_batch_versions):
+        # entity exists from a trusted write at minute 10
+        r1 = merge(
+            None, spark.createDataFrame([m(10, 1, "a1", True)], TRUSTED_SCHEMA),
+            TRUSTED_SPEC, "2024-06-01 00:00:00",
+        )
+        # corner A: creator differs, trusted write is a NO-OP vs stored
+        b = spark.createDataFrame(
+            [m(1, 2, "aX", False), m(20, 3, "a1", True)], TRUSTED_SCHEMA
+        )
+        r2 = merge(r1.current, b, TRUSTED_SPEC, "2024-06-01 00:00:01")
+        rows = r2.live().collect()
+        assert rows[0].a == "a1"
+        assert rows[0].valid_from == t0, (merge.__name__, rows[0].valid_from)
+        assert r2.audit.count() == 0, merge.__name__  # sequential = no-op
+
+        # corner B: creator shares the trusted NEW value -> the change's
+        # vf is the TRUSTED message's time, not the creator's
+        b2 = spark.createDataFrame(
+            [m(1, 4, "a2", False), m(20, 5, "a2", True)], TRUSTED_SCHEMA
+        )
+        r3 = merge(r1.current, b2, TRUSTED_SPEC, "2024-06-01 00:00:01")
+        rows = r3.live().collect()
+        assert rows[0].a == "a2"
+        assert rows[0].valid_from == datetime.datetime(2024, 1, 1, 0, 20, 5), (
+            merge.__name__, rows[0].valid_from,
+        )
+        assert r3.audit.count() == 1, merge.__name__  # the real change

@@ -211,3 +211,53 @@ def test_untrusted_creation_exposes_real_valid_from(spark):
         rows = r.live().collect()
         assert rows[0].name == "epic-older", granularity
         assert rows[0].valid_from == ts(2), granularity
+
+
+def test_fill_legacy_frame_rejects_older(spark):
+    """ADVICE r4 (medium): a legacy pre-metadata current frame (tolerated
+    via null __ts_<field> columns) must treat a POPULATED fill slot as
+    written at the entity valid_from — an OLDER out-of-order message may
+    not overwrite it (merge_batch_versions already fell back via the
+    pseudo-seed coalesce(__ts, valid_from); merge_batch now mirrors it)."""
+    legacy_schema = T.StructType(
+        [
+            T.StructField("mrn", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("nhs_number", T.StringType()),
+            T.StructField("comment", T.StringType()),
+            T.StructField("valid_from", T.TimestampNTZType()),
+            T.StructField("stored_from", T.TimestampNTZType()),
+            T.StructField("is_deleted", T.BooleanType()),
+        ]
+    )
+    legacy = spark.createDataFrame(
+        [
+            Row(
+                mrn="a", name="Alice", nhs_number="N1", comment=None,
+                valid_from=ts(5), stored_from=ts(5), is_deleted=False,
+            )
+        ],
+        legacy_schema,
+    )
+    older = spark.createDataFrame([msg("a", 1, 1, nhs="OLD")], SCHEMA)
+    res = merge_batch(legacy, older, SPEC, "2024-06-01 00:00:00")
+    row = res.live().collect()[0]
+    assert row.nhs_number == "N1"  # older message must NOT fill over
+
+    # a NEWER message still overwrites the legacy slot (fill-if-newer)
+    newer = spark.createDataFrame([msg("a", 6, 2, nhs="NEW")], SCHEMA)
+    res2 = merge_batch(legacy, newer, SPEC, "2024-06-01 00:00:00")
+    assert res2.live().collect()[0].nhs_number == "NEW"
+
+    # an empty legacy slot still accepts any age (fill-if-null)
+    legacy_null = spark.createDataFrame(
+        [
+            Row(
+                mrn="a", name="Alice", nhs_number=None, comment=None,
+                valid_from=ts(5), stored_from=ts(5), is_deleted=False,
+            )
+        ],
+        legacy_schema,
+    )
+    res3 = merge_batch(legacy_null, older, SPEC, "2024-06-01 00:00:00")
+    assert res3.live().collect()[0].nhs_number == "OLD"
