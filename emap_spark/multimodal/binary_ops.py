@@ -338,7 +338,13 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 arr = d["pixels"]  # (h, w, 3) float64
                 ys = np.arange(out_h) * d["height"] // out_h
                 xs = np.arange(out_w) * d["width"] // out_w
-                small = arr[np.ix_(ys, xs)].astype(np.uint8)
+                small = arr[np.ix_(ys, xs)]
+                # 16-bit PPMs (maxval > 255) rescale to the 8-bit output
+                # range — a bare uint8 cast would wrap values mod 256
+                # (ADVICE r4)
+                if d["maxval"] != 255:
+                    small = np.round(small * (255.0 / d["maxval"]))
+                small = small.astype(np.uint8)
                 out = (
                     b"P6\n%d %d\n255\n" % (out_w, out_h) + small.tobytes()
                 )
