@@ -67,14 +67,30 @@ class BlueGreenCatalog:
             df.write.mode("overwrite").parquet(self._side_path(side, table))
 
     def swap(self, side: str) -> None:
-        """Atomically point the `star` alias at a published side: every
-        alias view is re-created (catalog metadata only — no data moves),
-        then the pointer file records the side for restarts."""
+        """Point the `star` alias views at a published side and record it
+        in the pointer file.
+
+        Atomicity contract (ADVICE r4): each `CREATE OR REPLACE VIEW` is
+        an atomic catalog update, but the swap as a whole is atomic
+        PER VIEW, not across views — a reader that resolves the alias for
+        several tables WHILE swap() runs can bind fact and dimension
+        views to different sides. Consumers that need a cross-table-
+        consistent read must either plan through :meth:`snapshot` (one
+        pointer read, every frame bound to the same side) or simply not
+        overlap planning with a cutover. All view DEFINITIONS are staged
+        (read + analyzed) before the first catalog replacement, so a
+        publish error cannot leave a half-replaced catalog; a process
+        crash mid-replacement is self-healing — the pointer still names
+        the old side and attach()/swap() rebuilds every view from it."""
         if side not in SIDES:
             raise ValueError(f"side must be one of {SIDES}, got {side!r}")
         side_root = os.path.join(self.root, f"{self.name}_{side}")
-        for table in sorted(os.listdir(side_root)):
-            df = self.spark.read.parquet(self._side_path(side, table))
+        # stage: analyze every side table BEFORE touching the catalog
+        staged = {
+            table: self.spark.read.parquet(self._side_path(side, table))
+            for table in sorted(os.listdir(side_root))
+        }
+        for table, df in staged.items():
             df.createOrReplaceTempView(f"{self.name}_{table}")
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -92,5 +108,23 @@ class BlueGreenCatalog:
     # -- reads -------------------------------------------------------------
     def table(self, table: str) -> DataFrame:
         """Read through the alias — always the ACTIVE side for new
-        queries; a DataFrame obtained earlier keeps its bound side."""
+        queries; a DataFrame obtained earlier keeps its bound side.
+        For a multi-table query that must not straddle a concurrent
+        cutover, use :meth:`snapshot` instead (see the swap() atomicity
+        contract)."""
         return self.spark.table(f"{self.name}_{table}")
+
+    def snapshot(self) -> dict[str, DataFrame]:
+        """Side-consistent multi-table read: resolve the active side ONCE
+        (one pointer read) and bind every table's DataFrame directly to
+        that side's immutable files — a concurrent swap() cannot split
+        the set across sides, and the files stay on disk until the side
+        is next republished, so in-flight scans are never interrupted."""
+        side = self.active_side()
+        if side is None:
+            raise ValueError(f"no active side recorded under {self.root}")
+        side_root = os.path.join(self.root, f"{self.name}_{side}")
+        return {
+            table: self.spark.read.parquet(self._side_path(side, table))
+            for table in sorted(os.listdir(side_root))
+        }

@@ -38,6 +38,34 @@ def test_swap_is_atomic_and_never_interrupts_readers(spark, tmp_path):
     assert [r.v for r in old_reader.collect()] == ["blue"]
 
 
+def test_snapshot_is_side_consistent(spark, tmp_path):
+    """ADVICE r4: alias-view atomicity is per view, so multi-table
+    consistency across a concurrent cutover comes from snapshot() — one
+    pointer read binds EVERY table to the same side, and the bound side's
+    files survive the swap."""
+    cat = BlueGreenCatalog(spark, str(tmp_path), name="star3")
+    cat.publish("a", {
+        "fact": spark.createDataFrame([Row(id=1, side="a")]),
+        "dim": spark.createDataFrame([Row(id=1, side="a")]),
+    })
+    cat.swap("a")
+    snap = cat.snapshot()
+    assert set(snap) == {"fact", "dim"}
+
+    cat.publish("b", {
+        "fact": spark.createDataFrame([Row(id=1, side="b")]),
+        "dim": spark.createDataFrame([Row(id=1, side="b")]),
+    })
+    cat.swap("b")
+    # the pre-swap snapshot still reads side a for BOTH tables
+    assert {r.side for r in snap["fact"].collect()} == {"a"}
+    assert {r.side for r in snap["dim"].collect()} == {"a"}
+    # a fresh snapshot reads side b for both
+    snap2 = cat.snapshot()
+    assert {r.side for r in snap2["fact"].collect()} == {"b"}
+    assert {r.side for r in snap2["dim"].collect()} == {"b"}
+
+
 def test_restart_reattaches_active_side(spark, tmp_path):
     cat = BlueGreenCatalog(spark, str(tmp_path), name="star2")
     cat.publish("a", {"beds": spark.createDataFrame([Row(n=1)])})

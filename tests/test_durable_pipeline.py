@@ -82,11 +82,15 @@ def test_restart_resumes_identical_state(spark, tmpdir, backend):
     assert sorted(x.batch_id for x in m) == [0, 1, 2]
 
 
-def test_jdbc_mirror_matches_delta(spark, tmpdir):
+@pytest.mark.parametrize("staging", ["parallel", "driver"])
+def test_jdbc_mirror_matches_delta(spark, tmpdir, staging):
     """The SQL-warehouse mirror (JdbcUpsertStore, DuckDB stand-in for
     the reference's Postgres star schema) holds EXACTLY the rows the
     DeltaLog backend holds — current AND audit — after the same batches,
-    including an idempotent replay of a committed batch."""
+    including an idempotent replay of a committed batch. Both staging
+    shapes are pinned: "parallel" (executors stage the batch's files,
+    the warehouse MERGE ingests them server-side — the df.write.jdbc
+    analogue, VERDICT r4 #6) and "driver" (Arrow collect + register)."""
     import os
 
     adt = adt_messages(spark, n_patients=4)
@@ -95,6 +99,9 @@ def test_jdbc_mirror_matches_delta(spark, tmpdir):
 
     ed = EmapEngine(storage_root=os.path.join(tmpdir, "d"), backend="delta")
     ej = EmapEngine(storage_root=os.path.join(tmpdir, "j"), backend="jdbc")
+    ej.pipeline.load(spark)
+    for state in ej.pipeline.tables.values():
+        state.store.staging = staging
     for i, b in enumerate([b1, b2]):
         ed.process_batch(b, i)
         ej.process_batch(b, i)
