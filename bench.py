@@ -106,6 +106,65 @@ def main() -> None:
     wf_secs = time.perf_counter() - t0
     timings["waveform_collation_540k_samples"] = round(wf_secs, 3)
 
+    # END-TO-END waveform ingest (VERDICT r4 #7): the same 30-patient
+    # design load driven through the ENGINE — collation -> location-visit
+    # interval attach -> durable WaveformStore log, 4 micro-batches (15 s
+    # of signal each) with the scheduled orphan-repair pass landing on
+    # the 4th. The collation-only number above is the vectorized core;
+    # this is the production path a deployment actually runs.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from emap_spark.app import EmapEngine
+    from emap_spark.lineage import cut
+    from emap_spark.sources.generators import adt_messages
+
+    wf_eng = EmapEngine(
+        storage_root=tempfile.mkdtemp(prefix="bench_wf_"),
+        maintain_location_visits=True,
+    )
+    wf_eng.process_batch(cut(adt_messages(spark, n_patients=30)), 0)
+
+    def _into_visits(collated):
+        # map each generated patient stream onto its ADT visit's bed and
+        # a time inside the occupied interval (BY02: 12:00-18:00 on the
+        # patient's admission day), preserving relative sample times, so
+        # the attach join resolves like a deployment's mapped locations
+        p = F.regexp_extract(F.col("source_location"), r"^T(\d+)E", 1).cast("int")
+        base = F.to_timestamp(
+            F.format_string("2024-01-%02d 13:00:00", (p % 20) + 1)
+        ).cast("timestamp_ntz")
+        t0_us = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        shifted = F.timestamp_micros(
+            F.unix_micros(base.cast("timestamp"))
+            + F.unix_micros(F.col("observation_datetime").cast("timestamp"))
+            - t0_us
+        ).cast("timestamp_ntz")
+        return collated.withColumn(
+            "source_location", F.format_string("T%dE^BY02^BED-2", p % 5)
+        ).withColumn("observation_datetime", shifted)
+
+    quarter = [
+        cut(msgs.filter(
+            (F.unix_micros(F.col("observation_time").cast("timestamp"))
+             - F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp")))
+            .between(i * 15_000_000, (i + 1) * 15_000_000 - 1)
+        ))
+        for i in range(4)
+    ]
+    # warm the attach/store plan shapes (tiny batch, id 1)
+    wf_eng.ingest_waveforms(
+        _into_visits(collate_batch(
+            waveform_stream(spark, n_patients=2, sampling_rate=300, seconds=2)
+        )), 1,
+    )
+    t0 = time.perf_counter()
+    for i, b in enumerate(quarter):
+        wf_eng.ingest_waveforms(_into_visits(collate_batch(b)), i + 2)
+    wf_e2e_secs = time.perf_counter() - t0
+    wf_e2e_rate = round(n_samples / wf_e2e_secs)
+
     # Ingestion-path throughput: one EmapEngine batch (message
     # granularity, full per-change audit) over 20k generated ADT
     # messages -> 3 star tables + movement/identity history, persisted
@@ -162,6 +221,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "waveform_samples_per_sec": round(n_samples / wf_secs),
+                "waveform_e2e_samples_per_sec": wf_e2e_rate,
                 "adt_merge_seconds_20k_messages": round(adt_secs, 3),
                 "adt_messages_per_sec": round(n_msgs / adt_secs),
                 "adt_messages_per_sec_100k_batch": round(100_000 / big_secs),

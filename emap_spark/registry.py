@@ -73,6 +73,13 @@ def _load_all() -> None:
 # alongside q61/q71). Late round 4: q105 (JDBC upsert mirror) and q106
 # (LSH parameter sweep) rotate in for q25 and q85 (windowed rollup —
 # not §2 evidence); q107 joins the local-replica set.
+# Round-5 rotation (VERDICT r4 next-steps #3): q108 (near-dup clustering
+# + survivors — the production dedup API), q107 (normalized cross-
+# variant dedup), q109 (BPE-style token counts), q110 (real image
+# resize) get their first hard driver check; q13/q24 rotate out (multi-
+# round green, Q5/Q8 evidence also carried by q61/q63) and q41/q42 move
+# to the local replica (q40 stays as the text-stats family's driver
+# representative).
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
@@ -96,19 +103,18 @@ _PRIORITY = [
     "q87_forms_pipeline", "q88_stream_dedupe_within_watermark",
     "q96_hl7_lab_vendor_parse", "q100_incremental_polling",
     "q104_lakehouse_sink_roundtrip", "q105_jdbc_upsert_mirror",
-    # read-side operator queries (Q5/Q8; Q6 keeps in-window evidence
-    # via q71, q25 moves to the local replica)
-    "q13_customer_event_reconciliation",
-    "q24_state_asof",
     # LLM-data pipeline family (dedup/similarity/text)
-    "q40_token_stats", "q41_quality_score", "q42_lang_source_profile",
-    "q43_exact_dup_groups",
+    "q40_token_stats", "q43_exact_dup_groups",
     "q47_minhash_lsh_pairs", "q57_lsh_near_dup_verified",
     "q48_simhash", "q58_ann_ivf_probe",
     "q59_cosine_near_dup_pairs", "q102_media_builtin_decode",
     "q103_salted_hot_key_agg", "q106_lsh_parameter_sweep",
+    "q107_normalized_dup_groups", "q108_near_dup_clusters",
+    "q109_bpe_regex_tokens", "q110_media_resize",
     # --- driver cap boundary (first 50 above get the hard driver check) ---
-    "q85_stream_windowed_rollup", "q107_normalized_dup_groups",
+    "q13_customer_event_reconciliation", "q24_state_asof",
+    "q41_quality_score", "q42_lang_source_profile",
+    "q85_stream_windowed_rollup",
     "q20_latest_event_per_user",
     "q22_user_current_state", "q23_scd2_validity_intervals",
     "q25_gap_detection", "q26_sessionization",
