@@ -129,18 +129,45 @@ class MergeSpec:
         return cols
 
 
-@dataclass
 class MergeResult:
-    current: DataFrame  # post-merge current snapshot (incl. tombstone rows)
-    audit: DataFrame  # superseded versions produced by THIS merge
-    # Single-action form: every row version produced by this merge in ONE
-    # frame — current versions tagged __rk=1, superseded/audit versions
-    # __rk>1 (with valid_until/stored_until). Materializing `combined`
-    # computes the fold ONCE; `current`/`audit` are separate plans that
-    # would each recompute it. The pipeline persists `combined` (one
-    # write per table per batch) and derives both views from the
-    # materialized file — see split_combined.
-    combined: DataFrame | None = None
+    """Result views of one merge.
+
+    current: post-merge current snapshot (incl. tombstone rows).
+    audit: superseded versions produced by THIS merge.
+    combined: single-action form — every row version produced by this
+    merge in ONE frame: current versions tagged __rk=1, superseded/audit
+    versions __rk>1 (with valid_until/stored_until). Materializing
+    `combined` computes the fold ONCE; `current`/`audit` are separate
+    plans that would each recompute it. The pipeline persists `combined`
+    (one write per table per batch) and derives both views from the
+    materialized file — see split_combined.
+
+    Each view may be passed as a DataFrame or as a zero-arg THUNK:
+    building these plans costs real driver time (py4j + analysis of
+    hundreds of expressions), and most callers read exactly one view —
+    the pipeline persists `combined` only, the snapshot queries read
+    `current` only — so unread views are never constructed."""
+
+    def __init__(self, current, audit=None, combined=None) -> None:
+        self._current, self._audit, self._combined = current, audit, combined
+
+    @property
+    def current(self) -> DataFrame:
+        if callable(self._current):
+            self._current = self._current()
+        return self._current
+
+    @property
+    def audit(self) -> DataFrame:
+        if callable(self._audit):
+            self._audit = self._audit()
+        return self._audit
+
+    @property
+    def combined(self) -> DataFrame | None:
+        if callable(self._combined):
+            self._combined = self._combined()
+        return self._combined
 
     def live(self) -> DataFrame:
         """Public view: live rows only (M9 tombstones filtered), merge
@@ -334,11 +361,22 @@ def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
         # can arbitrate creator-vs-stored-untrusted-creation (earliest
         # real event time wins, invariant under batch splits).
         E = _trusted_fold_templates(spec)
+        # ONE select per logical step (withColumn chains re-analyze the
+        # whole plan per call — the per-batch driver floor, SURVEY §8a00)
         kept = (
-            updates.withColumn("__m6_rn", E["rn"])
+            updates.select("*", E["rn"].alias("__m6_rn"))
             .filter(E["keep"])
-            .withColumn("__raw_t", F.col(spec.event_time))
-            .withColumn(spec.event_time, E["floored_t"])
+            .select(
+                *[
+                    (
+                        E["floored_t"].alias(c)
+                        if c == spec.event_time
+                        else F.col(c)
+                    )
+                    for c in updates.columns
+                ],
+                F.col(spec.event_time).alias("__raw_t"),
+            )
         )
         spec_plain = MergeSpec(
             key=spec.key,
@@ -363,10 +401,14 @@ def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
         )
 
     T = _fold_templates(spec)
-    updates = updates.withColumn("__raw_t", F.col(spec.event_time))
     # Ignore everything at-or-before the newest tombstone; the tombstone
     # row itself survives the cut so the delete action is visible.
-    updates = updates.withColumn("__last_tomb_t", T["last_tomb_t"]).filter(
+    # (one select, not a withColumn chain — each withColumn re-analyzes)
+    updates = updates.select(
+        "*",
+        F.col(spec.event_time).alias("__raw_t"),
+        T["last_tomb_t"].alias("__last_tomb_t"),
+    ).filter(
         F.col("__last_tomb_t").isNull()
         | (F.col(spec.event_time) >= F.col("__last_tomb_t"))
     )
@@ -376,12 +418,15 @@ def fold_updates(updates: DataFrame, spec: MergeSpec) -> DataFrame:
         updates = _mask_tombstone_fields(updates, spec, F.col(spec.tombstone))
 
     updates = updates.select("*", *T["stage1_cols"])
-    folded = updates.select(*T["fold_cols"]).filter(F.col("__rn") == 1).drop("__rn")
+    folded = updates.select(*T["fold_cols"]).filter(F.col("__rn") == 1)
+    # one projection for the drop + the plain-spec provenance defaults
+    # (a withColumn chain would re-analyze the plan per call)
+    out = [F.col(c) for c in folded.columns if c != "__rn"]
     if "__trusted" not in folded.columns:
-        folded = folded.withColumn("__trusted", F.lit(True))
+        out.append(F.lit(True).alias("__trusted"))
     if "__real_t" not in folded.columns:
-        folded = folded.withColumn("__real_t", F.col("__event_time"))
-    return folded
+        out.append(F.col("__event_time").alias("__real_t"))
+    return folded.select(*out)
 
 
 # Shadow-mark templates for trusted specs: the same per-field change
@@ -592,11 +637,18 @@ def merge_batch(
     spark = updates.sparkSession
     if current is None:
         current = empty_current(spark, updates, spec)
-    for c in [*_ts_cols(spec), "__floor_t", "__cre_t", "__seen_t"]:  # tolerate pre-metadata frames
-        if c not in current.columns:
-            current = current.withColumn(c, F.lit(None).cast("timestamp_ntz"))
+    # tolerate pre-metadata frames: add any missing metadata columns in
+    # ONE projection (a withColumn per column re-analyzes the plan)
+    _missing = [
+        c
+        for c in [*_ts_cols(spec), "__floor_t", "__cre_t", "__seen_t"]
+        if c not in current.columns
+    ]
+    _adds = [F.lit(None).cast("timestamp_ntz").alias(c) for c in _missing]
     if spec.trusted and "__untrusted" not in current.columns:
-        current = current.withColumn("__untrusted", F.lit(False))
+        _adds.append(F.lit(False).alias("__untrusted"))
+    if _adds:
+        current = current.select("*", *_adds)
 
     cand = fold_updates(updates, spec)
 
@@ -618,33 +670,43 @@ def merge_batch(
         *T["merged_cols_tail"],
     )
 
-    audit = merged.filter(F.col("__audit_me")).select(
-        *T["audit_cols"],
-        stored_lit.alias("stored_until"),
-    )
-    new_current = merged.select(
-        *key, *spec.fields, "valid_from", "stored_from", "is_deleted",
-        *_meta_cols(spec),
-    )
-    # combined: each merged row explodes into its new version (+ the
-    # superseded version when audited) in ONE pass over the join — no
-    # double computation of the fold when the pipeline persists it.
-    new_struct = F.struct(*T["new_struct_cols"])
-    old_struct = F.struct(
-        *T["old_struct_cols"],
-        stored_lit.alias("stored_until"),
-        F.lit(2).alias("__rk"),
-    )
-    combined = (
-        merged.select(
-            F.explode(
-                F.array(new_struct, F.when(F.col("__audit_me"), old_struct))
-            ).alias("__r")
+    # the three views share `merged` but are built LAZILY (MergeResult
+    # thunks): each costs an analysis pass over hundreds of expressions,
+    # and most callers read exactly one view
+
+    def _audit() -> DataFrame:
+        return merged.filter(F.col("__audit_me")).select(
+            *T["audit_cols"],
+            stored_lit.alias("stored_until"),
         )
-        .filter(F.col("__r").isNotNull())
-        .select("__r.*")
-    )
-    return MergeResult(current=new_current, audit=audit, combined=combined)
+
+    def _current() -> DataFrame:
+        return merged.select(
+            *key, *spec.fields, "valid_from", "stored_from", "is_deleted",
+            *_meta_cols(spec),
+        )
+
+    def _combined() -> DataFrame:
+        # combined: each merged row explodes into its new version (+ the
+        # superseded version when audited) in ONE pass over the join — no
+        # double computation of the fold when the pipeline persists it.
+        new_struct = F.struct(*T["new_struct_cols"])
+        old_struct = F.struct(
+            *T["old_struct_cols"],
+            stored_lit.alias("stored_until"),
+            F.lit(2).alias("__rk"),
+        )
+        return (
+            merged.select(
+                F.explode(
+                    F.array(new_struct, F.when(F.col("__audit_me"), old_struct))
+                ).alias("__r")
+            )
+            .filter(F.col("__r").isNotNull())
+            .select("__r.*")
+        )
+
+    return MergeResult(current=_current, audit=_audit, combined=_combined)
 
 
 # merge_batch's expression templates (everything that does not embed the
@@ -1484,11 +1546,18 @@ def merge_batch_versions(
     spark = updates.sparkSession
     if current is None:
         current = empty_current(spark, updates, spec)
-    for c in [*_ts_cols(spec), "__floor_t", "__cre_t", "__seen_t"]:  # tolerate pre-metadata frames
-        if c not in current.columns:
-            current = current.withColumn(c, F.lit(None).cast("timestamp_ntz"))
+    # tolerate pre-metadata frames: add any missing metadata columns in
+    # ONE projection (a withColumn per column re-analyzes the plan)
+    _missing = [
+        c
+        for c in [*_ts_cols(spec), "__floor_t", "__cre_t", "__seen_t"]
+        if c not in current.columns
+    ]
+    _adds = [F.lit(None).cast("timestamp_ntz").alias(c) for c in _missing]
     if spec.trusted and "__untrusted" not in current.columns:
-        current = current.withColumn("__untrusted", F.lit(False))
+        _adds.append(F.lit(False).alias("__untrusted"))
+    if _adds:
+        current = current.select("*", *_adds)
 
     key = spec.key
     T = _mbv_templates(spec, updates.schema)
@@ -1513,61 +1582,77 @@ def merge_batch_versions(
         spark.sparkContext.defaultParallelism, *[F.col(k) for k in key]
     )
 
+    # Each transformation below is ONE select (not a withColumn chain):
+    # every withColumn re-analyzes the whole accumulated plan, and this
+    # function runs per micro-batch — the chain was the measured
+    # per-batch driver floor (SURVEY §8a00).
+    base_cols = seeded.columns
     if spec.trusted:
+        # three selects, not one: each m6 window expression references
+        # the previous one's alias (rn -> first_rn -> creator), and a
+        # lateral alias cannot be referenced inside a window expression
         seeded = (
-            seeded.withColumn("__m6_rn", T["m6_rn"])
-            .withColumn("__m6_first_rn", T["m6_first_rn"])
-            .withColumn("__m6_creator", T["m6_creator"])
+            seeded.select("*", T["m6_rn"].alias("__m6_rn"))
+            .select("*", T["m6_first_rn"].alias("__m6_first_rn"))
+            .select("*", T["m6_creator"].alias("__m6_creator"))
             .filter(T["m6_keep"])
-            .drop("__m6_rn", "__m6_first_rn", "__m6_creator")
         )
-
-    seeded = seeded.withColumn("__ord", T["ord_expr"])
+    # the __ord select also drops the m6 helper columns; __epoch needs
+    # __ord materialized first (its window orders by __ord), so it is
+    # the one unavoidable extra pass
+    seeded = seeded.select(*base_cols, T["ord_expr"].alias("__ord"))
     # tombstones split the history into epochs; folding restarts per epoch
-    seeded = seeded.withColumn("__epoch", T["epoch_expr"])
+    seeded = seeded.select("*", T["epoch_expr"].alias("__epoch"))
 
     states = seeded.select(*T["state_cols"])
     # pseudo seeds exist to drive the fold windows; they are not states
-    # of their own (the anchor carries the pre-batch snapshot)
-    states = states.filter(~F.col("__seed") | F.col("__anchor"))
-    # final per-field last-write times for the next batch's pseudo seeds:
-    # the cumulative contribution time at the END of each key's last
-    # epoch (window column, so it rides on whichever row becomes current
-    # even when the newest action changed nothing visible)
-    for name, expr in T["ts_exprs"].items():
-        states = states.withColumn(name, expr)
-
-    # a row's state signature; consecutive duplicates are non-changes
-    # (first row per key: lag is NULL, eqNullSafe(struct, NULL) is false,
-    # so __changed is true — no special case needed)
-    states = states.withColumn("__changed", T["changed_expr"])
-    versions = states.filter(F.col("__changed"))
-    versions = versions.withColumn("valid_until", T["valid_until_expr"]).withColumn(
-        "__rk", T["rk_expr"]
+    # of their own (the anchor carries the pre-batch snapshot).
+    # One select adds the per-field final last-write times (the
+    # cumulative contribution time at the END of each key's last epoch,
+    # riding on whichever row becomes current even when the newest
+    # action changed nothing visible) AND the change signature
+    # (consecutive duplicates are non-changes; first row per key: lag is
+    # NULL, eqNullSafe(struct, NULL) is false, so __changed is true).
+    states = states.filter(~F.col("__seed") | F.col("__anchor")).select(
+        "*",
+        *[expr.alias(name) for name, expr in T["ts_exprs"].items()],
+        T["changed_expr"].alias("__changed"),
     )
-    if spec.trusted:
-        versions = versions.withColumn("__untrusted", F.col("__unt"))
+    versions = states.filter(F.col("__changed")).select(
+        "*",
+        T["valid_until_expr"].alias("valid_until"),
+        T["rk_expr"].alias("__rk"),
+        *([F.col("__unt").alias("__untrusted")] if spec.trusted else []),
+    )
 
     out_cols = [*key, *spec.fields, "valid_from", "stored_from", "is_deleted"]
-    new_current = versions.filter(F.col("__rk") == 1).select(
-        *out_cols, *_meta_cols(spec)
-    )
-    audit = versions.filter(F.col("__rk") > 1).select(
-        *out_cols,
-        F.col("valid_until"),
-        F.lit(stored_from).cast("timestamp_ntz").alias("stored_until"),
-    )
-    is_cur = F.col("__rk") == 1
-    combined = versions.select(
-        *out_cols,
-        *_meta_cols(spec),
-        F.when(~is_cur, F.col("valid_until")).alias("valid_until"),
-        F.when(~is_cur, F.lit(stored_from).cast("timestamp_ntz")).alias(
-            "stored_until"
-        ),
-        F.when(is_cur, F.lit(1)).otherwise(F.lit(2)).alias("__rk"),
-    )
-    return MergeResult(current=new_current, audit=audit, combined=combined)
+
+    # lazy views over the shared `versions` plan (see MergeResult)
+    def _current() -> DataFrame:
+        return versions.filter(F.col("__rk") == 1).select(
+            *out_cols, *_meta_cols(spec)
+        )
+
+    def _audit() -> DataFrame:
+        return versions.filter(F.col("__rk") > 1).select(
+            *out_cols,
+            F.col("valid_until"),
+            F.lit(stored_from).cast("timestamp_ntz").alias("stored_until"),
+        )
+
+    def _combined() -> DataFrame:
+        is_cur = F.col("__rk") == 1
+        return versions.select(
+            *out_cols,
+            *_meta_cols(spec),
+            F.when(~is_cur, F.col("valid_until")).alias("valid_until"),
+            F.when(~is_cur, F.lit(stored_from).cast("timestamp_ntz")).alias(
+                "stored_until"
+            ),
+            F.when(is_cur, F.lit(1)).otherwise(F.lit(2)).alias("__rk"),
+        )
+
+    return MergeResult(current=_current, audit=_audit, combined=_combined)
 
 
 def replay(
