@@ -301,6 +301,14 @@ class EmapEngine:
             validator=F.col("mrn").isNotNull() | F.col("visit_number").isNotNull(),
             storage_root=os.path.join(storage_root, "pipeline") if storage_root else None,
             backend=backend,
+            # trust gate: hospital_visit's M6 creator arbitration is
+            # skipped while every message (and the store) is EPIC-origin
+            # — must be the exact negation of _route_visit's `trusted`
+            untrusted_flags={
+                "hospital_visit": ~F.coalesce(
+                    F.col("source_system") == "EPIC", F.lit(False)
+                )
+            },
         )
         # movement/merge history is an append-only event LOG, not merged
         # state: per batch we append one deduped part (durable mode: one

@@ -38,6 +38,7 @@ Design notes (scale + correctness):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
@@ -1188,7 +1189,7 @@ def _fold_field_cum(name: str, policy: str, spec: MergeSpec, frame) -> list[Colu
 _MBV_CACHE: dict = {}
 
 
-def _mbv_templates(spec: MergeSpec, schema) -> dict:
+def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
     ck = (
         tuple(spec.key),
         tuple(spec.fields.items()),
@@ -1196,6 +1197,8 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
         spec.seq,
         spec.trusted,
         spec.tombstone,
+        all_trusted,
+        os.environ.get("EMAP_SEED_COLLAPSE", "1") != "0",
         tuple((f.name, f.dataType.simpleString()) for f in schema.fields),
     )
     t = _MBV_CACHE.get(ck)
@@ -1255,6 +1258,56 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
         *[F.col(c) for c in _ts_cols(spec)],
     )
 
+    # Pseudo-seed COLLAPSE: a tracked field whose stored last-write time
+    # equals the anchor's fold position can ride ON the anchor (its
+    # contribution folds at the same __ord immediately before any later
+    # update, and pseudo seeds sort directly before the anchor at equal
+    # times — the running state after the anchor is identical either
+    # way). Write-once entities then seed 1 row instead of 1+N, which
+    # nearly halves the fold's input (seeds rival updates in row count
+    # on touched-key-heavy batches — r6 stage profile).
+    def _ts_pos(g: str) -> Column:
+        if spec.fields[g] == FILL_IF_NULL:
+            return F.coalesce(F.col(f"__ts_{g}"), F.col("valid_from"))
+        return F.col(f"__ts_{g}")
+
+    def _present(g: str) -> Column:
+        if spec.fields[g] == FILL_IF_NULL:
+            return F.col(g).isNotNull()
+        return F.col(f"__ts_{g}").isNotNull()
+
+    # safety valve for the seed collapse/merge optimizations (A/B'd in
+    # r6; default on — differential suites cover both shapes)
+    _collapse_on = os.environ.get("EMAP_SEED_COLLAPSE", "1") != "0"
+
+    def _collapses(g: str) -> Column:
+        if not _collapse_on:
+            return F.lit(False)
+        return _present(g) & ~F.col("is_deleted") & (_ts_pos(g) == anchor_t)
+
+    # Same-time seed MERGING: tracked fields last written at the same
+    # stored time (one message wrote them together — the common shape)
+    # share ONE pseudo-seed row. The first such field in spec order is
+    # the emitter; later fields with an equal position ride on it. Two
+    # same-time pseudo rows touch disjoint fields and commute, so the
+    # merged row folds identically.
+    tracked = [f for f, p in spec.fields.items() if p in TS_TRACKED]
+
+    def _rides_on(h: str, g: str) -> Column:
+        """Field h (after g in spec order) rides on g's seed row."""
+        return _present(h) & (_ts_pos(h) == _ts_pos(g))
+
+    def _is_emitter(g: str) -> Column:
+        """No earlier present tracked field shares g's position."""
+        cond = F.lit(True)
+        if not _collapse_on:
+            return cond
+        for f in tracked:
+            if f == g:
+                break
+            cond = cond & ~(_present(f) & (_ts_pos(f) == _ts_pos(g)))
+        return cond
+
     def _seed_struct(which: str) -> Column:
         """One seed row as a struct: which='__anchor', '__floor__' (the
         stored incarnation floor re-entering as a pseudo TOMBSTONE so
@@ -1270,30 +1323,52 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
                 else:
                     cols.append(F.lit(None).cast(schema[g].dataType).alias(g))
                 continue
+            rides = (
+                _collapse_on
+                and not is_anchor
+                and g != which
+                and g in tracked
+                and which in tracked
+                and tracked.index(g) > tracked.index(which)
+            )
             if p in TRISTATES:
+                save_or_delete = tristate(
+                    F.col(g),
+                    F.when(F.col(g).isNotNull(), F.lit(SAVE)).otherwise(
+                        F.lit(DELETE)
+                    ),
+                )
                 if not is_anchor and g == which:
+                    cols.append(save_or_delete.alias(g))
+                elif is_anchor:
+                    # collapsed pseudo seed rides on the anchor
                     cols.append(
-                        tristate(
-                            F.col(g),
-                            F.when(F.col(g).isNotNull(), F.lit(SAVE)).otherwise(
-                                F.lit(DELETE)
-                            ),
-                        ).alias(g)
+                        F.when(_collapses(g), save_or_delete)
+                        .otherwise(_ignore_tristate(g))
+                        .alias(g)
+                    )
+                elif rides:
+                    # same-time merge: g rides on `which`'s seed row
+                    cols.append(
+                        F.when(_rides_on(g, which), save_or_delete)
+                        .otherwise(_ignore_tristate(g))
+                        .alias(g)
                     )
                 else:
                     cols.append(_ignore_tristate(g))
             elif p == FILL_IF_NULL:
                 # fill fields re-enter the fold at their OWN last-write
-                # time (pseudo seed); the anchor carries null for them —
-                # the fill fold ignores nulls, so only the pseudo seed
-                # positions the stored value in the event order
-                cols.append(
-                    (
-                        F.col(g)
-                        if (not is_anchor and g == which)
-                        else F.lit(None).cast(schema[g].dataType)
-                    ).alias(g)
-                )
+                # time (pseudo seed); the anchor carries null for them
+                # (the fill fold ignores nulls) UNLESS the pseudo
+                # collapses into it / rides a same-time seed
+                if not is_anchor and g == which:
+                    cols.append(F.col(g).alias(g))
+                elif is_anchor:
+                    cols.append(F.when(_collapses(g), F.col(g)).alias(g))
+                elif rides:
+                    cols.append(F.when(_rides_on(g, which), F.col(g)).alias(g))
+                else:
+                    cols.append(F.lit(None).cast(schema[g].dataType).alias(g))
             else:
                 cols.append(
                     (F.col(g) if is_anchor else F.lit(None).cast(schema[g].dataType)).alias(g)
@@ -1350,7 +1425,13 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
                 present = F.col(which).isNotNull()
             else:
                 present = F.col(f"__ts_{which}").isNotNull()
-            struct = F.when(present & ~F.col("is_deleted"), struct)
+            # collapsed pseudo seeds (last-write at the anchor position)
+            # ride on the anchor, same-time riders ride the first
+            # emitter in spec order — emit nothing for either here
+            cond = present & ~F.col("is_deleted")
+            if _collapse_on:
+                cond = cond & (_ts_pos(which) < anchor_t) & _is_emitter(which)
+            struct = F.when(cond, struct)
         return struct
 
     seed_structs = [_seed_struct("__anchor"), _seed_struct("__floor__")] + [
@@ -1363,9 +1444,18 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
     # supersedes them. The floor is internal — valid_from/audit validity
     # keep the REAL event time (the reference stores the message's
     # actual validFrom for untrusted-created entities).
-    ord_expr = F.when(
-        F.col("__unt"), F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
-    ).otherwise(F.col(spec.event_time))
+    # all_trusted (trust gate): the caller certifies that neither the
+    # batch nor the stored state contains a single untrusted row, so
+    # __unt is constant-false — the precedence floor is the identity and
+    # the three m6 window passes below are no-ops and are skipped
+    # entirely (the common all-EPIC-feed fast path; a mixed batch or a
+    # store that has ever absorbed one falls back to the full plan).
+    if all_trusted:
+        ord_expr = F.col(spec.event_time)
+    else:
+        ord_expr = F.when(
+            F.col("__unt"), F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
+        ).otherwise(F.col(spec.event_time))
     # total order: precedence time, seeds-before-updates at equal times
     # (pseudo seeds before the anchor), then seq
     _order = [
@@ -1378,24 +1468,29 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
     cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     we = W.partitionBy(*key, "__epoch").orderBy(*_order)
     cume = we.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # WINDOW-OP FUSION (r6): a physical Window operator evaluates every
+    # expression sharing its (partitionBy, orderBy) — frames may differ.
+    # Partition-only aggregates are therefore written over the ORDERED
+    # spec with an unbounded frame (same result: the frame covers the
+    # whole partition) so they fuse into the passes that already exist
+    # instead of adding a full extra pass per distinct unordered spec —
+    # each Window op is a real per-row pass (~0.5 s per pass per table
+    # per 100k batch, micro-benchmarked).
+    wfull_k = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    wfull_ke = we.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
 
     state_cols: list[Column] = [F.col(k) for k in key]
     for name, policy in spec.fields.items():
         state_cols.extend(_fold_field_cum(name, policy, spec, cume))
-    # the incarnation floor carried to the next batch: newest tombstone
-    # time known for the key (real update tombs, the deleted anchor, and
-    # the re-seeded stored floor all count)
-    state_cols.append(
-        F.max(F.when(F.col("__tomb"), F.col(spec.event_time)))
-        .over(W.partitionBy(*key))
-        .alias("__floor_t")
-    )
-    # the newer-wins boundary carried to the next batch: the newest
-    # PRECEDENCE time absorbed (floored for untrusted-origin rows); the
-    # anchor's position re-seeds the stored boundary recursively
-    state_cols.append(
-        F.max(F.col("__ord")).over(W.partitionBy(*key)).alias("__seen_t")
-    )
+    # __floor_t (newest tombstone time known for the key — real update
+    # tombs, deleted anchor, re-seeded stored floor) and __seen_t (the
+    # newer-wins boundary: newest PRECEDENCE time absorbed; the anchor's
+    # position re-seeds the stored boundary recursively) depend only on
+    # pre-state columns, so they are computed IN the epoch select where
+    # they fuse with the epoch sum's (key, order) Window op; here they
+    # pass through.
+    state_cols.append(F.col("__floor_t"))
+    state_cols.append(F.col("__seen_t"))
     # incarnation creation time: earliest live non-pseudo row of the
     # epoch (updates + the anchor; pseudo seeds are field history, not
     # creations) — merge_batch's retro-creation rule reads it
@@ -1406,7 +1501,7 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
                 F.col(spec.event_time),
             )
         )
-        .over(W.partitionBy(*key, "__epoch"))
+        .over(wfull_ke)
         .alias("__cre_t")
     )
     state_cols.extend(
@@ -1430,13 +1525,16 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
         F.col("__anchor"),
         F.col("__seq"),
     ]
-    wfull_e = (
-        W.partitionBy(*key, "__epoch")
-        .orderBy(*_sorder)
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
+    # Per-field last-write metadata rides on every version row, but it
+    # is only ever CONSUMED from the current row (read_current filters
+    # __rk == 1; read_audit and the in-memory audit drop __-cols), and
+    # the current row is the last row of its key's final epoch — where
+    # the full-frame last() equals the row's OWN running __t. Using the
+    # per-row value directly removes a whole Window pass; audit rows
+    # carry their at-that-point value instead of the epoch-final one,
+    # which nothing reads.
     ts_exprs = {
-        f"__ts_{name}": F.last(F.col(f"__t_{name}")).over(wfull_e)
+        f"__ts_{name}": F.col(f"__t_{name}")
         for name, policy in spec.fields.items()
         if policy in TS_TRACKED
     }
@@ -1445,17 +1543,30 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
     changed_expr = ~sig.eqNullSafe(F.lag(sig).over(wk))
     wv = W.partitionBy(*key).orderBy(*_sorder)
     valid_until_expr = F.lead("valid_from").over(wv)
-    rk_expr = F.row_number().over(
-        W.partitionBy(*key).orderBy(
-            F.col("__ord").desc(), F.col("__seed"), F.col("__anchor").desc(), F.col("__seq").desc()
-        )
-    )
+    # current-version rank, fused into the SAME Window pass as
+    # valid_until (asc row_number + full-frame count instead of a
+    # second desc-sorted pass): the last row under _sorder is the
+    # current version. Downstream only distinguishes current (1) from
+    # superseded (>1), so the rank is binary.
+    rk_expr = F.when(
+        F.row_number().over(wv)
+        == F.count(F.lit(1)).over(
+            wv.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(2))
 
     t = {
         "tomb": tomb,
         "upd_cols": upd_cols,
         "seed_structs": seed_structs,
         "epoch_expr": F.sum(F.col("__tomb").cast("int")).over(cum),
+        "epoch_extra": [
+            F.max(F.when(F.col("__tomb"), F.col(spec.event_time)))
+            .over(wfull_k)
+            .alias("__floor_t"),
+            F.max(F.col("__ord")).over(wfull_k).alias("__seen_t"),
+        ],
         "ord_expr": ord_expr,
         "state_cols": state_cols,
         "ts_exprs": ts_exprs,
@@ -1463,7 +1574,7 @@ def _mbv_templates(spec: MergeSpec, schema) -> dict:
         "valid_until_expr": valid_until_expr,
         "rk_expr": rk_expr,
     }
-    if spec.trusted:
+    if spec.trusted and not all_trusted:
         # M6 at message granularity (visitShouldBeUpdated,
         # VisitController.java:188-204, under the event-order invariant):
         # an untrusted message may only CREATE the entity. The batch's
@@ -1525,6 +1636,7 @@ def merge_batch_versions(
     updates: DataFrame,
     spec: MergeSpec,
     stored_from,
+    all_trusted: bool = False,
 ) -> MergeResult:
     """Message-granularity merge (the reference's exact audit behavior):
     every state-changing message yields an audit row for the version it
@@ -1542,6 +1654,14 @@ def merge_batch_versions(
 
     Column templates are memoized per (spec, schema) — only the
     stored_from literals are fresh per batch (see _mbv_templates).
+
+    all_trusted: trust-gate fast path for trusted specs — the caller
+    certifies neither this batch nor the stored state contains an
+    untrusted row (MergePipeline tracks both via a staging observation
+    and a monotone per-table flag), so the M6 creator arbitration's
+    three window passes are skipped. Passing True with untrusted rows
+    present is a contract violation and silently treats them as
+    trusted.
     """
     spark = updates.sparkSession
     if current is None:
@@ -1560,7 +1680,7 @@ def merge_batch_versions(
         current = current.select("*", *_adds)
 
     key = spec.key
-    T = _mbv_templates(spec, updates.schema)
+    T = _mbv_templates(spec, updates.schema, all_trusted=all_trusted)
     if spec.tombstone:
         updates = _mask_tombstone_fields(updates, spec, T["tomb"])
     stored_lit = F.lit(stored_from).cast("timestamp_ntz")
@@ -1587,7 +1707,7 @@ def merge_batch_versions(
     # function runs per micro-batch — the chain was the measured
     # per-batch driver floor (SURVEY §8a00).
     base_cols = seeded.columns
-    if spec.trusted:
+    if spec.trusted and not all_trusted:
         # three selects, not one: each m6 window expression references
         # the previous one's alias (rn -> first_rn -> creator), and a
         # lateral alias cannot be referenced inside a window expression
@@ -1601,8 +1721,11 @@ def merge_batch_versions(
     # __ord materialized first (its window orders by __ord), so it is
     # the one unavoidable extra pass
     seeded = seeded.select(*base_cols, T["ord_expr"].alias("__ord"))
-    # tombstones split the history into epochs; folding restarts per epoch
-    seeded = seeded.select("*", T["epoch_expr"].alias("__epoch"))
+    # tombstones split the history into epochs; folding restarts per
+    # epoch (__floor_t/__seen_t fuse into the same Window pass)
+    seeded = seeded.select(
+        "*", T["epoch_expr"].alias("__epoch"), *T["epoch_extra"]
+    )
 
     states = seeded.select(*T["state_cols"])
     # pseudo seeds exist to drive the fold windows; they are not states

@@ -77,6 +77,7 @@ class DeltaLog:
         compact_every: int = 8,
         replace_set: bool = False,
         n_buckets: int = 16,
+        n_delta_files: int = 16,
     ) -> None:
         self.root = os.path.join(root, "tables", name)
         self.name = name
@@ -87,6 +88,7 @@ class DeltaLog:
         # the manifest, and read back for existing tables (a mixed
         # layout would break bucket pruning). 0 = unbucketed legacy.
         self.n_buckets = n_buckets
+        self.n_delta_files = n_delta_files
         self.spark: SparkSession | None = None
         self._manifest: dict | None = None
 
@@ -233,6 +235,7 @@ class DeltaLog:
         self,
         keys: DataFrame | None = None,
         buckets: list[int] | None = None,
+        widen: int | None = None,
     ) -> DataFrame | None:
         """Latest committed version per key (tombstones included — the
         merge engine needs them; readers filter).
@@ -248,7 +251,17 @@ class DeltaLog:
         would shuffle the WHOLE table every batch).
 
         buckets: optional precomputed touched-bucket ids (bucket_of) —
-        skips the collect when the caller already knows them."""
+        skips the collect when the caller already knows them.
+
+        widen: pin the latest-per-key window's parallelism to this many
+        partitions via a USER repartition on the key (exempt from AQE
+        coalescing). Without it, the window's ENSURE_REQUIREMENTS
+        exchange is bytes-based-coalesced to a handful of tasks — fine
+        for plain reads, but when compute-heavy work sits downstream of
+        this frame in the SAME stage (the merge fold's seed explode,
+        §8a0 #7), those few tasks serialize it. Callers that feed the
+        result into per-row-expensive plans pass their target
+        parallelism; plain readers leave it None and let AQE coalesce."""
         if (
             keys is not None
             and self.n_buckets
@@ -271,6 +284,8 @@ class DeltaLog:
             return None
         if keys is not None:
             live = live.join(F.broadcast(keys), self.key, "left_semi")
+        if widen:
+            live = live.repartition(widen, *[F.col(k) for k in self.key])
         if self.replace_set:
             # newest batch that touched the set key owns its whole row-set.
             # __rk=0 marker rows advance the set's version WITHOUT adding
@@ -331,10 +346,15 @@ class DeltaLog:
         # Only the BASE — the O(table-state) file — is bucketed (at
         # compaction, amortized over compact_every commits); that is the
         # scan that must stay flat as table state grows. The write
-        # re-narrows to a few files (the upstream merge runs cluster-
-        # wide; an O(touched-rows) shuffle keeps per-delta file counts
-        # bounded for the read-back union).
-        versioned.repartition(4).write.mode("overwrite").parquet(path)
+        # re-narrows to a bounded file count for the read-back union
+        # (the upstream merge runs cluster-wide) — but not TOO narrow:
+        # the post-shuffle stage does the parquet encode of the whole
+        # combined frame, and 4 tasks serialized ~1.7 s of encode on a
+        # 100k-message batch (r6 stage profile). n_delta_files balances
+        # the two; compaction folds the files away periodically.
+        versioned.repartition(self.n_delta_files).write.mode(
+            "overwrite"
+        ).parquet(path)
         return 1 + self._register(batch_id, combined.columns)
 
     def commit_external(self, batch_id: int, path: str, columns: list[str]) -> int:

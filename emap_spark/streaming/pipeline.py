@@ -121,6 +121,7 @@ class MergePipeline:
         validator=None,
         storage_root: str | None = None,
         backend: str = "delta",
+        untrusted_flags: dict | None = None,
     ) -> None:
         self.tables = {
             name: TableState(spec=spec) for name, (spec, _) in tables.items()
@@ -136,6 +137,20 @@ class MergePipeline:
         self._applied: set[int] = set()
         self._loaded = storage_root is None
         self._n_actions = 0
+        # trust gate (M6 fast path): untrusted_flags maps a table name to
+        # a boolean Column over the RAW batch that is true when a row MAY
+        # be untrusted for that table (an over-approximation is fine —
+        # it only disables the fast path). The flag is observed for free
+        # in the staging pass; _store_all_trusted is the monotone
+        # "this table's store has never absorbed an untrusted row" bit,
+        # persisted with the batch marker. Both together let the merge
+        # skip the M6 creator-arbitration window passes on all-trusted
+        # feeds (the common topology: EPIC-only ADT).
+        self.untrusted_flags = untrusted_flags or {}
+        self._store_all_trusted: dict[str, bool] = {
+            name: name in self.untrusted_flags for name in self.tables
+        }
+        self._batch_untrusted: dict[str, bool] = {}
 
     # -- durable state -----------------------------------------------------
     @property
@@ -167,7 +182,15 @@ class MergePipeline:
         marker = self._marker_path()
         if os.path.isfile(marker):
             with open(marker) as fh:
-                self._applied = set(json.load(fh)["applied"])
+                m = json.load(fh)
+            self._applied = set(m["applied"])
+            # markers written before the trust gate carry no flags:
+            # assume the store may hold untrusted rows (gate stays off)
+            stored_flags = m.get("all_trusted", {})
+            self._store_all_trusted = {
+                name: bool(stored_flags.get(name, False))
+                for name in self.tables
+            }
         metrics_file = os.path.join(self.storage_root, "metrics.jsonl")
         if os.path.isfile(metrics_file):
             with open(metrics_file) as fh:
@@ -179,7 +202,13 @@ class MergePipeline:
         self._applied.add(batch_id)
         tmp = self._marker_path() + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"applied": sorted(self._applied)}, fh)
+            json.dump(
+                {
+                    "applied": sorted(self._applied),
+                    "all_trusted": self._store_all_trusted,
+                },
+                fh,
+            )
         os.replace(tmp, self._marker_path())
 
     # -- ingestion ---------------------------------------------------------
@@ -188,6 +217,14 @@ class MergePipeline:
         (no Spark action beyond the store's tiny bucket-id collect)."""
         state = self.tables[name]
         merge = merge_batch if self.granularity == "batch" else merge_batch_versions
+        kwargs = {}
+        if (
+            self.granularity == "message"
+            and state.spec.trusted
+            and self._store_all_trusted.get(name, False)
+            and not self._batch_untrusted.get(name, True)
+        ):
+            kwargs["all_trusted"] = True
         updates = self.routers[name](deduped)
         # fan the fold's compute across the cluster: the staged batch is
         # one tiny parquet split and AQE's bytes-based coalescing would
@@ -214,12 +251,22 @@ class MergePipeline:
             # DeltaLog.read_current — so the seed read is O(touched
             # base buckets + recent deltas), not O(table))
             touched = updates.select(*state.spec.key).distinct()
-            current = state.store.read_current(keys=touched)
+            if self.granularity == "message" and isinstance(state.store, DeltaLog):
+                # the seed-struct explode + fold map side run in the
+                # stage DOWNSTREAM of the store's latest-per-key window;
+                # pin that stage's parallelism (else AQE bytes-coalesces
+                # it to a handful of tasks and the compute serializes)
+                current = state.store.read_current(
+                    keys=touched,
+                    widen=updates.sparkSession.sparkContext.defaultParallelism,
+                )
+            else:
+                current = state.store.read_current(keys=touched)
         elif state.store is not None:
             current = state.store.read_current()
         else:
             current = state.current
-        return merge(current, updates, state.spec, stored)
+        return merge(current, updates, state.spec, stored, **kwargs)
 
     def _merge_one_table(self, name: str, deduped: DataFrame, batch_id: int, stored: str) -> int:
         """Merge + persist one table; returns the number of Spark actions
@@ -228,6 +275,8 @@ class MergePipeline:
         state = self.tables[name]
         if state.store is not None and state.store.has_batch(batch_id):
             return 0  # this table already committed the batch (replay)
+        # job attribution for the Spark UI / event-log profiling
+        deduped.sparkSession.sparkContext.setJobDescription(f"merge:{name}")
         res = self._build_merge(name, deduped, stored)
         if state.store is not None:
             return state.store.commit(batch_id, res.combined)
@@ -280,6 +329,17 @@ class MergePipeline:
         # per-message IdsEffectLogging becomes per-batch counters).
         obs_in, obs_out = Observation(), Observation()
         valid = self.validator if self.validator is not None else F.lit(True)
+        # trust-gate flags ride the same observation (zero extra actions)
+        flag_aggs = [
+            F.coalesce(F.max(flag.cast("int")), F.lit(0)).alias(f"__unt_{name}")
+            for name, flag in self.untrusted_flags.items()
+        ]
+        # NOTE (r6, measured): pinning the dedupe exchange with a user
+        # repartition on the message id looked like the §8a0 #7 pattern
+        # (the dedupe reduce runs on 1-3 AQE-coalesced tasks) but an A/B
+        # showed it 2+ s SLOWER at the 100k batch — the narrow dedupe
+        # output makes every downstream scan of the staged file cheap,
+        # and the table merges re-widen immediately anyway. Left alone.
         staged = (
             batch_df.observe(obs_in, F.count(F.lit(1)).alias("n_input"))
             .withColumn("__valid", valid)
@@ -292,13 +352,20 @@ class MergePipeline:
                 F.coalesce(
                     F.sum((~F.col("__valid")).cast("long")), F.lit(0)
                 ).alias("n_quarantined"),
+                *flag_aggs,
             )
         )
+        spark.sparkContext.setJobDescription(f"stage-batch:{batch_id}")
         staged = cut(staged)  # materializes -> observations fire; lineage cut
+        spark.sparkContext.setJobDescription(None)
         self._n_actions += 1
         n_input = int(obs_in.get["n_input"])
         n_deduped = int(obs_out.get["n_deduped"])
         n_quarantined = int(obs_out.get["n_quarantined"])
+        self._batch_untrusted = {
+            name: bool(obs_out.get[f"__unt_{name}"])
+            for name in self.untrusted_flags
+        }
         deduped = staged.filter(F.col("__valid")).drop("__valid")
         if n_quarantined:
             bad = staged.filter(~F.col("__valid")).drop("__valid")
@@ -364,6 +431,12 @@ class MergePipeline:
                 self._n_actions += self._merge_one_table(name, deduped, batch_id, stored)
             for task in aux_tasks:
                 self._n_actions += task()
+
+        # the monotone store flag flips AFTER the merges consumed this
+        # batch (the gate for batch N reads the pre-N state)
+        for name, unt in self._batch_untrusted.items():
+            if unt:
+                self._store_all_trusted[name] = False
 
         m = BatchMetrics(
             batch_id, n_input, n_deduped, n_quarantined,
