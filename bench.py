@@ -80,11 +80,21 @@ def main() -> None:
         except Exception as e:  # never silent: a cold query skews the total
             print(f"WARNING: warm-up failed for {name}: {e}", file=sys.stderr)
 
+    # min-of-N per query (VERDICT r5 #2): single-shot timings swing +-40%
+    # run-to-run on a shared box (q01 measured 1.1 vs 4.3 s on identical
+    # code), which buried a real ingest regression inside headline noise
+    # for two rounds. The min is the low-noise estimator of the plan's
+    # cost; N=2 keeps total bench wall time acceptable.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            secs = time.perf_counter() - t0
+            best = secs if best is None else min(best, secs)
+        timings[name] = round(best, 3)
 
     # Streaming-path throughput proxy (BASELINE: design load 907 M
     # samples/day ~= 10.5 k samples/s through collation): time the W1
@@ -101,9 +111,12 @@ def main() -> None:
     collate_batch(
         waveform_stream(spark, n_patients=2, sampling_rate=300, seconds=2)
     ).write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    collate_batch(msgs).write.format("noop").mode("overwrite").save()
-    wf_secs = time.perf_counter() - t0
+    wf_secs = None
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        collate_batch(msgs).write.format("noop").mode("overwrite").save()
+        secs = time.perf_counter() - t0
+        wf_secs = secs if wf_secs is None else min(wf_secs, secs)
     timings["waveform_collation_540k_samples"] = round(wf_secs, 3)
 
     # END-TO-END waveform ingest (VERDICT r4 #7): the same 30-patient
@@ -119,12 +132,6 @@ def main() -> None:
     from emap_spark.app import EmapEngine
     from emap_spark.lineage import cut
     from emap_spark.sources.generators import adt_messages
-
-    wf_eng = EmapEngine(
-        storage_root=tempfile.mkdtemp(prefix="bench_wf_"),
-        maintain_location_visits=True,
-    )
-    wf_eng.process_batch(cut(adt_messages(spark, n_patients=30)), 0)
 
     def _into_visits(collated):
         # map each generated patient stream onto its ADT visit's bed and
@@ -153,16 +160,25 @@ def main() -> None:
         ))
         for i in range(4)
     ]
-    # warm the attach/store plan shapes (tiny batch, id 1)
-    wf_eng.ingest_waveforms(
-        _into_visits(collate_batch(
-            waveform_stream(spark, n_patients=2, sampling_rate=300, seconds=2)
-        )), 1,
-    )
-    t0 = time.perf_counter()
-    for i, b in enumerate(quarter):
-        wf_eng.ingest_waveforms(_into_visits(collate_batch(b)), i + 2)
-    wf_e2e_secs = time.perf_counter() - t0
+    # min-of-N with a FRESH engine per rep (the lane is stateful)
+    wf_e2e_secs = None
+    for _ in range(n_runs):
+        wf_eng = EmapEngine(
+            storage_root=tempfile.mkdtemp(prefix="bench_wf_"),
+            maintain_location_visits=True,
+        )
+        wf_eng.process_batch(cut(adt_messages(spark, n_patients=30)), 0)
+        # warm the attach/store plan shapes (tiny batch, id 1)
+        wf_eng.ingest_waveforms(
+            _into_visits(collate_batch(
+                waveform_stream(spark, n_patients=2, sampling_rate=300, seconds=2)
+            )), 1,
+        )
+        t0 = time.perf_counter()
+        for i, b in enumerate(quarter):
+            wf_eng.ingest_waveforms(_into_visits(collate_batch(b)), i + 2)
+        secs = time.perf_counter() - t0
+        wf_e2e_secs = secs if wf_e2e_secs is None else min(wf_e2e_secs, secs)
     wf_e2e_rate = round(n_samples / wf_e2e_secs)
 
     # Ingestion-path throughput: one EmapEngine batch (message
@@ -189,8 +205,14 @@ def main() -> None:
     # compile the steady-state plan shapes (batch 0 has no current state
     # and a different shape than every later batch), then one timed 20k
     # batch; min-of-2 suppresses GC/scheduler noise in the shared JVM
-    adt_secs, n_actions = None, 0
-    for _ in range(2):
+    # scale-up probe inside the same loop: the same engine at 5x the
+    # batch — per-batch fixed cost (staging action + one commit per
+    # table) amortizes, so msg/s must RISE with batch size; this is the
+    # claim that matters at 100 TB, where batches are large. Min-of-N
+    # for both batch sizes (its own top-level metric, not headline).
+    adt_big = cut(adt_messages(spark, n_patients=25000))
+    adt_secs, big_secs, n_actions = None, None, 0
+    for _ in range(max(2, n_runs)):
         eng = EmapEngine(storage_root=tempfile.mkdtemp(prefix="bench_adt_"))
         eng.process_batch(warm, 0)
         eng.process_batch(warm.limit(400), 1)
@@ -200,16 +222,10 @@ def main() -> None:
         if adt_secs is None or secs < adt_secs:
             adt_secs = secs
             n_actions = eng.pipeline.metrics[-1].n_actions
-    # scale-up probe: the same engine at 5x the batch — per-batch fixed
-    # cost (staging action + one commit per table) amortizes, so
-    # msg/s must RISE with batch size; this is the claim that matters
-    # at 100 TB, where batches are large
-    adt_big = cut(adt_messages(spark, n_patients=25000))
-    t0 = time.perf_counter()
-    eng.process_batch(adt_big, 3)
-    big_secs = time.perf_counter() - t0
-    # reported as its own top-level metric (not in the headline total,
-    # which stays comparable across rounds)
+        t0 = time.perf_counter()
+        eng.process_batch(adt_big, 3)
+        secs = time.perf_counter() - t0
+        big_secs = secs if big_secs is None else min(big_secs, secs)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1797,10 +1797,16 @@ def replay(
     for i, b in enumerate(batches):
         t = stored_from_times[i] if stored_from_times else "2020-01-01 00:00:00"
         res = merge(current, b, spec, t)
-        # cut lineage growth for long replays (parquet roundtrip — see
-        # emap_spark.lineage for why not localCheckpoint)
-        current = cut(res.current)
-        audits.append(res.audit)
+        # ONE materialization per batch (the combined frame), exactly
+        # like the pipeline: current AND audit derive from the cut file.
+        # Cutting only `current` left `audit` a lazy view that re-ran
+        # the whole fold when consumed — a replay that reads its audit
+        # trail (as_of) folded every batch twice. The cut also bounds
+        # lineage growth for long replays (parquet roundtrip — see
+        # emap_spark.lineage for why not localCheckpoint).
+        c = cut(res.combined)
+        current, audit_part = split_combined(c)
+        audits.append(audit_part)
     audit = audits[0]
     for a in audits[1:]:
         audit = audit.unionByName(a)

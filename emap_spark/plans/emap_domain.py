@@ -158,26 +158,19 @@ def q62_identity_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("dst"), F.col("user_id")).alias("live"),
         )
     )
-    # Edges are u -> u-1, so a chain is a run of consecutive signup ids:
-    # ONE scalar aggregation sizes the doubling loop (ceil(log2(longest
-    # run))) and each iteration is a single self-join — no per-iteration
-    # convergence probe (each probe was a full Spark job). Extra
-    # iterations past convergence are no-ops (roots map to themselves).
+    # ONE scalar count sizes the doubling loop: the longest chain is at
+    # most the signup count, so ceil(log2(count)) iterations guarantee
+    # convergence (same sizing as operators/identity.py resolve_identity)
+    # and each iteration is a single self-join — no per-iteration
+    # convergence probe. Extra iterations past actual convergence are
+    # no-ops (roots map to themselves). A plain count() is a partial
+    # aggregate with full parallelism; the previous exact-longest-run
+    # sizing needed a GLOBAL row_number window — the entire signup set
+    # through ONE task at scale just to save a few no-op self-joins.
     import math
 
-    from pyspark.sql import Window as W
-
-    runs = (
-        signups.withColumn(
-            "grp", F.col("user_id") - F.row_number().over(W.orderBy("user_id"))
-        )
-        .groupBy("grp")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("longest"))
-        .collect()
-    )
-    longest = runs[0]["longest"] or 0
-    iters = math.ceil(math.log2(longest + 1)) if longest else 0
+    n_signups = signups.count()
+    iters = math.ceil(math.log2(n_signups + 1)) if n_signups else 0
     from emap_spark.lineage import cut
 
     for _ in range(iters):
