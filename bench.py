@@ -227,6 +227,21 @@ def main() -> None:
         secs = time.perf_counter() - t0
         big_secs = secs if big_secs is None else min(big_secs, secs)
 
+    # VALIDATION-RUN lane (the reference's own acceptance metric): a
+    # bounded time window of the feed replayed in chronological batches
+    # through a fresh engine, reported as days-of-hospital-data per day
+    # of runtime (emap-setup validation_runner.py:98-109; the generated
+    # ADT stream spans 2024-01-01..2024-01-22). Synthetic density is
+    # far below a hospital's, so the number is an upper proxy; the
+    # comparable claim is the reference's ">> 1".
+    from emap_spark.plans.validation import validation_run
+
+    val_eng = EmapEngine(storage_root=tempfile.mkdtemp(prefix="bench_val_"))
+    report = validation_run(
+        val_eng, adt, "2024-01-01 00:00:00", "2024-01-22 00:00:00", n_batches=4
+    )
+    replay_days_per_day = round(report.days_per_day)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -242,6 +257,7 @@ def main() -> None:
                 "adt_messages_per_sec": round(n_msgs / adt_secs),
                 "adt_messages_per_sec_100k_batch": round(100_000 / big_secs),
                 "adt_spark_actions_per_batch": n_actions,
+                "replay_days_per_day": replay_days_per_day,
             }
         )
     )

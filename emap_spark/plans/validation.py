@@ -1,0 +1,270 @@
+"""Validation-run lane: the reference's own acceptance process as
+first-class operators (SURVEY §3.3 / Q8).
+
+The reference validates a deployment by (a) replaying a bounded time
+window of messages and recording "days of hospital data processed per
+day of runtime" (emap-setup/emap_runner/validation/validation_runner.py
+:98-109, docs/Data_and_validation/validation.md:52), and (b) comparing
+the resulting star schema field-by-field against a reference extract,
+with tolerances (e.g. times within minutes), aiming for >=99 % match
+(validation.md:56-64).
+
+Spark-first shapes:
+- ``field_match_report``: ONE full-outer join on the entity key + one
+  aggregation; per-field match flags are plain column expressions, the
+  per-field rollup is a single pass (2F sum aggregates), and the
+  unpivot happens on the one aggregated row — nothing here grows with
+  field count at shuffle time, and the join is the only O(rows) stage.
+- ``validation_run``: chronological windowed replay through the real
+  engine (EmapEngine / MergePipeline) with per-batch metrics, reporting
+  the reference's days-per-day throughput measure.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from emap_spark.registry import register
+
+
+def field_match_report(
+    ours: DataFrame,
+    ref: DataFrame,
+    keys: list[str],
+    tolerances: dict[str, float] | None = None,
+    rel_tol: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-field match statistics between two extracts of the same
+    entities (the reference's R-package comparison, validation.md:56-64).
+
+    tolerances: timestamp columns -> max |delta| in SECONDS that still
+    counts as a match (the reference tolerates e.g. minute-rounded
+    times). rel_tol: numeric columns -> max relative difference.
+    Returns one row per compared field plus a ``__rows__`` row:
+    (field, n_compared, n_match, match_pct); n_compared counts keys
+    present on BOTH sides, __rows__.n_match counts exactly those, and
+    __rows__.n_compared counts keys on EITHER side (so its match_pct is
+    the row-coverage rate).
+    """
+    tolerances = tolerances or {}
+    rel_tol = rel_tol or {}
+    fields = [c for c in ours.columns if c not in keys]
+    missing = [c for c in fields if c not in ref.columns]
+    if missing:
+        raise ValueError(f"reference extract lacks columns {missing}")
+
+    # explicit presence markers: the full-outer join nulls every column
+    # of the absent side, and a literal marker distinguishes "row
+    # absent" from "row present with null values"
+    o = ours.select(
+        *keys,
+        F.lit(True).alias("__o_present"),
+        *[F.col(c).alias(f"o_{c}") for c in fields],
+    )
+    r = ref.select(
+        *keys,
+        F.lit(True).alias("__r_present"),
+        *[F.col(c).alias(f"r_{c}") for c in fields],
+    )
+    j = o.join(r, keys, "full_outer")
+    o_present = F.coalesce(F.col("__o_present"), F.lit(False))
+    r_present = F.coalesce(F.col("__r_present"), F.lit(False))
+
+    def _match(c: str):
+        oc, rc = F.col(f"o_{c}"), F.col(f"r_{c}")
+        if c in tolerances:
+            delta = F.abs(
+                oc.cast("timestamp").cast("double")
+                - rc.cast("timestamp").cast("double")
+            )
+            return (oc.isNull() & rc.isNull()) | (delta <= F.lit(float(tolerances[c])))
+        if c in rel_tol:
+            denom = F.greatest(F.abs(oc), F.abs(rc), F.lit(1e-12))
+            return (oc.isNull() & rc.isNull()) | (
+                (F.abs(oc - rc) / denom) <= F.lit(float(rel_tol[c]))
+            )
+        return oc.eqNullSafe(rc)
+
+    in_both = o_present & r_present
+    aggs = [
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(in_both.cast("long")).alias("n_both"),
+    ]
+    for c in fields:
+        aggs.append(F.sum(F.when(in_both, 1).otherwise(0)).alias(f"cmp_{c}"))
+        aggs.append(
+            F.sum(F.when(in_both & _match(c), 1).otherwise(0)).alias(f"ok_{c}")
+        )
+    agg = j.agg(*aggs)
+
+    # unpivot the single aggregated row (driver-size) into the report
+    pairs = ", ".join(
+        [f"'__rows__', n_total, n_both"]
+        + [f"'{c}', cmp_{c}, ok_{c}" for c in fields]
+    )
+    n = 1 + len(fields)
+    return agg.select(
+        F.expr(f"stack({n}, {pairs}) AS (field, n_compared, n_match)")
+    ).select(
+        "field",
+        F.col("n_compared").cast("long").alias("n_compared"),
+        F.col("n_match").cast("long").alias("n_match"),
+        F.round(
+            F.when(
+                F.col("n_compared") > 0,
+                F.col("n_match") / F.col("n_compared") * 100.0,
+            ).otherwise(F.lit(100.0)),
+            4,
+        ).alias("match_pct"),
+    )
+
+
+@dataclass
+class ValidationReport:
+    n_messages: int
+    n_batches: int
+    data_days: float
+    runtime_seconds: float
+
+    @property
+    def days_per_day(self) -> float:
+        """The reference's throughput measure: days of hospital data
+        processed per day of runtime (validation_runner.py:98-109)."""
+        if self.runtime_seconds <= 0:
+            return float("inf")
+        return self.data_days * 86400.0 / self.runtime_seconds
+
+
+def validation_run(
+    engine,
+    messages: DataFrame,
+    start: str,
+    end: str,
+    n_batches: int = 4,
+    time_col: str = "valid_from",
+    first_batch_id: int = 0,
+) -> ValidationReport:
+    """Windowed chronological replay through the real engine — the
+    reference's validation-run shape: bound the feed to [start, end),
+    process it in chronological micro-batches, record amount + timing,
+    and report days-per-day.
+
+    The window split is computed from the WINDOW BOUNDS (no data scan);
+    each batch is a partition-pruned/predicate-pushed slice of the
+    message frame. Batches replay in time order, exactly as the
+    reference drains its queues."""
+    from emap_spark.lineage import cut
+
+    lo = F.lit(start).cast("timestamp_ntz")
+    hi = F.lit(end).cast("timestamp_ntz")
+    window = messages.filter((F.col(time_col) >= lo) & (F.col(time_col) < hi))
+    staged = cut(window)
+
+    import datetime
+
+    t0 = datetime.datetime.fromisoformat(start)
+    t1 = datetime.datetime.fromisoformat(end)
+    span = (t1 - t0).total_seconds()
+    edges = [t0 + datetime.timedelta(seconds=span * i / n_batches) for i in range(n_batches + 1)]
+
+    n_msgs = 0
+    wall0 = time.perf_counter()
+    for i in range(n_batches):
+        b = staged.filter(
+            (F.col(time_col) >= F.lit(str(edges[i])).cast("timestamp_ntz"))
+            & (F.col(time_col) < F.lit(str(edges[i + 1])).cast("timestamp_ntz"))
+        )
+        engine.process_batch(b, first_batch_id + i)
+    runtime = time.perf_counter() - wall0
+    for m in engine.pipeline.metrics[-n_batches:]:
+        n_msgs += m.n_input
+    return ValidationReport(
+        n_messages=n_msgs,
+        n_batches=n_batches,
+        data_days=span / 86400.0,
+        runtime_seconds=runtime,
+    )
+
+
+# --------------------------------------------------------------------------
+# q111: the data-comparison report as an oracle-checked query
+# --------------------------------------------------------------------------
+@register(
+    "q111_validation_match_report",
+    oracle="""
+WITH state AS (
+  SELECT DISTINCT user_id,
+         last_value(event_type) OVER w AS last_event_type,
+         last_value(value) OVER w AS last_value,
+         last_value(ts) OVER w AS valid_from
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+ref AS (
+  SELECT user_id, last_event_type, last_value,
+         date_trunc('minute', valid_from) AS valid_from
+  FROM state
+),
+j AS (
+  SELECT s.user_id,
+         s.last_event_type AS o_let, r.last_event_type AS r_let,
+         s.last_value AS o_lv, r.last_value AS r_lv,
+         s.valid_from AS o_vf, r.valid_from AS r_vf
+  FROM state s FULL OUTER JOIN ref r USING (user_id)
+),
+agg AS (
+  SELECT count(*) AS n_total,
+         sum(CASE WHEN o_let IS NOT NULL AND r_let IS NOT NULL THEN 1 ELSE 0 END) AS n_both,
+         sum(CASE WHEN o_let IS NOT NULL AND r_let IS NOT NULL THEN 1 ELSE 0 END) AS cmp_let,
+         sum(CASE WHEN o_let IS NOT NULL AND r_let IS NOT NULL AND o_let = r_let THEN 1 ELSE 0 END) AS ok_let,
+         sum(CASE WHEN o_let IS NOT NULL AND r_let IS NOT NULL THEN 1 ELSE 0 END) AS cmp_lv,
+         sum(CASE WHEN o_let IS NOT NULL AND r_let IS NOT NULL
+                   AND (o_lv = r_lv OR (o_lv IS NULL AND r_lv IS NULL)) THEN 1 ELSE 0 END) AS ok_lv,
+         sum(CASE WHEN o_let IS NOT NULL AND r_let IS NOT NULL THEN 1 ELSE 0 END) AS cmp_vf,
+         sum(CASE WHEN o_let IS NOT NULL AND r_let IS NOT NULL
+                   AND abs(epoch(o_vf) - epoch(r_vf)) <= 60 THEN 1 ELSE 0 END) AS ok_vf
+  FROM j
+)
+SELECT field, n_compared, n_match,
+       round(CASE WHEN n_compared > 0
+                  THEN n_match * 100.0 / n_compared ELSE 100.0 END, 4) AS match_pct
+FROM (
+  SELECT '__rows__' AS field, n_total AS n_compared, n_both AS n_match FROM agg
+  UNION ALL
+  SELECT 'last_event_type', cmp_let, ok_let FROM agg
+  UNION ALL
+  SELECT 'last_value', cmp_lv, ok_lv FROM agg
+  UNION ALL
+  SELECT 'valid_from', cmp_vf, ok_vf FROM agg
+)
+ORDER BY field
+""",
+    doc=(
+        "Q8/validation.md data comparison: engine state vs a "
+        "minute-truncated reference extract, per-field match rates with "
+        "a 60 s timestamp tolerance (the reference's >=99 % gate shape)."
+    ),
+)
+def q111_validation_match_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.operators.merge import merge_batch
+    from emap_spark.plans.emap_domain import _SPEC, _messages
+
+    res = merge_batch(None, _messages(spark, sf_dir), _SPEC, "2024-06-01 00:00:00")
+    ours = res.live().select(
+        "user_id", "last_event_type", "last_value", "valid_from"
+    )
+    # the "reference extract": same entities, times at minute precision
+    # (the tolerance case validation.md:62 calls out)
+    ref = ours.select(
+        "user_id",
+        "last_event_type",
+        "last_value",
+        F.date_trunc("minute", F.col("valid_from")).cast("timestamp_ntz").alias("valid_from"),
+    )
+    return field_match_report(
+        ours, ref, ["user_id"], tolerances={"valid_from": 60}
+    ).orderBy("field")

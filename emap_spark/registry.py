@@ -52,6 +52,7 @@ def _load_all() -> None:
     import emap_spark.plans.waveform_ops  # noqa: F401
     import emap_spark.plans.parse_media_ops  # noqa: F401
     import emap_spark.plans.clinical_ops  # noqa: F401
+    import emap_spark.plans.validation  # noqa: F401
 
 
 # Registry iteration order = check priority. The external driver records
@@ -80,31 +81,42 @@ def _load_all() -> None:
 # round green, Q5/Q8 evidence also carried by q61/q63) and q41/q42 move
 # to the local replica (q40 stays as the text-stats family's driver
 # representative).
+# Round-6 rotation (VERDICT r5 next-steps #7): q44 (dedup survivors),
+# q49 (doc fingerprint), q51 (sign-LSH ANN), q53 (label centroids) get
+# their first hard driver check since r2, and the new q111 (validation
+# field-match report, the reference's >=99 % acceptance shape) enters.
+# Out: q94/q99 (judge-suggested multi-round greens; Q3 keeps local
+# coverage, D17 keeps q82), q43 (exact-dedup row now evidenced by the
+# incoming q44 survivors + driver-green q107), q40 (text-stats family
+# keeps driver-green q109 + local q40/41/42), q104 (K2 keeps
+# driver-green q105 + the three durable-store test suites).
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
     "q62_identity_closure", "q63_interval_join_errors_to_sessions",
     # waveform/location/retention operators (W1/Q6/D6/D19/K4)
     "q70_waveform_collation", "q71_waveform_gap_report",
-    "q93_waveform_stream_catalog", "q94_waveform_sample_scan",
+    "q93_waveform_stream_catalog",
     "q95_waveform_integrity_check", "q97_waveform_hl7_parse",
     "q72_location_visit_inference", "q73_waveform_visit_attach",
     "q74_waveform_retention",
+    "q111_validation_match_report",
     # parse + domain pipelines (S3-S8, D7-D17, W4)
     "q75_hl7_parse_route", "q89_hl7_adt_breadth",
     "q101_hl7_clinical_factories", "q76_media_metadata",
     "q77_media_decode_features", "q78_video_frame_plan",
     "q79_labs_pipeline", "q91_lab_isolate_sensitivities",
     "q80_flowsheets_pipeline",
-    "q81_identity_merge_closure", "q82_location_metadata_scd", "q99_metadata_dimensions",
+    "q81_identity_merge_closure", "q82_location_metadata_scd",
     "q83_pending_transfer_match", "q84_consults_and_questions",
     "q92_patient_conditions", "q98_advance_decisions",
     "q86_oru_vendor_observations",
     "q87_forms_pipeline", "q88_stream_dedupe_within_watermark",
     "q96_hl7_lab_vendor_parse", "q100_incremental_polling",
-    "q104_lakehouse_sink_roundtrip", "q105_jdbc_upsert_mirror",
+    "q105_jdbc_upsert_mirror",
     # LLM-data pipeline family (dedup/similarity/text)
-    "q40_token_stats", "q43_exact_dup_groups",
+    "q44_dedup_survivors", "q49_doc_fingerprint",
+    "q51_ann_lsh_bucketed", "q53_label_centroids",
     "q47_minhash_lsh_pairs", "q57_lsh_near_dup_verified",
     "q48_simhash", "q58_ann_ivf_probe",
     "q59_cosine_near_dup_pairs", "q102_media_builtin_decode",
@@ -118,11 +130,13 @@ _PRIORITY = [
     "q20_latest_event_per_user",
     "q22_user_current_state", "q23_scd2_validity_intervals",
     "q25_gap_detection", "q26_sessionization",
-    "q44_dedup_survivors", "q49_doc_fingerprint",
-    "q50_knn_bruteforce", "q51_ann_lsh_bucketed",
+    "q40_token_stats", "q43_exact_dup_groups",
+    "q94_waveform_sample_scan", "q99_metadata_dimensions",
+    "q104_lakehouse_sink_roundtrip",
+    "q50_knn_bruteforce",
     "q45_jaccard_near_dup_pairs", "q46_minhash_signatures",
     "q21_stream_bounds",
-    "q52_vector_stats", "q53_label_centroids",
+    "q52_vector_stats",
     "q55_token_frequencies", "q56_query_similarity_ranking",
     # flagship + streaming-shaped rollups
     "q01_pricing_summary", "q27_hourly_rollup", "q28_dedupe_stats",
