@@ -34,6 +34,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # the merge fold generates ~140 distinct codegen classes per
+        # micro-batch across concurrent table merges; the default
+        # 100-entry codegen cache thrashes (measured: 143 Janino
+        # recompiles per REPEATED 20k batch -> 12 with a sized cache).
+        # ~30 KB bytecode per class puts 2000 entries around 60 MB.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("EMAP_CODEGEN_CACHE", "2000"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
