@@ -1642,6 +1642,7 @@ def merge_batch_versions(
     spec: MergeSpec,
     stored_from,
     all_trusted: bool = False,
+    parallelism: int | None = None,
 ) -> MergeResult:
     """Message-granularity merge (the reference's exact audit behavior):
     every state-changing message yields an audit row for the version it
@@ -1702,9 +1703,14 @@ def merge_batch_versions(
     # below would otherwise run over ONE AQE-coalesced task (the
     # ENSURE_REQUIREMENTS exchange is bytes-tiny for a message batch but
     # compute-heavy) — a USER repartition on the fold key is exempt from
-    # coalescing and every window pass reuses it (one exchange total)
+    # coalescing and every window pass reuses it (one exchange total).
+    # The caller sizes `parallelism` from the batch row count (bounded
+    # rows per task): per-task fixed costs (codegen instance init, sort
+    # buffer alloc, scheduling) dominate sub-thousand-row tasks, so a
+    # small batch on a wide cluster should NOT fan out to every core.
     seeded = seeded.repartition(
-        spark.sparkContext.defaultParallelism, *[F.col(k) for k in key]
+        parallelism or spark.sparkContext.defaultParallelism,
+        *[F.col(k) for k in key],
     )
 
     # Each transformation below is ONE select (not a withColumn chain):

@@ -156,6 +156,7 @@ class MergePipeline:
             name: name in self.untrusted_flags for name in self.tables
         }
         self._batch_untrusted: dict[str, bool] = {}
+        self._batch_rows: int = 0
 
     # -- durable state -----------------------------------------------------
     @property
@@ -230,6 +231,18 @@ class MergePipeline:
             and not self._batch_untrusted.get(name, True)
         ):
             kwargs["all_trusted"] = True
+        # parallelism follows the batch size, bounded rows per task:
+        # per-task fixed costs dominate sub-thousand-row tasks, so a
+        # 20k-message batch folds on ~8 tasks, a 100k batch on all
+        # cores, and a cluster-scale batch on rows/target tasks
+        # (EMAP_FOLD_ROWS_PER_TASK, default 2500; 0 = always all cores)
+        dp = deduped.sparkSession.sparkContext.defaultParallelism
+        rpt = int(os.environ.get("EMAP_FOLD_ROWS_PER_TASK", "2500"))
+        fold_par = (
+            min(dp, max(4, self._batch_rows // rpt)) if rpt > 0 else dp
+        )
+        if self.granularity == "message":
+            kwargs["parallelism"] = fold_par
         updates = self.routers[name](deduped)
         # fan the fold's compute across the cluster: the staged batch is
         # one tiny parquet split and AQE's bytes-based coalescing would
@@ -241,10 +254,7 @@ class MergePipeline:
         # repartitions internally AFTER its seed union (the union would
         # discard this one), so only the batch-granularity path needs it.
         if self.granularity == "batch":
-            updates = updates.repartition(
-                updates.sparkSession.sparkContext.defaultParallelism,
-                *state.spec.key,
-            )
+            updates = updates.repartition(fold_par, *state.spec.key)
         if state.store is not None and isinstance(
             state.store, (DeltaLog, JdbcUpsertStore)
         ):
@@ -266,10 +276,7 @@ class MergePipeline:
                 # stage DOWNSTREAM of the store's latest-per-key window;
                 # pin that stage's parallelism (else AQE bytes-coalesces
                 # it to a handful of tasks and the compute serializes)
-                current = state.store.read_current(
-                    keys=touched,
-                    widen=updates.sparkSession.sparkContext.defaultParallelism,
-                )
+                current = state.store.read_current(keys=touched, widen=fold_par)
             else:
                 current = state.store.read_current(keys=touched)
         elif state.store is not None:
@@ -398,6 +405,7 @@ class MergePipeline:
         n_input = int(obs_in.get["n_input"])
         n_deduped = int(obs_out.get["n_deduped"])
         n_quarantined = int(obs_out.get["n_quarantined"])
+        self._batch_rows = n_deduped  # sizes the fold parallelism
         self._batch_untrusted = {
             name: bool(obs_out.get[f"__unt_{name}"])
             for name in self.untrusted_flags
