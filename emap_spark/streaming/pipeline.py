@@ -392,6 +392,15 @@ class MergePipeline:
                 F.lit(0),
             ).alias("n_quarantined")
         staged = staged.observe(obs_out, n_dedup_agg, n_quar_agg, *flag_aggs)
+        # staging is map-only, so output file count = input partition
+        # count (a generator/union source arrives at full parallelism:
+        # 32 tiny files for a 20k batch, each re-read by every table
+        # merge). coalesce — no shuffle, merges input splits — bounds
+        # the file count; dp/4 keeps the parse+encode distributed for
+        # cluster-scale batches while cutting small-batch footer churn.
+        staged = staged.coalesce(
+            max(4, spark.sparkContext.defaultParallelism // 4)
+        )
         spark.sparkContext.setJobDescription(f"stage-batch:{batch_id}")
         # NOTE (r6, measured): persist(MEMORY_AND_DISK)+count instead of
         # the parquet cut looked like a free ~1 s/batch (no encode +
