@@ -85,16 +85,39 @@ def main() -> None:
     # code), which buried a real ingest regression inside headline noise
     # for two rounds. The min is the low-noise estimator of the plan's
     # cost; N=2 keeps total bench wall time acceptable.
+    #
+    # The warm pass above runs at sf0.001, which fills the PLAN caches
+    # but not the JIT: a query's first executions at the timed scale run
+    # partially deoptimized (each newly loaded codegen class invalidates
+    # HotSpot's CHA assumptions and deopts hot shared methods; measured
+    # 15x task-CPU inflation — q48 took 8-12 s for its first THREE sf0.1
+    # runs, then 1.0 s steady, with zero GC/spill/codegen-cache misses).
+    # One full-scale pass over every headline query lets the tier-up /
+    # re-opt churn settle before anything is timed; steady-state is the
+    # honest number for a long-lived service, per the methodology note
+    # above.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
     for name in names:
-        best = None
-        for _ in range(n_runs):
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:
+            print(f"WARNING: full-scale warm failed for {name}: {e}", file=sys.stderr)
+    # INTERLEAVED min-of-N: the churn episodes above last several
+    # seconds and are temporally clustered, so back-to-back repeats of
+    # the same query can BOTH land inside one episode (q03 measured
+    # 9.1 s twice in a row on identical plans, 1.4 s steady). Sweeping
+    # the whole list N times and taking per-query mins across sweeps
+    # separates a query's repeats by the full sweep length, so one
+    # episode can't cover both.
+    timings: dict[str, float] = {}
+    for _ in range(n_runs):
+        for name in names:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             secs = time.perf_counter() - t0
-            best = secs if best is None else min(best, secs)
-        timings[name] = round(best, 3)
+            if name not in timings or secs < timings[name]:
+                timings[name] = secs
+    timings = {n: round(s, 3) for n, s in timings.items()}
 
     # Streaming-path throughput proxy (BASELINE: design load 907 M
     # samples/day ~= 10.5 k samples/s through collation): time the W1

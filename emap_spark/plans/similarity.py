@@ -491,3 +491,152 @@ def q59_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     return cosine_near_dup_pairs(emb.unionByName(seeds))
+
+
+# --------------------------------------------------------------------------
+# q114: product-quantization ANN (ADC scan — the memory-scale path)
+# --------------------------------------------------------------------------
+# IVF (q58) prunes WHICH vectors a query scans; PQ compresses HOW MUCH
+# memory each scanned vector costs: the 64-float embedding becomes
+# M_SUB one-byte codes (64x compression), and query-time distance is a
+# table lookup — the asymmetric-distance (ADC) scan every
+# billion-vector ANN deployment runs (IVF-PQ). Codebooks are seeded
+# from the first K_CODES vectors per subspace (deterministic; real
+# deployments train them offline with k-means and ship them broadcast,
+# exactly as here).
+M_SUB = 8      # subspaces (64 dims -> 8 per subspace)
+SUB_DIM = 8
+K_CODES = 16   # codes per subspace codebook (1 byte would allow 256)
+
+
+def _subspace_rows(df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
+    """(id, embedding) -> (id, j, <out>=8-dim slice) one row per subspace."""
+    slices = F.array(
+        *[F.slice(F.col(vec_col), j * SUB_DIM + 1, SUB_DIM) for j in range(M_SUB)]
+    )
+    return df.select(id_col, F.posexplode(slices).alias("j", out))
+
+
+def pq_codes(emb: DataFrame, k: int = K_CODES) -> DataFrame:
+    """Encode every vector as M_SUB nearest-centroid codes (argmin
+    squared-L2 per subspace, code-id tie-break). The codebook side is
+    tiny and broadcast; the corpus side never shuffles its floats —
+    at scale the output (vec_id, codes) replaces the float corpus in
+    memory at 64x compression."""
+    seeds = _subspace_rows(
+        emb.filter(F.col("vec_id") < k), "vec_id", "embedding", "cv"
+    ).select(F.col("vec_id").alias("code"), "j", "cv")
+    sub = _subspace_rows(emb, "vec_id", "embedding", "sv")
+    w = W.partitionBy("vec_id", "j").orderBy(_d2("sv", "cv"), F.col("code"))
+    best = (
+        sub.join(F.broadcast(seeds), "j")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("a"))
+        .select("vec_id", F.expr("transform(a, x -> x.code)").alias("codes"))
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = K_CODES,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """ADC top-k: each query precomputes its M_SUB x k distance table
+    (one tiny broadcast row per query), and the corpus scan is a
+    sequential fold of table lookups over each vector's codes — no
+    floats from the corpus are touched at query time. Distances fold
+    in a FIXED subspace order on both engines, so results are
+    cross-engine exact."""
+    codes = pq_codes(emb, k)
+    seeds = _subspace_rows(
+        emb.filter(F.col("vec_id") < k), "vec_id", "embedding", "cv"
+    ).select(F.col("vec_id").alias("code"), "j", "cv")
+    qsub = _subspace_rows(
+        emb.filter(F.col("vec_id") < n_queries), "vec_id", "embedding", "qv"
+    ).select(F.col("vec_id").alias("query_id"), "j", "qv")
+    # per-query ADC lookup table, ordered (j, code) -> index j*k + code
+    qtab = (
+        qsub.join(F.broadcast(seeds), "j")
+        .withColumn("d", _d2("qv", "cv"))
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code", "d"))).alias("a"))
+        .select("query_id", F.expr("transform(a, x -> x.d)").alias("darr"))
+    )
+    adc = F.expr(
+        f"round(aggregate(sequence(0, {M_SUB - 1}), cast(0.0 as double),"
+        f" (acc, j) -> acc + element_at(darr,"
+        f" cast(j * {k} + element_at(codes, j + 1) + 1 as int))), 6)"
+    )
+    scored = (
+        codes.join(F.broadcast(qtab))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_d2"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )
+
+
+_SQL_SUB_D2 = (
+    "list_sum(list_transform(range(1, {n}), i ->"
+    " ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+)
+
+
+@register(
+    "q114_pq_adc_topk",
+    oracle=f"""
+WITH js AS (SELECT unnest(range(0, {M_SUB})) AS j),
+sub AS (
+  SELECT vec_id, j, embedding[j*{SUB_DIM}+1 : j*{SUB_DIM}+{SUB_DIM}] AS sv
+  FROM embeddings, js
+),
+seeds AS (
+  SELECT vec_id AS code, j, sv AS cv FROM sub WHERE vec_id < {K_CODES}
+),
+codes AS (
+  SELECT vec_id, list(code ORDER BY j) AS codes FROM (
+    SELECT s.vec_id, s.j, d.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY {_SQL_SUB_D2.format(n=SUB_DIM + 1, a='s.sv', b='d.cv')}, d.code) AS rk
+    FROM sub s JOIN seeds d USING (j)
+  ) WHERE rk = 1 GROUP BY vec_id
+),
+qtab AS (
+  SELECT query_id, list(d ORDER BY j, code) AS darr FROM (
+    SELECT q.vec_id AS query_id, q.j, d.code,
+           {_SQL_SUB_D2.format(n=SUB_DIM + 1, a='q.sv', b='d.cv')} AS d
+    FROM sub q JOIN seeds d USING (j) WHERE q.vec_id < {N_QUERIES}
+  ) GROUP BY query_id
+),
+scored AS (
+  SELECT t.query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(0, {M_SUB}),
+               j -> darr[j*{K_CODES} + codes[j+1] + 1])), 6) AS adc_d2
+  FROM codes c, qtab t WHERE c.vec_id <> t.query_id
+)
+SELECT query_id, neighbor_id, adc_d2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_d2, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+""",
+    doc=(
+        "Product-quantization ANN: vectors encode to 8 one-byte "
+        "subspace codes (64x memory compression) and queries scan via "
+        "the ADC lookup-table fold — the billion-vector IVF-PQ recipe. "
+        "Codebooks are deterministic seed slices; distances fold in "
+        "fixed subspace order, so both engines agree bit-for-bit."
+    ),
+)
+def q114_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_topk(_emb(spark, sf_dir), N_QUERIES, K_CODES, TOP_K)

@@ -1015,3 +1015,188 @@ def q109_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(toks).cast("double") / F.size(F.split("text", " ")), 6
         ).alias("bpe_per_word"),
     )
+
+
+# --------------------------------------------------------------------------
+# q112: hot-bucket-capped LSH candidates (the skew guard at corpus scale)
+# --------------------------------------------------------------------------
+# At 100 TB a degenerate band key — boilerplate pages, templated spam,
+# the exact-duplicate mass that q43/q44 already collapses — produces an
+# LSH bucket with millions of members, and the band self-join goes
+# quadratic IN THAT BUCKET (10^6 members -> 10^12 pairs from one key).
+# Production dedup systems cap bucket width: a bucket wider than the cap
+# is, by construction, dominated by exact/near-exact duplicates that the
+# exact-dedup pass handles at linear cost, so the LSH pass skips it.
+# The cap bounds the join at O(corpus x max_bucket) — the knob that
+# keeps banded LSH linear no matter how skewed the corpus is.
+MAX_BUCKET = 2  # oracle sizing (sf0.01 buckets reach 3); production ~500
+
+
+def lsh_candidate_pairs_capped(
+    shingles: DataFrame,
+    n_hashes: int = PROD_MINHASH,
+    n_bands: int = PROD_BANDS,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """q47's banded candidate join with a per-bucket width cap.
+
+    The bucket count rides a window over bkey — the window's hash
+    partitioning on bkey is exactly the self-join's key, so the filter
+    adds NO extra shuffle (the join reuses the window's exchange)."""
+    bands = lsh_band_keys(minhash_signatures(shingles, n_hashes), n_hashes, n_bands)
+    kept = (
+        bands.withColumn("__bn", F.count(F.lit(1)).over(W.partitionBy("bkey")))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "q112_lsh_bucket_cap",
+    oracle=f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id, {_MINHASH_SQL_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, md5(h0 || h1 || h2 || h3) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, md5(h4 || h5 || h6 || h7) AS bkey FROM sig
+),
+kept AS (
+  SELECT doc_id, bkey FROM (
+    SELECT doc_id, bkey, count(*) OVER (PARTITION BY bkey) AS bn FROM bands
+  ) WHERE bn <= {MAX_BUCKET}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+""",
+    doc=(
+        "LSH banding with a hot-bucket width cap: buckets wider than "
+        "max_bucket (exact-duplicate mass, handled by q43/q44 at linear "
+        "cost) are skipped, bounding the self-join at O(corpus x cap) "
+        "regardless of skew. The cap's bucket count shares the join's "
+        "bkey partitioning — zero extra shuffle."
+    ),
+)
+def q112_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs_capped(
+        _shingles(spark, sf_dir), N_MINHASH, 2, MAX_BUCKET
+    )
+
+
+# --------------------------------------------------------------------------
+# q113: incremental corpus dedup — dedupe an incoming BATCH against the
+# standing corpus (the continuous-ingestion production shape)
+# --------------------------------------------------------------------------
+def lsh_incremental_matches(
+    batch_shingles: DataFrame,
+    corpus_shingles: DataFrame,
+    batch_sets: DataFrame,
+    corpus_sets: DataFrame,
+    n_hashes: int = PROD_MINHASH,
+    n_bands: int = PROD_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """New-batch-vs-corpus near-dup decision: band keys of the incoming
+    batch equi-join the CORPUS band index (in production a table
+    bucketed/partitioned by bkey, so only the small batch side shuffles
+    — the corpus is never re-hashed), candidates are verified with exact
+    Jaccard on candidate rows only, and each batch doc reports its BEST
+    corpus match (max Jaccard, min corpus id tie-break). This is the
+    decision a continuous training-data pipeline makes per incoming doc:
+    near-dup of the standing corpus -> drop/link, else admit."""
+    nb = lsh_band_keys(
+        minhash_signatures(batch_shingles, n_hashes), n_hashes, n_bands
+    ).withColumnRenamed("doc_id", "doc_id_b")
+    cb = lsh_band_keys(
+        minhash_signatures(corpus_shingles, n_hashes), n_hashes, n_bands
+    ).withColumnRenamed("doc_id", "dup_of")
+    cand = nb.join(cb, "bkey").select(
+        F.col("doc_id_b").alias("doc_id"), "dup_of"
+    ).distinct()
+    a = batch_sets.select("doc_id", F.col("sh").alias("sa"))
+    b = corpus_sets.select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb"))
+    scored = (
+        cand.join(a, "doc_id")
+        .join(b, "dup_of")
+        .withColumn("n_common", n_common.cast("long"))
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common").cast("double")
+            / (F.size("sa") + F.size("sb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= threshold)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("jaccard_raw").desc(), F.col("dup_of"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "doc_id", "dup_of", "n_common",
+            F.round("jaccard_raw", 6).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q113_incremental_corpus_dedup",
+    oracle=f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id, {_MINHASH_SQL_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, md5(h0 || h1 || h2 || h3) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, md5(h4 || h5 || h6 || h7) AS bkey FROM sig
+),
+cand AS (
+  SELECT DISTINCT n.doc_id, c.doc_id AS dup_of
+  FROM bands n JOIN bands c ON n.bkey = c.bkey
+  WHERE n.doc_id % 10 = 5 AND c.doc_id % 10 <> 5
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT cand.doc_id, cand.dup_of, count(*) AS n_common
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.doc_id
+  JOIN sh b ON b.doc_id = cand.dup_of AND b.s = a.s
+  GROUP BY cand.doc_id, cand.dup_of
+),
+scored AS (
+  SELECT i.doc_id, i.dup_of, i.n_common,
+         i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) AS jaccard_raw
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_id
+  JOIN sizes sb ON sb.doc_id = i.dup_of
+  WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) >= {JACCARD_THRESHOLD}
+)
+SELECT doc_id, dup_of, n_common, round(jaccard_raw, 6) AS jaccard
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY jaccard_raw DESC, dup_of) AS rk
+  FROM scored
+) WHERE rk = 1
+""",
+    doc=(
+        "Incremental dedup: an incoming batch (doc_id % 10 = 5 stands in "
+        "for the new partition) LSH-joins the standing corpus's band "
+        "index and each batch doc reports its best verified corpus "
+        "match. At 100 TB the corpus band index is bucketed by bkey, so "
+        "only the (small) batch side shuffles — the standing corpus is "
+        "never re-hashed per batch."
+    ),
+)
+def q113_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    is_batch = F.col("doc_id") % 10 == 5
+    sh = _shingles(spark, sf_dir)
+    ss = _shingle_sets(spark, sf_dir)
+    return lsh_incremental_matches(
+        sh.filter(is_batch), sh.filter(~is_batch),
+        ss.filter(is_batch), ss.filter(~is_batch),
+        N_MINHASH, 2,
+    )

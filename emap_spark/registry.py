@@ -90,10 +90,16 @@ def _load_all() -> None:
 # incoming q44 survivors + driver-green q107), q40 (text-stats family
 # keeps driver-green q109 + local q40/41/42), q104 (K2 keeps
 # driver-green q105 + the three durable-store test suites).
+# Late round 6: the three new scale operators enter for their first
+# driver check — q112 (hot-bucket-capped LSH, the skew guard), q113
+# (incremental batch-vs-corpus dedup), q114 (product-quantization ADC
+# ANN). Out: q77/q78 (plan-only media shapes, multi-round green; the
+# media family keeps driver q76/q102/q110) and q63 (interval-join
+# evidence stays via driver-green q72/q73; q63 stays local-checked).
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
-    "q62_identity_closure", "q63_interval_join_errors_to_sessions",
+    "q62_identity_closure",
     # waveform/location/retention operators (W1/Q6/D6/D19/K4)
     "q70_waveform_collation", "q71_waveform_gap_report",
     "q93_waveform_stream_catalog",
@@ -104,7 +110,6 @@ _PRIORITY = [
     # parse + domain pipelines (S3-S8, D7-D17, W4)
     "q75_hl7_parse_route", "q89_hl7_adt_breadth",
     "q101_hl7_clinical_factories", "q76_media_metadata",
-    "q77_media_decode_features", "q78_video_frame_plan",
     "q79_labs_pipeline", "q91_lab_isolate_sensitivities",
     "q80_flowsheets_pipeline",
     "q81_identity_merge_closure", "q82_location_metadata_scd",
@@ -123,7 +128,11 @@ _PRIORITY = [
     "q103_salted_hot_key_agg", "q106_lsh_parameter_sweep",
     "q107_normalized_dup_groups", "q108_near_dup_clusters",
     "q109_bpe_regex_tokens", "q110_media_resize",
+    "q112_lsh_bucket_cap", "q113_incremental_corpus_dedup",
+    "q114_pq_adc_topk",
     # --- driver cap boundary (first 50 above get the hard driver check) ---
+    "q63_interval_join_errors_to_sessions",
+    "q77_media_decode_features", "q78_video_frame_plan",
     "q13_customer_event_reconciliation", "q24_state_asof",
     "q41_quality_score", "q42_lang_source_profile",
     "q85_stream_windowed_rollup",

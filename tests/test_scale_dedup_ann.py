@@ -1,0 +1,125 @@
+"""Round-6 scale operators: hot-bucket-capped LSH (the skew guard),
+incremental batch-vs-corpus dedup, and product-quantization ADC ANN.
+
+These are the knobs that keep the dedup/ANN family linear at 100 TB:
+q112's cap bounds the band self-join under exact-duplicate skew, q113
+is the continuous-ingestion shape (batch joins the standing corpus's
+band index), q114 compresses the scanned corpus 64x via PQ codes.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from emap_spark.plans.similarity import K_CODES, M_SUB, pq_adc_topk, pq_codes
+from emap_spark.plans.text_dedup import (
+    lsh_candidate_pairs,
+    lsh_candidate_pairs_capped,
+    lsh_incremental_matches,
+)
+
+
+_SH = (
+    "array_distinct(transform(sequence(1, size(w)-2),"
+    " i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"
+)
+
+
+def _shingles_of(docs):
+    w = docs.withColumn("w", F.split("text", " "))
+    return w.select("doc_id", F.explode(F.expr(_SH)).alias("s"))
+
+
+def _shingle_sets_of(docs):
+    w = docs.withColumn("w", F.split("text", " "))
+    return w.select("doc_id", F.expr(_SH).alias("sh"))
+
+
+def _skewed_corpus(spark, n_hot=40, n_pairs=4, words_per_doc=60):
+    """A corpus with one exact-duplicate mass (n_hot identical docs —
+    the degenerate LSH bucket) plus planted near-dup PAIRS of unique
+    docs (the signal the capped join must still find)."""
+    rng = random.Random(13)
+    vocab = [f"w{k}" for k in range(400)]
+    boiler = " ".join(vocab[k % 37] for k in range(words_per_doc))
+    rows = [(i, boiler) for i in range(n_hot)]  # the hot bucket
+    for p in range(n_pairs):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(words_per_doc)]
+        rows.append((100 + p, " ".join(words)))
+        mutated = list(words)
+        mutated[30] = "MUTANT"
+        rows.append((200 + p, " ".join(mutated)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bucket_cap_bounds_skew_but_keeps_signal(spark):
+    docs = _skewed_corpus(spark)
+    sh = _shingles_of(docs)
+    uncapped = lsh_candidate_pairs(sh, 8, 2)
+    capped = lsh_candidate_pairs_capped(sh, 8, 2, max_bucket=4)
+
+    n_un = uncapped.count()
+    # the identical mass alone contributes 40*39/2 = 780 pairs uncapped
+    assert n_un >= 780
+
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # no pair from the hot bucket survives the cap ...
+    assert not any(a < 100 and b < 100 for a, b in got)
+    # ... but every planted near-dup pair (bucket width 2) does
+    assert {(100 + p, 200 + p) for p in range(4)} <= got
+
+
+def test_incremental_matches_find_planted_corpus_dups(spark):
+    rng = random.Random(29)
+    vocab = [f"w{k}" for k in range(400)]
+    corpus_rows, batch_rows = [], []
+    for i in range(12):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(70)]
+        corpus_rows.append((i, " ".join(words)))
+        if i < 5:  # five incoming docs are near-dups of corpus docs
+            mutated = list(words)
+            mutated[10] = "MUTANT"
+            batch_rows.append((1000 + i, " ".join(mutated)))
+    # one genuinely novel incoming doc
+    batch_rows.append((2000, " ".join(vocab[k % 399] for k in range(70))))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    out = lsh_incremental_matches(
+        _shingles_of(batch), _shingles_of(corpus),
+        _shingle_sets_of(batch), _shingle_sets_of(corpus),
+        n_hashes=128, n_bands=16, threshold=0.5,
+    )
+    rows = {r.doc_id: r.dup_of for r in out.collect()}
+    assert rows == {1000 + i: i for i in range(5)}  # novel doc absent
+
+
+def test_pq_codes_shape_and_seed_self_encoding(spark):
+    rng = random.Random(41)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = pq_codes(emb, K_CODES).collect()
+    assert len(codes) == 60
+    by_id = {r.vec_id: r.codes for r in codes}
+    assert all(len(c) == M_SUB for c in by_id.values())
+    # a seed vector's sub-slices are distance-0 from their own codebook
+    # entry, so every seed encodes to its own code in every subspace
+    for i in range(K_CODES):
+        assert by_id[i] == [i] * M_SUB
+
+
+def test_pq_adc_ranks_exact_duplicate_first(spark):
+    rng = random.Random(43)
+    q = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [(0, q), (777, list(q))] + [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(1, 50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = pq_adc_topk(emb, n_queries=1, k=K_CODES, top_k=3).collect()
+    # the exact duplicate shares all codes with the query, so its ADC
+    # distance is the query's own quantization error — the minimum
+    assert top[0].query_id == 0 and top[0].neighbor_id == 777
