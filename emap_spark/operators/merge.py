@@ -1525,19 +1525,6 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
         F.col("__anchor"),
         F.col("__seq"),
     ]
-    # Per-field last-write metadata rides on every version row, but it
-    # is only ever CONSUMED from the current row (read_current filters
-    # __rk == 1; read_audit and the in-memory audit drop __-cols), and
-    # the current row is the last row of its key's final epoch — where
-    # the full-frame last() equals the row's OWN running __t. Using the
-    # per-row value directly removes a whole Window pass; audit rows
-    # carry their at-that-point value instead of the epoch-final one,
-    # which nothing reads.
-    ts_exprs = {
-        f"__ts_{name}": F.col(f"__t_{name}")
-        for name, policy in spec.fields.items()
-        if policy in TS_TRACKED
-    }
     sig = F.struct(*[F.col(f) for f in spec.fields], F.col("is_deleted"))
     # __epoch leads the ordering: it is a cumulative sum ALONG _sorder
     # within each key, so (epoch, _sorder) yields the identical row
@@ -1546,6 +1533,25 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
     # changed/valid_until passes (one fewer wide-row sort per batch).
     wk = W.partitionBy(*key).orderBy(F.col("__epoch"), *_sorder)
     changed_expr = ~sig.eqNullSafe(F.lag(sig).over(wk))
+    # Per-field last-write metadata rides on every version row, but it
+    # is only ever CONSUMED from the current row (read_current filters
+    # __rk == 1). The current row's OWN running __t is NOT enough: the
+    # key's LAST fold row can be change-gated out of the versions (a
+    # trailing no-visible-change action — e.g. a cancel that DELETEs an
+    # already-null field, or a redelivered duplicate), in which case the
+    # current row is an EARLIER fold row whose running __t misses the
+    # trailing write and the next batch loses the per-field newer-wins
+    # boundary (an older out-of-order update would resurrect the
+    # cancelled value). The key-final running value is therefore taken
+    # with a full-frame last() over the SAME (key, epoch-ordered) spec
+    # as changed_expr — it fuses into that existing Window op, so this
+    # costs no extra pass (the r5 shape ran it as its own pass).
+    wk_full = wk.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ts_exprs = {
+        f"__ts_{name}": F.last(F.col(f"__t_{name}")).over(wk_full)
+        for name, policy in spec.fields.items()
+        if policy in TS_TRACKED
+    }
     wv = W.partitionBy(*key).orderBy(F.col("__epoch"), *_sorder)
     valid_until_expr = F.lead("valid_from").over(wv)
     # current-version rank, fused into the SAME Window pass as

@@ -517,22 +517,61 @@ def _subspace_rows(df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFr
     return df.select(id_col, F.posexplode(slices).alias("j", out))
 
 
-def pq_codes(emb: DataFrame, k: int = K_CODES) -> DataFrame:
+def pq_seed_codebook(emb: DataFrame, k: int = K_CODES) -> DataFrame:
+    """Deterministic seed codebook: the first k vectors' sub-slices,
+    one (code, j, cv) row per subspace."""
+    return _subspace_rows(
+        emb.filter(F.col("vec_id") < k), "vec_id", "embedding", "cv"
+    ).select(F.col("vec_id").alias("code"), "j", "cv")
+
+
+def pq_assignments(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Each (vec_id, j) sub-vector -> its nearest codebook entry
+    (argmin squared-L2, code-id tie-break); the codebook is broadcast."""
+    w = W.partitionBy("vec_id", "j").orderBy(_d2("sv", "cv"), F.col("code"))
+    return (
+        sub.join(F.broadcast(codebook), "j")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+    )
+
+
+def pq_refine(emb: DataFrame, codebook: DataFrame, iters: int = 1) -> DataFrame:
+    """Lloyd steps per subspace (the q58 ivf_refine pattern applied to
+    PQ): assign sub-vectors, recompute per-dimension decimal-exact
+    means. Monotonically non-increasing quantization error; cells that
+    lose all members drop out (their codes simply stop being assigned).
+    Production trains offline exactly like this and ships the codebook
+    broadcast."""
+    sub = _subspace_rows(emb, "vec_id", "embedding", "sv")
+    for _ in range(iters):
+        a = pq_assignments(sub, codebook).select(
+            "j", "code", F.posexplode("sv").alias("pos", "v")
+        )
+        dims = a.groupBy("j", "code", "pos").agg(
+            (
+                F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cv1")
+        )
+        codebook = (
+            dims.groupBy("j", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv1"))).alias("a"))
+            .select("code", "j", F.expr("transform(a, x -> x.cv1)").alias("cv"))
+        )
+    return codebook
+
+
+def pq_codes(
+    emb: DataFrame, k: int = K_CODES, codebook: DataFrame | None = None
+) -> DataFrame:
     """Encode every vector as M_SUB nearest-centroid codes (argmin
     squared-L2 per subspace, code-id tie-break). The codebook side is
     tiny and broadcast; the corpus side never shuffles its floats —
     at scale the output (vec_id, codes) replaces the float corpus in
     memory at 64x compression."""
-    seeds = _subspace_rows(
-        emb.filter(F.col("vec_id") < k), "vec_id", "embedding", "cv"
-    ).select(F.col("vec_id").alias("code"), "j", "cv")
-    sub = _subspace_rows(emb, "vec_id", "embedding", "sv")
-    w = W.partitionBy("vec_id", "j").orderBy(_d2("sv", "cv"), F.col("code"))
-    best = (
-        sub.join(F.broadcast(seeds), "j")
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-    )
+    cb = codebook if codebook is not None else pq_seed_codebook(emb, k)
+    best = pq_assignments(_subspace_rows(emb, "vec_id", "embedding", "sv"), cb)
     return (
         best.groupBy("vec_id")
         .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("a"))

@@ -196,6 +196,21 @@ def test_batch_fold_equals_sequential_model(spark, raw):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@example(
+    # r6 falsifier (found as the ADT cancel-discharge permutation break):
+    # batch 0 ends with a DELETE of an already-null tristate — a
+    # no-visible-change action that is change-gated out of the versions,
+    # so the stored current row is an EARLIER fold row. Its per-field
+    # __ts must still carry the delete's time (key-final, not
+    # per-row), or the older SAVE arriving alone in batch 1 resurrects
+    # the cancelled value.
+    raw=[
+        {"k": "x", "minute": 8, "a": "a1", "f": None, "tmode": "ignore", "dead": False},
+        {"k": "x", "minute": 14, "a": "a1", "f": None, "tmode": "delete", "dead": False},
+        {"k": "x", "minute": 12, "a": "a1", "f": None, "tmode": "save1", "dead": False},
+    ],
+    split=[0, 0, 1],
+)
 @given(
     st.lists(msg_strategy, min_size=1, max_size=8),
     st.lists(st.integers(0, 2), min_size=2, max_size=8),

@@ -123,3 +123,31 @@ def test_pq_adc_ranks_exact_duplicate_first(spark):
     # the exact duplicate shares all codes with the query, so its ADC
     # distance is the query's own quantization error — the minimum
     assert top[0].query_id == 0 and top[0].neighbor_id == 777
+
+
+def test_pq_refine_reduces_quantization_error(spark):
+    from pyspark.sql import functions as F
+
+    from emap_spark.plans.similarity import (
+        pq_assignments,
+        pq_refine,
+        pq_seed_codebook,
+        _subspace_rows,
+        _d2,
+    )
+
+    rng = random.Random(47)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sub = _subspace_rows(emb, "vec_id", "embedding", "sv")
+
+    def total_err(cb):
+        a = pq_assignments(sub, cb)
+        return a.agg(F.sum(_d2("sv", "cv"))).collect()[0][0]
+
+    seeds = pq_seed_codebook(emb, K_CODES)
+    e0 = total_err(seeds)
+    refined = pq_refine(emb, seeds, iters=1)
+    e1 = total_err(refined)
+    assert e1 <= e0 + 1e-9  # Lloyd step never increases the error
+    assert e1 < e0 * 0.95   # and on random data it strictly improves
