@@ -1038,23 +1038,34 @@ def lsh_candidate_pairs_capped(
     n_bands: int = PROD_BANDS,
     max_bucket: int = 500,
 ) -> DataFrame:
-    """q47's banded candidate join with a per-bucket width cap.
-
-    The bucket count rides a window over bkey — the window's hash
-    partitioning on bkey is exactly the self-join's key, so the filter
-    adds NO extra shuffle (the join reuses the window's exchange)."""
+    """Capped candidate generation — and the cap BUYS a better plan
+    than q47's self-join: because every surviving bucket is at most
+    max_bucket wide, the bucket's members fit in one aggregation row,
+    so pairs are generated BUCKET-LOCALLY (groupBy bkey -> member
+    array -> explode i<j combinations). One shuffle of (doc_id, bkey)
+    total, versus the self-join's TWO full band-pipeline subtrees
+    (Spark cannot reuse the exchange across self-join sides here) —
+    and per-bucket memory is bounded at max_bucket ids by
+    construction, which is exactly what an UNcapped collect could not
+    guarantee."""
     bands = lsh_band_keys(minhash_signatures(shingles, n_hashes), n_hashes, n_bands)
-    kept = (
-        bands.withColumn("__bn", F.count(F.lit(1)).over(W.partitionBy("bkey")))
-        .filter(F.col("__bn") <= max_bucket)
-        .drop("__bn")
+    buckets = (
+        bands.groupBy("bkey")
+        .agg(F.collect_list("doc_id").alias("raw"))
+        # the cap counts band ROWS (mirrors the oracle's count(*) per
+        # bucket); pair generation then uses the distinct sorted ids
+        .filter(F.size("raw") <= max_bucket)
+        .select(F.array_sort(F.array_distinct("raw")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    a, b = kept.alias("a"), kept.alias("b")
-    return (
-        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ids, (x, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " y -> struct(x AS doc_a, y AS doc_b))))"
+        )
     )
+    return buckets.select(pair.alias("p")).select("p.doc_a", "p.doc_b").distinct()
 
 
 @register(
@@ -1078,9 +1089,10 @@ FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
     doc=(
         "LSH banding with a hot-bucket width cap: buckets wider than "
         "max_bucket (exact-duplicate mass, handled by q43/q44 at linear "
-        "cost) are skipped, bounding the self-join at O(corpus x cap) "
-        "regardless of skew. The cap's bucket count shares the join's "
-        "bkey partitioning — zero extra shuffle."
+        "cost) are skipped, bounding candidate volume at O(corpus x "
+        "cap) regardless of skew — and the cap makes bucket-LOCAL pair "
+        "generation safe (members fit one agg row), so the plan is one "
+        "shuffle instead of the self-join's two band subtrees."
     ),
 )
 def q112_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:

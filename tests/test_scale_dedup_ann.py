@@ -151,3 +151,14 @@ def test_pq_refine_reduces_quantization_error(spark):
     e1 = total_err(refined)
     assert e1 <= e0 + 1e-9  # Lloyd step never increases the error
     assert e1 < e0 * 0.95   # and on random data it strictly improves
+
+
+def test_bucket_cap_plan_is_join_free(spark, sf_dir):
+    """The cap buys the one-pass plan: pairs generate bucket-locally
+    from the grouped member array — no self-join, so no second band
+    subtree and no join exchange in the physical plan."""
+    from emap_spark.registry import queries
+
+    df = queries()["q112_lsh_bucket_cap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
