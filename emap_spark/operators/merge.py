@@ -551,6 +551,14 @@ def _trusted_fold_templates(spec: MergeSpec) -> dict:
             F.max(F.when(~tr, F.col("__raw_t"))).over(wkey).alias(
                 "__u_creator_t"
             ),
+            # earliest TRUSTED real event time in the batch: merge_batch
+            # compares it against a stored untrusted creation's time —
+            # an earlier trusted event voids the creation (in event
+            # order the trusted message creates first and the untrusted
+            # one is skipped)
+            F.min(F.when(tr, F.col("__raw_t"))).over(wkey).alias(
+                "__tr_min_t"
+            ),
         ],
     }
     _TRUSTED_FOLD_CACHE[ck] = t
@@ -594,6 +602,7 @@ def empty_current(spark, updates: DataFrame, spec: MergeSpec) -> DataFrame:
         sel.append(F.lit(None).cast("timestamp_ntz").alias("__cre_t"))
         sel.append(F.lit(None).cast("timestamp_ntz").alias("__seen_t"))
         if spec.trusted:
+            sel.append(F.lit(None).cast("timestamp_ntz").alias("__first_t"))
             sel.append(F.lit(False).alias("__untrusted"))
         st = folded.select(*sel).schema
         _EMPTY_SCHEMA_CACHE[ck] = st
@@ -617,6 +626,13 @@ def _meta_cols(spec: MergeSpec) -> list[str]:
     carries the message's real event time, matching the reference, which
     stores the actual validFrom for untrusted-created entities."""
     cols = _ts_cols(spec) + ["__floor_t", "__cre_t", "__seen_t"]
+    if spec.trusted:
+        # earliest APPLIED event time ever absorbed for the key: the M6
+        # creation arbiter — an untrusted message may create only when
+        # its event time precedes every event the key has ever applied
+        # (in event-order replay it would have been processed first,
+        # against no existing state)
+        cols = cols + ["__first_t"]
     if spec.trusted:
         cols = cols + ["__untrusted"]
     return cols
@@ -643,6 +659,7 @@ def merge_batch(
     _missing = [
         c
         for c in [*_ts_cols(spec), "__floor_t", "__cre_t", "__seen_t"]
+        + (["__first_t"] if spec.trusted else [])
         if c not in current.columns
     ]
     _adds = [F.lit(None).cast("timestamp_ntz").alias(c) for c in _missing]
@@ -774,18 +791,40 @@ def _mb_templates(spec: MergeSpec) -> dict:
     if spec.trusted:
         creator_t = F.col("cnd.__u_creator_t")
         cur_unt = F.coalesce(F.col("cur.__untrusted"), F.lit(False))
-        un_replaces = (
+        # the key's earliest-ever APPLIED event (legacy frames without
+        # the metadata fall back to valid_from — the best bound stored)
+        first_guard = F.coalesce(F.col("cur.__first_t"), F.col("cur.valid_from"))
+        # The batch's untrusted creator acts iff its REAL event time
+        # precedes EVERY event the key has ever applied — in event-order
+        # replay it runs first against no existing state. This holds for
+        # a TRUSTED-origin store too (the creator creates, the stored
+        # trusted writes re-apply on top via per-field newer-wins); only
+        # an UNTRUSTED-origin store is voided wholesale (un_replaces).
+        creator_acts = (
+            cur_exists & creator_t.isNotNull() & (creator_t < first_guard)
+        )
+        un_replaces = creator_acts & cur_unt
+        # a TRUSTED update with an earlier REAL event time than the
+        # stored untrusted creation also voids it (m6_tr_voids in the
+        # message-granularity templates — same rule, same reason: in
+        # event order the trusted message creates first, so the
+        # untrusted creation never happened and its contributions,
+        # fills included, must not survive)
+        tr_min_t = F.col("cnd.__tr_min_t")
+        tr_voids = (
             cur_exists
             & cur_unt
-            & creator_t.isNotNull()
-            & (creator_t < F.col("cur.valid_from"))
+            & tr_min_t.isNotNull()
+            & (tr_min_t < first_guard)
         )
-        creator_invalid = creator_t.isNotNull() & cur_exists & ~un_replaces
+        creator_invalid = creator_t.isNotNull() & cur_exists & ~creator_acts
+        un_replaces = un_replaces | tr_voids
     else:
         un_replaces = F.lit(False)
+        creator_acts = F.lit(False)
         creator_invalid = F.lit(False)
     cnd_applies = cnd_exists & (
-        F.col("cnd.__trusted") | ~cur_exists | un_replaces
+        F.col("cnd.__trusted") | ~cur_exists | un_replaces | creator_acts
     )
     # A mid-batch tombstone (newest in-batch delete at __tomb_t) must
     # clear STORED state older than it, exactly as sequential application
@@ -1020,6 +1059,21 @@ def _mb_templates(spec: MergeSpec) -> dict:
             .otherwise(F.coalesce(F.col("cur.__untrusted"), F.lit(False)))
             .alias("__untrusted")
         )
+        # earliest APPLIED event ever: least of the stored bound and this
+        # batch's applied minimum (trusted messages always apply; the
+        # creator's real time counts only when it acted). A voided
+        # untrusted creation's history is erased — its time never binds.
+        app_min = F.when(
+            ~cur_exists | creator_acts | un_replaces,
+            F.least(F.col("cnd.__tr_min_t"), creator_t),
+        ).otherwise(F.col("cnd.__tr_min_t"))
+        fill_meta.append(
+            F.when(un_replaces, app_min)
+            .otherwise(
+                F.least(F.when(cur_exists, first_guard), app_min)
+            )
+            .alias("__first_t")
+        )
 
     changed = F.lit(False)
     for term in change_terms:
@@ -1225,6 +1279,7 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
         F.lit(None).cast("timestamp_ntz").alias("__orig_vf"),
         (F.col(spec.trusted) if spec.trusted else F.lit(True)).alias("__trusted"),
         (~F.col(spec.trusted) if spec.trusted else F.lit(False)).alias("__unt"),
+        F.lit(None).cast("timestamp_ntz").alias("__first"),
     ]
 
     def _ignore_tristate(g: str) -> Column:
@@ -1413,6 +1468,13 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
             F.col("stored_from").alias("__stored"),
             F.lit(True).alias("__trusted"),
             seed_unt.alias("__unt"),
+            # the key's earliest-ever APPLIED event (M6 creation
+            # arbiter); legacy frames fall back to valid_from
+            (
+                F.coalesce(F.col("__first_t"), F.col("valid_from"))
+                if (is_anchor and spec.trusted)
+                else F.lit(None).cast("timestamp_ntz")
+            ).alias("__first"),
         ]
         struct = F.struct(*cols)
         if is_floor:
@@ -1491,6 +1553,8 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
     # pass through.
     state_cols.append(F.col("__floor_t"))
     state_cols.append(F.col("__seen_t"))
+    if spec.trusted:
+        state_cols.append(F.col("__first_t"))
     # incarnation creation time: earliest live non-pseudo row of the
     # epoch (updates + the anchor; pseudo seeds are field history, not
     # creations) — merge_batch's retro-creation rule reads it
@@ -1577,6 +1641,22 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
             .over(wfull_k)
             .alias("__floor_t"),
             F.max(F.col("__ord")).over(wfull_k).alias("__seen_t"),
+            # earliest APPLIED event ever: the anchor's stored bound
+            # (dropped seeds — a voided creation — carry none) and this
+            # batch's kept updates' REAL times; fuses into the same
+            # wfull_k Window op as __floor_t/__seen_t
+            *(
+                [
+                    F.least(
+                        F.max(F.col("__first")).over(wfull_k),
+                        F.min(
+                            F.when(~F.col("__seed"), F.col(spec.event_time))
+                        ).over(wfull_k),
+                    ).alias("__first_t")
+                ]
+                if spec.trusted
+                else []
+            ),
         ],
         "ord_expr": ord_expr,
         "state_cols": state_cols,
@@ -1610,10 +1690,9 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
         first_rn = F.col("__m6_first_rn")
         rn = F.col("__m6_rn")
         t["m6_first_rn"] = F.min(F.when(~F.col("__seed"), rn)).over(wfull)
-        seeded_tr = F.coalesce(
-            F.max((F.col("__seed") & ~F.col("__unt")).cast("int")).over(wfull),
-            F.lit(0),
-        )
+        # the key's earliest-ever APPLIED event, carried by the anchor
+        # seed (__first_t metadata; null when no stored state exists)
+        stored_first = F.max(F.col("__first")).over(wfull)
         unt_anchor_vf = F.max(
             F.when(F.col("__anchor") & F.col("__unt"), F.col(spec.event_time))
         ).over(wfull)
@@ -1629,15 +1708,38 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
         first_upd_t = F.max(
             F.when(rn == first_rn, F.col(spec.event_time))
         ).over(wfull)
-        t["m6_creator"] = (
-            first_is_unt
-            & (seeded_tr == 0)
-            & (unt_anchor_vf.isNull() | (first_upd_t < unt_anchor_vf))
+        # The batch's untrusted raw-first update creates iff its REAL
+        # event time precedes EVERY event the key ever applied — in
+        # event-order replay it runs first against no existing state.
+        # This includes a TRUSTED-origin store (the creator creates,
+        # the stored trusted seeds — kept below — re-apply on top via
+        # per-field newer-wins); an UNTRUSTED-origin store is voided
+        # wholesale (its seeds drop in m6_keep).
+        t["m6_creator"] = first_is_unt & (
+            stored_first.isNull() | (first_upd_t < stored_first)
         )
         creator = F.col("__m6_creator")
+        # A TRUSTED update whose REAL event time precedes the stored
+        # untrusted creation also voids it: in global event order the
+        # trusted message creates the entity first, so the untrusted
+        # message that created the stored state would have been skipped
+        # (may-only-create against existing state) — its contributions,
+        # including FILL values the precedence floor alone cannot
+        # dislodge, never happened. (Explore-run falsifier, round 6:
+        # untrusted creation with a fill field, then an older trusted
+        # all-null update arriving alone in a later batch.)
+        min_tr_upd_t = F.min(
+            F.when(~F.col("__seed") & F.col("__trusted"), F.col(spec.event_time))
+        ).over(wfull)
+        t["m6_tr_voids"] = (
+            unt_anchor_vf.isNotNull()
+            & min_tr_upd_t.isNotNull()
+            & (min_tr_upd_t < unt_anchor_vf)
+        )
+        tr_voids = F.col("__m6_tr_voids")
         t["m6_keep"] = (
             ~F.col("__seed") & (F.col("__trusted") | (creator & (rn == first_rn)))
-        ) | (F.col("__seed") & ~(F.col("__unt") & creator))
+        ) | (F.col("__seed") & ~(F.col("__unt") & (creator | tr_voids)))
     _MBV_CACHE[ck] = t
     return t
 
@@ -1683,6 +1785,7 @@ def merge_batch_versions(
     _missing = [
         c
         for c in [*_ts_cols(spec), "__floor_t", "__cre_t", "__seen_t"]
+        + (["__first_t"] if spec.trusted else [])
         if c not in current.columns
     ]
     _adds = [F.lit(None).cast("timestamp_ntz").alias(c) for c in _missing]
@@ -1731,7 +1834,11 @@ def merge_batch_versions(
         seeded = (
             seeded.select("*", T["m6_rn"].alias("__m6_rn"))
             .select("*", T["m6_first_rn"].alias("__m6_first_rn"))
-            .select("*", T["m6_creator"].alias("__m6_creator"))
+            .select(
+                "*",
+                T["m6_creator"].alias("__m6_creator"),
+                T["m6_tr_voids"].alias("__m6_tr_voids"),
+            )
             .filter(T["m6_keep"])
         )
     # the __ord select also drops the m6 helper columns; __epoch needs

@@ -5,11 +5,12 @@ random message sequences; a pure-Python sequential-application model
 computes the expected state; merge_batch folding the whole set at once
 must agree.
 
-Two hypothesis profiles: CI runs DERANDOMIZED (a fixed example corpus
-plus every previously-found falsifier from .hypothesis — deterministic
-green, full regression value); set HYPOTHESIS_EXPLORE=1 to search fresh
-random examples with a bigger budget (how every bug this suite has
-found was found — run it when touching the engine).
+Two hypothesis profiles: CI runs DERANDOMIZED (deterministic green —
+NOTE derandomize=True disables the .hypothesis example database, so a
+found falsifier has regression value ONLY once pinned as an @example;
+pin every one); set HYPOTHESIS_EXPLORE=1 to search fresh random
+examples with a bigger budget (how every bug this suite has found was
+found — run it whenever the engine is touched).
 """
 
 from __future__ import annotations
@@ -517,6 +518,24 @@ mixed_msg_strategy = st.fixed_dictionaries(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@example(
+    # r6 explore falsifier (latent since the m6 machinery landed): an
+    # untrusted creation carrying a FILL value, then a TRUSTED all-null
+    # update with an EARLIER event time arriving alone in a later
+    # batch. In global event order the trusted message creates first
+    # and the untrusted creation is skipped — so its fill value must
+    # vanish; the precedence floor alone cannot dislodge a fill, the
+    # stored untrusted seeds must be voided (m6_tr_voids).
+    raw=[
+        {"k": "x", "minute": 0, "a": None, "f": None, "tmode": "ignore",
+         "dead": False, "trusted": False},
+        {"k": "u", "minute": 28, "a": None, "f": "f2", "tmode": "ignore",
+         "dead": False, "trusted": False},
+        {"k": "u", "minute": 0, "a": None, "f": None, "tmode": "ignore",
+         "dead": False, "trusted": True},
+    ],
+    split=[0, 0, 2],
+)
 @given(
     st.lists(mixed_msg_strategy, min_size=1, max_size=8),
     st.lists(st.integers(0, 2), min_size=2, max_size=8),
@@ -592,9 +611,13 @@ def test_blocked_creator_leaves_no_phantom_audit(spark):
             None, spark.createDataFrame([m(10, 1, "a1", True)], TRUSTED_SCHEMA),
             TRUSTED_SPEC, "2024-06-01 00:00:00",
         )
-        # corner A: creator differs, trusted write is a NO-OP vs stored
+        # corner A: creator differs, trusted write is a NO-OP vs stored.
+        # The creator sits at minute 15 — AFTER the key's first-ever
+        # applied event (minute 10), so it is BLOCKED (an earlier
+        # creator now legitimately retro-creates; see
+        # test_early_creator_retro_creates below).
         b = spark.createDataFrame(
-            [m(1, 2, "aX", False), m(20, 3, "a1", True)], TRUSTED_SCHEMA
+            [m(15, 2, "aX", False), m(20, 3, "a1", True)], TRUSTED_SCHEMA
         )
         r2 = merge(r1.current, b, TRUSTED_SPEC, "2024-06-01 00:00:01")
         rows = r2.live().collect()
@@ -605,7 +628,7 @@ def test_blocked_creator_leaves_no_phantom_audit(spark):
         # corner B: creator shares the trusted NEW value -> the change's
         # vf is the TRUSTED message's time, not the creator's
         b2 = spark.createDataFrame(
-            [m(1, 4, "a2", False), m(20, 5, "a2", True)], TRUSTED_SCHEMA
+            [m(15, 4, "a2", False), m(20, 5, "a2", True)], TRUSTED_SCHEMA
         )
         r3 = merge(r1.current, b2, TRUSTED_SPEC, "2024-06-01 00:00:01")
         rows = r3.live().collect()
@@ -614,3 +637,41 @@ def test_blocked_creator_leaves_no_phantom_audit(spark):
             merge.__name__, rows[0].valid_from,
         )
         assert r3.audit.count() == 1, merge.__name__  # the real change
+
+
+def test_early_creator_retro_creates(spark):
+    """r6: an untrusted message whose event time precedes EVERY event
+    the key has ever applied retro-creates — in event-order replay it
+    runs first, against no existing state, and the stored trusted
+    writes re-apply on top (model_fold_trusted; found by the explore
+    run as the mirror of the m6_tr_voids falsifier). The
+    message-granularity path is event-order exact (the creator's
+    version is audited away at the stored write's time); the
+    entity-granularity path guarantees values + liveness."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 10, 1)
+
+    def m(minute, seq, a, f, trusted):
+        return Row(
+            k="k", valid_from=datetime.datetime(2024, 1, 1, 0, minute, seq),
+            seq=seq, a=a, f=f, t=Row(value=None, status="IGNORE"),
+            dead=False, trusted=trusted,
+        )
+
+    for merge in (merge_batch, merge_batch_versions):
+        r1 = merge(
+            None,
+            spark.createDataFrame([m(10, 1, "a1", None, True)], TRUSTED_SCHEMA),
+            TRUSTED_SPEC, "2024-06-01 00:00:00",
+        )
+        # untrusted creator at minute 1 < first-ever event (minute 10):
+        # it creates; its ASSIGN value is superseded by the stored
+        # trusted write, but its FILL value fills the never-written slot
+        b = spark.createDataFrame([m(1, 2, "aX", "f1", False)], TRUSTED_SCHEMA)
+        r2 = merge(r1.current, b, TRUSTED_SPEC, "2024-06-01 00:00:01")
+        rows = r2.live().collect()
+        assert rows[0].a == "a1", merge.__name__   # trusted reasserts
+        assert rows[0].f == "f1", merge.__name__   # creation fill lands
+    # message granularity is event-order exact: the creator's version
+    # exists and is superseded at the stored write's time
+    aud = r2.audit.collect()
+    assert [(x.a, x.valid_until) for x in aud] == [("aX", t0)]
