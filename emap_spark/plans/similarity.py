@@ -679,3 +679,192 @@ FROM (
 )
 def q114_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(_emb(spark, sf_dir), N_QUERIES, K_CODES, TOP_K)
+
+
+# --------------------------------------------------------------------------
+# q115: IVF-PQ — the composed billion-vector recipe (residual encoding)
+# --------------------------------------------------------------------------
+# q58 prunes WHICH cells a query scans; q114 compresses each scanned
+# vector to byte codes. Composed — and with PQ encoding the RESIDUAL
+# (vector minus its cell centroid), as every production IVF-PQ index
+# does, because residuals concentrate near zero so a shared codebook
+# quantizes them far better than raw vectors — this is the complete
+# recipe behind billion-scale ANN deployments: probe n_probes cells,
+# ADC-scan only their codes, never touching corpus floats at query
+# time. At 100 TB: cluster id = partition column (probe = partition
+# pruning), codes table = 64x smaller than the float corpus, codebook
+# + per-query ADC tables broadcast.
+_RESID = "zip_with({a}, {b}, (x, y) -> cast(x as double) - cast(y as double))"
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    kc: int = 8,
+    n_probes: int = 2,
+    k: int = K_CODES,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """IVF-PQ ADC top-k: coarse-assign every vector (broadcast argmin,
+    as q58), PQ-encode its RESIDUAL against the cell centroid (broadcast
+    codebook argmin per subspace, as q114), probe each query's n_probes
+    nearest cells, and score candidates with a per-(query, cell) ADC
+    lookup table over the query's residual. One shuffle on the corpus
+    side (the per-vector code fold); everything query-side is broadcast.
+    Distances fold in fixed subspace order — cross-engine exact."""
+    cents = emb.filter(F.col("vec_id") < kc).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("ce")
+    )
+    assign = ivf_assignments(emb, cents)
+    resid = assign.join(F.broadcast(cents), "cluster").select(
+        "vec_id",
+        "cluster",
+        F.expr(_RESID.format(a="embedding", b="ce")).alias("re"),
+    )
+    # residual codebook: the first k vectors' residual slices (seeded,
+    # deterministic — production trains offline with k-means, same shape)
+    seeds = _subspace_rows(
+        resid.filter(F.col("vec_id") < k), "vec_id", "re", "cv"
+    ).select(F.col("vec_id").alias("code"), "j", "cv")
+    slices = F.array(
+        *[F.slice(F.col("re"), j * SUB_DIM + 1, SUB_DIM) for j in range(M_SUB)]
+    )
+    sub = resid.select("vec_id", "cluster", F.posexplode(slices).alias("j", "sv"))
+    wbest = W.partitionBy("vec_id", "j").orderBy(_d2("sv", "cv"), F.col("code"))
+    codes = (
+        sub.join(F.broadcast(seeds), "j")
+        .withColumn("__rk", F.row_number().over(wbest))
+        .filter(F.col("__rk") == 1)
+        .groupBy("vec_id", "cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("a"))
+        .select("vec_id", "cluster", F.expr("transform(a, x -> x.code)").alias("codes"))
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    wq = W.partitionBy("query_id").orderBy(_d2("qe", "ce"), F.col("cluster"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= n_probes)
+        .select(
+            "query_id",
+            "cluster",
+            F.expr(_RESID.format(a="qe", b="ce")).alias("qr"),
+        )
+    )
+    qslices = F.array(
+        *[F.slice(F.col("qr"), j * SUB_DIM + 1, SUB_DIM) for j in range(M_SUB)]
+    )
+    qsub = probes.select("query_id", "cluster", F.posexplode(qslices).alias("j", "qv"))
+    qtab = (
+        qsub.join(F.broadcast(seeds), "j")
+        .withColumn("d", _d2("qv", "cv"))
+        .groupBy("query_id", "cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code", "d"))).alias("a"))
+        .select("query_id", "cluster", F.expr("transform(a, x -> x.d)").alias("darr"))
+    )
+    adc = F.expr(
+        f"round(aggregate(sequence(0, {M_SUB - 1}), cast(0.0 as double),"
+        f" (acc, j) -> acc + element_at(darr,"
+        f" cast(j * {k} + element_at(codes, j + 1) + 1 as int))), 6)"
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cluster",
+            adc.alias("adc_d2"),
+        )
+    )
+    wtop = W.partitionBy("query_id").orderBy(F.col("adc_d2"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= top_k)
+        .select("query_id", "neighbor_id", "cluster", "adc_d2")
+    )
+
+
+_SQL_RESID = (
+    "list_transform(range(1, 65), i -> {a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+)
+
+
+@register(
+    "q115_ivf_pq_topk",
+    oracle=f"""
+WITH c AS (SELECT vec_id AS cluster, embedding AS ce FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, embedding, cluster, ce FROM (
+    SELECT e.vec_id, e.embedding, c.cluster, c.ce,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_SQL_D2.format(a='e.embedding', b='c.ce')}, c.cluster) AS rk
+    FROM embeddings e, c
+  ) WHERE rk = 1
+),
+resid AS (
+  SELECT vec_id, cluster, {_SQL_RESID.format(a='embedding', b='ce')} AS re
+  FROM assign
+),
+js AS (SELECT unnest(range(0, {M_SUB})) AS j),
+rsub AS (
+  SELECT vec_id, cluster, j, re[j*{SUB_DIM}+1 : j*{SUB_DIM}+{SUB_DIM}] AS sv
+  FROM resid, js
+),
+seeds AS (SELECT vec_id AS code, j, sv AS cv FROM rsub WHERE vec_id < {K_CODES}),
+codes AS (
+  SELECT vec_id, cluster, list(code ORDER BY j) AS codes FROM (
+    SELECT s.vec_id, s.cluster, s.j, d.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY {_SQL_SUB_D2.format(n=SUB_DIM + 1, a='s.sv', b='d.cv')}, d.code) AS rk
+    FROM rsub s JOIN seeds d USING (j)
+  ) WHERE rk = 1 GROUP BY vec_id, cluster
+),
+probes AS (
+  SELECT query_id, cluster, {_SQL_RESID.format(a='qe', b='ce')} AS qr FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cluster, c.ce,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_SQL_D2.format(a='q.embedding', b='c.ce')}, c.cluster) AS pr
+    FROM embeddings q, c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE pr <= 2
+),
+qsub AS (
+  SELECT query_id, cluster, j, qr[j*{SUB_DIM}+1 : j*{SUB_DIM}+{SUB_DIM}] AS qv
+  FROM probes, js
+),
+qtab AS (
+  SELECT query_id, cluster, list(d ORDER BY j, code) AS darr FROM (
+    SELECT q.query_id, q.cluster, q.j, d.code,
+           {_SQL_SUB_D2.format(n=SUB_DIM + 1, a='q.qv', b='d.cv')} AS d
+    FROM qsub q JOIN seeds d USING (j)
+  ) GROUP BY query_id, cluster
+),
+scored AS (
+  SELECT t.query_id, c2.vec_id AS neighbor_id, c2.cluster,
+         round(list_sum(list_transform(range(0, {M_SUB}),
+               j -> darr[j*{K_CODES} + codes[j+1] + 1])), 6) AS adc_d2
+  FROM codes c2 JOIN qtab t USING (cluster)
+  WHERE c2.vec_id <> t.query_id
+)
+SELECT query_id, neighbor_id, cluster, adc_d2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_d2, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+""",
+    doc=(
+        "IVF-PQ: coarse cells prune WHICH vectors a query scans "
+        "(2-probe partition pruning), PQ codes over cell RESIDUALS "
+        "compress WHAT it scans (64x; residuals concentrate near zero "
+        "so the shared codebook quantizes them better than raw "
+        "vectors), and the ADC lookup-table fold scores candidates "
+        "without touching corpus floats — the composed billion-vector "
+        "recipe. Seeded codebooks; fixed fold order — cross-engine "
+        "exact."
+    ),
+)
+def q115_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_pq_topk(_emb(spark, sf_dir), N_QUERIES, 8, 2, K_CODES, TOP_K)

@@ -1212,3 +1212,153 @@ def q113_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         ss.filter(is_batch), ss.filter(~is_batch),
         N_MINHASH, 2,
     )
+
+
+# --------------------------------------------------------------------------
+# q116: benchmark decontamination (n-gram overlap vs a held-out set)
+# --------------------------------------------------------------------------
+# The training-data op every serious pipeline runs before a model sees
+# the corpus: flag training documents sharing verbatim n-grams with an
+# evaluation/benchmark set, so test data is removed from training data
+# (the standard recipe: hash every benchmark 8-gram, broadcast the set
+# — it is tiny relative to the corpus — and one scan over training
+# docs counts matches; no corpus self-join, no corpus shuffle beyond
+# the per-doc gram fold).
+NGRAM_DECONTAM = 8
+BENCHMARK_SOURCE = "src0"  # stands in for the held-out benchmark set
+
+
+def _ngram_hashes(df: DataFrame, n: int) -> DataFrame:
+    """(doc_id, source, g) distinct positional n-gram md5s per doc;
+    docs shorter than n tokens produce no grams (guarded: Spark's
+    sequence() would run DESCENDING for a negative span)."""
+    w = _words(df)
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, size(w) - {n - 1}),"
+        f" i -> md5(concat_ws(' ', slice(w, i, {n})))))"
+    )
+    return (
+        w.withColumn("g", F.when(F.size("w") >= n, grams).otherwise(F.array()))
+        .select("doc_id", "source", F.explode("g").alias("g"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame, benchmark_source: str = BENCHMARK_SOURCE, n: int = NGRAM_DECONTAM
+) -> DataFrame:
+    """Training docs (source != benchmark) that share at least one
+    verbatim n-gram with the benchmark set, with hit counts and the
+    contaminated fraction of the doc's distinct grams. The benchmark
+    gram set is broadcast (it is the small side by construction)."""
+    grams = _ngram_hashes(docs, n)
+    bench = (
+        grams.filter(F.col("source") == benchmark_source).select("g").distinct()
+    )
+    train = grams.filter(F.col("source") != benchmark_source)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_hit",
+            "n_grams",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contam_rate"),
+        )
+    )
+
+
+_NGRAM_SQL = (
+    "list_distinct(list_transform(range(1, len(w) - {m}),"
+    " i -> md5(concat_ws(' ', {parts}))))"
+).format(
+    m=NGRAM_DECONTAM - 2,
+    parts=", ".join(f"w[i+{k}]" for k in range(NGRAM_DECONTAM)),
+)
+
+
+@register(
+    "q116_benchmark_decontamination",
+    oracle=f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, source, unnest({_NGRAM_SQL}) AS g FROM w
+),
+bench AS (SELECT DISTINCT g FROM g WHERE source = '{BENCHMARK_SOURCE}'),
+train AS (SELECT doc_id, g FROM g WHERE source <> '{BENCHMARK_SOURCE}'),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_hit FROM train t JOIN bench USING (g)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_hit, n_grams,
+       round(n_hit::DOUBLE / n_grams, 6) AS contam_rate
+FROM hits JOIN sizes USING (doc_id)
+""",
+    doc=(
+        "Benchmark decontamination: training docs sharing verbatim "
+        "8-grams with the held-out set (source=src0 stands in). The "
+        "benchmark gram set broadcasts; one scan over training docs — "
+        "the standard pre-training decontamination pass, corpus-linear."
+    ),
+)
+def q116_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q117: deterministic stratified mixture sampling (data mixing)
+# --------------------------------------------------------------------------
+# Training mixtures up/down-weight sources ("web at 0.5, books at 2
+# epochs, ..."). The sampling must be DETERMINISTIC (reproducible runs,
+# resumable jobs) and shuffle-free: keep a doc iff a hash of its id
+# falls below the source's rate — one scan, no state, identical on any
+# cluster size. Rates here derive from the source suffix (src13 ->
+# (13 % 4 + 1)/4) as a stand-in for a supplied mixture table, which at
+# scale is a broadcast join instead of the inline expression.
+def mixture_sample(docs: DataFrame, rate: Column | None = None) -> DataFrame:
+    """Deterministic per-source downsample: md5(doc_id) as a uniform
+    [0,1) draw (first 8 hex digits / 2^32 — identical in any engine
+    with md5), kept iff below the source's rate."""
+    if rate is None:
+        rate = (
+            (F.substring("source", 4, 10).cast("int") % 4 + 1) / F.lit(4.0)
+        )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.withColumn("__rate", rate)
+        .filter(u < F.col("__rate"))
+        .select("doc_id", "source", F.round("__rate", 6).alias("rate"))
+    )
+
+
+@register(
+    "q117_mixture_sample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         (substr(source, 4)::INT % 4 + 1) / 4.0 AS rate,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, round(rate, 6) AS rate FROM d WHERE u < rate
+""",
+    doc=(
+        "Deterministic stratified mixture sampling: per-source keep "
+        "rates applied via an md5-of-id uniform draw — reproducible, "
+        "stateless, one scan, no shuffle; the data-mixing primitive "
+        "for training-corpus assembly."
+    ),
+)
+def q117_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_sample(_docs(spark, sf_dir))

@@ -96,6 +96,10 @@ def _load_all() -> None:
 # ANN). Out: q77/q78 (plan-only media shapes, multi-round green; the
 # media family keeps driver q76/q102/q110) and q63 (interval-join
 # evidence stays via driver-green q72/q73; q63 stays local-checked).
+# Also late round 6: q115 (IVF-PQ, the composed residual-encoded
+# billion-vector recipe) enters; q47 rotates to the local replica (its
+# LSH banding operator is directly exercised by driver q57/q106/q112/
+# q113 — q47 alone is the candidate subset of q57).
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
@@ -122,15 +126,16 @@ _PRIORITY = [
     # LLM-data pipeline family (dedup/similarity/text)
     "q44_dedup_survivors", "q49_doc_fingerprint",
     "q51_ann_lsh_bucketed", "q53_label_centroids",
-    "q47_minhash_lsh_pairs", "q57_lsh_near_dup_verified",
+    "q57_lsh_near_dup_verified",
     "q48_simhash", "q58_ann_ivf_probe",
     "q59_cosine_near_dup_pairs", "q102_media_builtin_decode",
     "q103_salted_hot_key_agg", "q106_lsh_parameter_sweep",
     "q107_normalized_dup_groups", "q108_near_dup_clusters",
     "q109_bpe_regex_tokens", "q110_media_resize",
     "q112_lsh_bucket_cap", "q113_incremental_corpus_dedup",
-    "q114_pq_adc_topk",
+    "q114_pq_adc_topk", "q115_ivf_pq_topk",
     # --- driver cap boundary (first 50 above get the hard driver check) ---
+    "q47_minhash_lsh_pairs",
     "q63_interval_join_errors_to_sessions",
     "q77_media_decode_features", "q78_video_frame_plan",
     "q13_customer_event_reconciliation", "q24_state_asof",

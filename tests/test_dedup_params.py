@@ -163,3 +163,48 @@ def test_connected_components_and_survivors(spark):
     )
     kept = sorted(r.doc_id for r in near_dup_survivors(docs, pairs).collect())
     assert kept == [1, 7, 42]
+
+
+def test_decontaminate_flags_planted_benchmark_overlap(spark):
+    """q116's operator on a planted corpus: a training doc embedding a
+    verbatim benchmark sentence is flagged with the right hit count; a
+    clean doc and a short (<8-token) doc are not."""
+    from emap_spark.plans.text_dedup import decontaminate
+
+    rng = random.Random(11)
+    vocab = [f"w{k}" for k in range(300)]
+    bench_words = [vocab[rng.randrange(len(vocab))] for _ in range(30)]
+    clean_words = [f"c{k}" for k in range(40)]
+    # training doc 10 copies benchmark tokens 5..20 verbatim (16 tokens
+    # -> 16-8+1 = 9 contaminated 8-grams), padded with clean filler
+    leak = clean_words[:10] + bench_words[5:21] + clean_words[10:24]
+    rows = [
+        (0, " ".join(bench_words), "bench"),
+        (10, " ".join(leak), "train"),
+        (11, " ".join(clean_words), "train"),
+        (12, "too short", "train"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in decontaminate(docs, "bench", 8).collect()}
+    assert set(out) == {10}
+    assert out[10].n_hit == 9
+    assert out[10].n_grams == len(leak) - 7
+
+
+def test_mixture_sample_is_deterministic_and_rate_accurate(spark):
+    """q117's operator: the same input always keeps the same rows, and
+    per-source keep fractions track the requested rates."""
+    from emap_spark.plans.text_dedup import mixture_sample
+
+    rows = [
+        (i, f"doc {i}", ["srcA", "srcB"][i % 2]) for i in range(2000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rate = F.when(F.col("source") == "srcA", F.lit(0.25)).otherwise(F.lit(0.75))
+    a = {r.doc_id for r in mixture_sample(docs, rate).collect()}
+    b = {r.doc_id for r in mixture_sample(docs, rate).collect()}
+    assert a == b  # deterministic
+    kept_a = sum(1 for i in a if i % 2 == 0) / 1000
+    kept_b = sum(1 for i in a if i % 2 == 1) / 1000
+    assert abs(kept_a - 0.25) < 0.05
+    assert abs(kept_b - 0.75) < 0.05

@@ -125,6 +125,32 @@ def test_pq_adc_ranks_exact_duplicate_first(spark):
     assert top[0].query_id == 0 and top[0].neighbor_id == 777
 
 
+def test_ivf_pq_prunes_to_probed_cells_and_ranks_duplicate_first(spark):
+    """q115: candidates come ONLY from the query's probed cells
+    (partition pruning — the IVF half), and an exact duplicate shares
+    the query's cell AND residual codes, so its ADC distance is the
+    query's own quantization error — the minimum (the PQ half)."""
+    from emap_spark.plans.similarity import ivf_assignments, ivf_pq_topk
+
+    rng = random.Random(53)
+    q = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [(0, q), (777, list(q))] + [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(1, 60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = ivf_pq_topk(emb, n_queries=1, kc=4, n_probes=2, k=K_CODES, top_k=5)
+    got = top.collect()
+    assert got[0].query_id == 0 and got[0].neighbor_id == 777
+    # every returned neighbor sits in one of the query's 2 probed cells
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("ce")
+    )
+    assign = {r.vec_id: r.cluster for r in ivf_assignments(emb, cents).collect()}
+    probed = {r.cluster for r in got}
+    assert len(probed) <= 2
+    assert all(assign[r.neighbor_id] in probed for r in got)
+
+
 def test_pq_refine_reduces_quantization_error(spark):
     from pyspark.sql import functions as F
 
@@ -162,3 +188,43 @@ def test_bucket_cap_plan_is_join_free(spark, sf_dir):
     df = queries()["q112_lsh_bucket_cap"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_incremental_dedup_bucketed_corpus_never_reshuffles(spark, sf_dir):
+    """q113's 100 TB claim, pinned against the physical plan: with the
+    standing corpus's band index persisted BUCKETED BY bkey, the
+    batch-vs-corpus candidate join shuffles ONLY the incoming batch —
+    the corpus side reads its buckets in place."""
+    import uuid
+
+    from emap_spark.plans.text_dedup import lsh_band_keys, minhash_signatures
+    from emap_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.withColumn("w", F.split("text", " "))
+    sh = w.select("doc_id", F.explode(F.expr(_SH)).alias("s"))
+    bands = lsh_band_keys(minhash_signatures(sh, 8), 8, 2)
+
+    tag = uuid.uuid4().hex[:8]
+    t_index = f"corpus_band_index_{tag}"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bands.filter(F.col("doc_id") % 10 != 5).write.bucketBy(8, "bkey").sortBy(
+            "bkey"
+        ).mode("overwrite").saveAsTable(t_index)
+
+        batch = bands.filter(F.col("doc_id") % 10 == 5).withColumnRenamed(
+            "doc_id", "batch_doc"
+        )
+        corpus = spark.table(t_index).withColumnRenamed("doc_id", "dup_of")
+        cand = batch.join(corpus, "bkey")
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan  # corpus read in place
+        # exactly the batch side shuffles on bkey (signature groupBy
+        # shuffles on doc_id upstream; bkey exchanges must number ONE)
+        assert plan.count("Exchange hashpartitioning(bkey") == 1, plan
+        assert cand.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {t_index}")
