@@ -179,3 +179,25 @@ def test_resize_rescales_16bit_ppm(spark):
     row = resize_images(media, 2, 2).collect()[0]
     assert row.mean_value == 128.0  # round(32768 * 255 / 65535)
     assert bytes(row.payload).endswith(bytes([128]) * 12)
+
+
+def test_ivf_pq_corpus_side_stays_broadcast_joined(spark, sf_dir):
+    """q115's 100 TB shape: every join the corpus flows through is a
+    BROADCAST join (centroids, codebook, per-(query,cell) ADC tables —
+    all tiny by construction), so the corpus never shuffles for a join;
+    its only exchanges are the per-vector/per-query aggregation folds.
+    No sort-merge or shuffled-hash join may appear."""
+    plan = plan_of(spark, sf_dir, "q115_ivf_pq_topk")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark, sf_dir):
+    """q116's 100 TB shape: the held-out benchmark gram set is the
+    broadcast side of the contamination join — the training corpus is
+    never shuffled against it."""
+    plan = plan_of(spark, sf_dir, "q116_benchmark_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
