@@ -479,18 +479,10 @@ class EmapEngine:
                 return n
 
             def write_merges() -> int:
-                # identity messages (A40/A45/A47) are rare in most feeds;
-                # probe before writing — isEmpty is a limit-1 scan whose
-                # retired-* IsNotNull filters prune via parquet row-group
-                # stats, vs a full dedupe+write job for an empty frame
-                # (~0.5-0.9 s/batch measured). An absent batch dir reads
-                # as zero rows, so replay stays idempotent.
-                if merges.isEmpty():
-                    return 1
                 merges.write.mode("overwrite").parquet(
                     os.path.join(self.storage_root, f"merge_history/batch={batch_id}")
                 )
-                return 2
+                return 1
 
         else:
 
@@ -502,8 +494,21 @@ class EmapEngine:
                 self._merge_parts.append(cut(merges))
                 return 1
 
+        # identity messages (A40/A45/A47) are rare in most feeds: the
+        # merge-history write is GATED on the staging observation seeing
+        # one (zero extra actions; an absent batch dir reads as zero
+        # rows, so replay stays idempotent). The previous isEmpty probe
+        # re-parsed the batch in an escalating limit-scan every batch —
+        # ~0.5 s of single-task stages to conclude "nothing to write".
+        identity_gate = F.col("message_type").isin(*IDENTITY_TYPES) & (
+            F.col("retired_mrn").isNotNull()
+            | F.col("retired_visit_number").isNotNull()
+        )
         self.pipeline.process_batch(
-            adt_batch, batch_id, aux_tasks=[write_moves, write_merges]
+            adt_batch,
+            batch_id,
+            aux_tasks=[write_moves],
+            gated_aux=[(identity_gate, write_merges)],
         )
 
     def _update_location_visits(self, moves: DataFrame, batch_id: int) -> int:

@@ -316,12 +316,26 @@ class MergePipeline:
         return state.store, self._build_merge(name, deduped, stored).combined
 
     def process_batch(
-        self, batch_df: DataFrame, batch_id: int, aux_tasks: list | None = None
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        aux_tasks: list | None = None,
+        gated_aux: list | None = None,
     ) -> None:
         """aux_tasks: callables () -> int (spark actions spent) that are
         independent of the merge results (e.g. history-log writes); they
         run concurrently with the table merges and are joined before the
-        batch commits, so durability ordering is preserved."""
+        batch commits, so durability ordering is preserved.
+
+        gated_aux: (gate, task) pairs where gate is a boolean Column over
+        the raw batch. The gate rides the staging observation for FREE
+        (no extra action) and the task runs — concurrently with the
+        table merges, still joined before commit — only for batches that
+        contain a gate-true row. This replaces per-batch emptiness
+        probes: e.g. identity messages (A40/A45/A47) are rare in most
+        feeds, and probing `merges.isEmpty()` re-parsed the batch in an
+        escalating limit-scan (~0.5 s of single-task stages) every batch
+        just to conclude "nothing to write"."""
         spark = batch_df.sparkSession
         if self.storage_root is not None:
             self.load(spark)
@@ -334,11 +348,9 @@ class MergePipeline:
         # their jobs overlap the staging materialization below (the
         # table merges must wait for staging; the histories need not)
         aux_tasks = aux_tasks or []
-        ex = (
-            ThreadPoolExecutor(max_workers=len(self.tables) + len(aux_tasks))
-            if (len(self.tables) + len(aux_tasks)) > 1
-            else None
-        )
+        gated_aux = gated_aux or []
+        n_workers = len(self.tables) + len(aux_tasks) + len(gated_aux)
+        ex = ThreadPoolExecutor(max_workers=n_workers) if n_workers > 1 else None
         aux_futs = [ex.submit(task) for task in aux_tasks] if ex else []
 
         # ONE materializing pass computes dedupe + validation + metrics
@@ -391,7 +403,13 @@ class MergePipeline:
                 ),
                 F.lit(0),
             ).alias("n_quarantined")
-        staged = staged.observe(obs_out, n_dedup_agg, n_quar_agg, *flag_aggs)
+        gate_aggs = [
+            F.coalesce(F.max(gate.cast("int")), F.lit(0)).alias(f"__gaux_{i}")
+            for i, (gate, _) in enumerate(gated_aux)
+        ]
+        staged = staged.observe(
+            obs_out, n_dedup_agg, n_quar_agg, *flag_aggs, *gate_aggs
+        )
         # staging is map-only, so output file count = input partition
         # count (a generator/union source arrives at full parallelism:
         # 32 tiny files for a 20k batch, each re-read by every table
@@ -419,6 +437,15 @@ class MergePipeline:
             name: bool(obs_out.get[f"__unt_{name}"])
             for name in self.untrusted_flags
         }
+        # fire the gated aux tasks whose gate observed a true row; they
+        # join the same pre-commit barrier as the unconditional aux tasks
+        fired = [
+            task
+            for i, (_, task) in enumerate(gated_aux)
+            if int(obs_out.get[f"__gaux_{i}"])
+        ]
+        if ex is not None:
+            aux_futs = aux_futs + [ex.submit(task) for task in fired]
         deduped = staged.filter(F.col("__valid")).drop("__valid")
         if n_quarantined:
             bad = staged.filter(~F.col("__valid")).drop("__valid")
@@ -490,7 +517,7 @@ class MergePipeline:
         else:
             for name in self.tables:
                 self._n_actions += self._merge_one_table(name, deduped, batch_id, stored)
-            for task in aux_tasks:
+            for task in aux_tasks + fired:
                 self._n_actions += task()
 
         # the monotone store flag flips AFTER the merges consumed this
