@@ -134,3 +134,36 @@ def test_quarantine_and_stored_from_monotonic(spark, tmpdir):
     from emap_spark.streaming.pipeline import stored_from_for_batch
 
     assert stored_from_for_batch(61) > stored_from_for_batch(60) > stored_from_for_batch(0)
+
+
+def test_merge_history_write_is_gated_on_identity_presence(spark, tmpdir):
+    """The merge-history write rides the staging observation's gate:
+    identity-free batches write NO merge_history dir (and spend no probe
+    job), an identity-carrying batch writes exactly its own dir, and
+    mrn_to_live still resolves the merge chain after a restart."""
+    import os
+
+    adt = adt_messages(spark, n_patients=4)  # emits NO identity messages
+    eng = EmapEngine(storage_root=tmpdir)
+    eng.process_batch(adt, batch_id=0)
+    hist_root = os.path.join(tmpdir, "merge_history")
+    assert not os.path.isdir(hist_root)
+
+    mrns = sorted(r.mrn for r in eng.table("mrn").select("mrn").collect())
+    a, b = mrns[0], mrns[1]
+    merge_msg = adt.limit(1).select(
+        *[
+            F.lit("MERGE").alias(c) if c == "message_type"
+            else F.lit(a).alias(c) if c == "retired_mrn"
+            else F.lit(b).alias(c) if c == "mrn"
+            else F.col(c)
+            for c in adt.columns
+        ]
+    )
+    eng.process_batch(merge_msg, batch_id=1)
+    assert sorted(os.listdir(hist_root)) == ["batch=1"]
+
+    eng2 = EmapEngine(storage_root=tmpdir)
+    eng2.load(spark)
+    live = {r.mrn: r.live_mrn for r in eng2.mrn_to_live().collect()}
+    assert live[a] == b
