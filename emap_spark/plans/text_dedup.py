@@ -1362,3 +1362,62 @@ SELECT doc_id, source, round(rate, 6) AS rate FROM d WHERE u < rate
 )
 def q117_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q118: verbatim span self-overlap (the exact-substring dedup signal)
+# --------------------------------------------------------------------------
+# Near-dup dedup (q47/q57/q108) removes whole documents; production
+# pipelines ALSO measure verbatim span overlap INSIDE the surviving
+# corpus (boilerplate, quotations, mirrored passages) and trim or
+# down-weight documents dominated by text that exists elsewhere. This
+# is the span-granular, Spark-shaped form of exact-substring dedup:
+# hash every positional n-gram, count how many docs carry each span
+# (one explode + one groupBy), and join the counts back (on the same
+# key the groupBy just partitioned by — exchange-reused, corpus-linear;
+# no suffix array, no self-join).
+def span_overlap_report(docs: DataFrame, n: int = NGRAM_DECONTAM) -> DataFrame:
+    """Per doc: distinct n-gram spans, how many also appear in >=1
+    OTHER doc, and the shared fraction — the trim/down-weight signal."""
+    grams = _ngram_hashes(docs, n).select("doc_id", "g")
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    per_doc = (
+        grams.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_spans"), 6).alias("shared_frac"),
+    )
+
+
+@register(
+    "q118_span_self_overlap",
+    oracle=f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, unnest({_NGRAM_SQL}) AS g FROM w),
+cnt AS (SELECT g, count(*) AS nd FROM g GROUP BY g)
+SELECT doc_id,
+       count(*) AS n_spans,
+       sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_shared,
+       round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS shared_frac
+FROM g JOIN cnt USING (g)
+GROUP BY doc_id
+""",
+    doc=(
+        "Verbatim 8-gram span self-overlap per document — the "
+        "exact-substring dedup signal (boilerplate/quotation mass) "
+        "used to trim or down-weight docs dominated by text that "
+        "exists elsewhere. One explode + one groupBy + a counts join "
+        "on the groupBy's own partitioning: corpus-linear."
+    ),
+)
+def q118_span_self_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_overlap_report(_docs(spark, sf_dir))

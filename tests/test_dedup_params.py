@@ -208,3 +208,26 @@ def test_mixture_sample_is_deterministic_and_rate_accurate(spark):
     kept_b = sum(1 for i in a if i % 2 == 1) / 1000
     assert abs(kept_a - 0.25) < 0.05
     assert abs(kept_b - 0.75) < 0.05
+
+
+def test_span_overlap_flags_boilerplate_mass(spark):
+    """q118's operator: a doc that is pure boilerplate shared with
+    another doc reports shared_frac 1.0; a unique doc reports 0."""
+    from emap_spark.plans.text_dedup import span_overlap_report
+
+    boiler = " ".join(f"b{k}" for k in range(30))
+    unique = " ".join(f"u{k}" for k in range(30))
+    half = " ".join(f"b{k}" for k in range(15)) + " " + " ".join(
+        f"h{k}" for k in range(15)
+    )
+    docs = spark.createDataFrame(
+        [(0, boiler, "s"), (1, boiler, "s"), (2, unique, "s"), (3, half, "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in span_overlap_report(docs, 8).collect()}
+    assert out[0].shared_frac == 1.0 and out[1].shared_frac == 1.0
+    assert out[2].n_shared == 0
+    # doc 3's spans starting at positions 1..8 sit fully inside its
+    # 15 boilerplate tokens (start i covers i..i+7, i+7 <= 15) and all
+    # appear in the boiler doc; every later span crosses into h-tokens
+    assert out[3].n_shared == 8 and out[3].n_spans == 23

@@ -37,6 +37,10 @@ settings.load_profile(
 # scheduled budget grows); per-test @settings would otherwise pin the
 # profile's example count.
 _EXPLORE_MULT = 4 if os.environ.get("HYPOTHESIS_EXPLORE") else 1
+# message-sequence depth knob for explore runs: longer sequences
+# exercise interactions (multiple retro-creations/voids interleaved
+# across batches) the default bound cannot express
+_MAX_MSGS = int(os.environ.get("EMAP_DIFF_MAX_MSGS", "8"))
 
 
 def _n(n: int) -> int:
@@ -158,7 +162,7 @@ msg_strategy = st.fixed_dictionaries(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(st.lists(msg_strategy, min_size=1, max_size=8))
+@given(st.lists(msg_strategy, min_size=1, max_size=_MAX_MSGS))
 def test_batch_fold_equals_sequential_model(spark, raw):
     messages = []
     for i, r in enumerate(raw):
@@ -213,7 +217,7 @@ def test_batch_fold_equals_sequential_model(spark, raw):
     split=[0, 0, 1],
 )
 @given(
-    st.lists(msg_strategy, min_size=1, max_size=8),
+    st.lists(msg_strategy, min_size=1, max_size=_MAX_MSGS),
     st.lists(st.integers(0, 2), min_size=2, max_size=8),
 )
 def test_message_granularity_fold_equals_sequential_model(spark, raw, split):
@@ -339,7 +343,7 @@ trusted_msg_strategy = st.fixed_dictionaries(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
-    st.lists(trusted_msg_strategy, min_size=1, max_size=8),
+    st.lists(trusted_msg_strategy, min_size=1, max_size=_MAX_MSGS),
     st.lists(st.integers(0, 2), min_size=2, max_size=8),
 )
 # pinned falsifier (explore run, round 4): a voided untrusted
@@ -412,7 +416,7 @@ def test_trusted_matrix_batch_and_versions_agree_with_model(spark, raw, split):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
-    st.lists(msg_strategy, min_size=2, max_size=8),
+    st.lists(msg_strategy, min_size=2, max_size=_MAX_MSGS),
     st.lists(st.integers(0, 2), min_size=2, max_size=8),
 )
 def test_all_persistence_modes_agree(spark, tmp_path_factory, raw, split):
@@ -537,7 +541,7 @@ mixed_msg_strategy = st.fixed_dictionaries(
     split=[0, 0, 2],
 )
 @given(
-    st.lists(mixed_msg_strategy, min_size=1, max_size=8),
+    st.lists(mixed_msg_strategy, min_size=1, max_size=_MAX_MSGS),
     st.lists(st.integers(0, 2), min_size=2, max_size=8),
 )
 def test_mixed_trust_per_key_agrees_with_model(spark, raw, split):
