@@ -228,3 +228,62 @@ def test_incremental_dedup_bucketed_corpus_never_reshuffles(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {t_index}")
+
+
+def test_corpus_dedup_streaming_loop(spark):
+    """CorpusDedup: the continuous-ingestion loop — batch 0 seeds the
+    index, a batch-1 near-dup of a batch-0 doc is flagged and NOT
+    admitted, a batch-2 near-dup of a batch-1 SURVIVOR is flagged
+    (the index grew), novel docs admit; and the candidate join reads
+    the corpus buckets in place (only the batch side shuffles)."""
+    import uuid
+
+    from emap_spark.streaming.dedup import CorpusDedup
+
+    rng = random.Random(61)
+    vocab = [f"w{k}" for k in range(400)]
+
+    def doc(i):
+        return (i, " ".join(vocab[rng.randrange(len(vocab))] for _ in range(60)))
+
+    def mutate(d, new_id):
+        words = d[1].split(" ")
+        words[30] = "MUTANT"
+        return (new_id, " ".join(words))
+
+    base = [doc(i) for i in range(6)]
+    fresh1, fresh2 = doc(100), doc(200)
+    # production width: 1-word mutations sit at Jaccard ~0.9, where the
+    # toy 2x4 banding has only ~88% recall — 16x8 bands catch them
+    dd = CorpusDedup(
+        spark, f"cdx_{uuid.uuid4().hex[:8]}", n_hashes=128, n_bands=16,
+        threshold=0.5,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        d0 = {r.doc_id: r for r in dd.process_batch(
+            spark.createDataFrame(base, "doc_id long, text string"), 0
+        ).collect()}
+        assert all(r.admitted for r in d0.values()) and len(d0) == 6
+
+        b1 = [mutate(base[2], 1002), fresh1]
+        d1 = {r.doc_id: r for r in dd.process_batch(
+            spark.createDataFrame(b1, "doc_id long, text string"), 1
+        ).collect()}
+        assert d1[1002].dup_of == 2 and not d1[1002].admitted
+        assert d1[100].admitted
+
+        # near-dup of batch-1's SURVIVOR: only findable if the index grew
+        b2 = [mutate(fresh1, 2100), fresh2]
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch2 = spark.createDataFrame(b2, "doc_id long, text string")
+        d2df = dd.process_batch(batch2, 2)
+        d2 = {r.doc_id: r for r in d2df.collect()}
+        assert d2[2100].dup_of == 100 and not d2[2100].admitted
+        assert d2[200].admitted
+        # rejected docs never entered the index
+        ids = {r.doc_id for r in spark.table(dd.sets_table).collect()}
+        assert ids == {0, 1, 2, 3, 4, 5, 100, 200}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        dd.drop()
