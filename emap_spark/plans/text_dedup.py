@@ -1421,3 +1421,131 @@ GROUP BY doc_id
 )
 def q118_span_self_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_overlap_report(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q119: character-trigram language ID (the n-gram classifier)
+# --------------------------------------------------------------------------
+# q42 profiles the corpus BY its language label; this is the classifier
+# that PRODUCES such a label: per-language character-trigram profiles
+# (top-K trigrams by frequency, learned from a labeled train split) are
+# broadcast, every document's own top trigrams join them, and the
+# predicted language is the profile sharing the most — the CLD-style
+# n-gram recipe. Corpus-linear: one trigram explode + two bounded
+# groupBys; the profile side is K x n_languages rows, always broadcast.
+LANG_TOP_K = 40
+
+
+def _char_trigrams(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tg"),
+    )
+
+
+def lang_ngram_id(docs: DataFrame, top_k: int = LANG_TOP_K) -> DataFrame:
+    """Predict each doc's language by top-trigram overlap with
+    per-language profiles learned from the train split (doc_id % 5 != 0
+    — so every doc, train or held-out, gets a prediction from profiles
+    it did not fully determine). Deterministic: trigram ranks tie-break
+    lexicographically, language argmax ties break alphabetically."""
+    tg = _char_trigrams(docs)
+    wd = W.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tg"))
+    doc_top = (
+        tg.groupBy("doc_id", "tg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("__rk", F.row_number().over(wd))
+        .filter(F.col("__rk") <= top_k)
+        .select("doc_id", "tg")
+    )
+    wl = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tg"))
+    profile = (
+        tg.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("lang", "tg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("__rk", F.row_number().over(wl))
+        .filter(F.col("__rk") <= top_k)
+        .select(F.col("lang").alias("cand_lang"), "tg")
+    )
+    scores = (
+        doc_top.join(F.broadcast(profile), "tg")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    wbest = W.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_lang")
+    )
+    best = (
+        scores.withColumn("__rk", F.row_number().over(wbest))
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", F.col("cand_lang").alias("predicted_lang"), "score")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("predicted_lang"), F.lit("und")).alias("predicted_lang"),
+            F.coalesce(F.col("score"), F.lit(0)).alias("score"),
+        )
+    )
+
+
+@register(
+    "q119_lang_ngram_id",
+    oracle=f"""
+WITH tg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+                i -> substr(text, i, 3))) AS tg
+  FROM documents
+),
+doc_top AS (
+  SELECT doc_id, tg FROM (
+    SELECT doc_id, tg, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY count(*) DESC, tg) AS rk
+    FROM tg GROUP BY doc_id, tg
+  ) WHERE rk <= {LANG_TOP_K}
+),
+profile AS (
+  SELECT lang AS cand_lang, tg FROM (
+    SELECT lang, tg, count(*) AS cnt,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY count(*) DESC, tg) AS rk
+    FROM tg WHERE doc_id % 5 <> 0 GROUP BY lang, tg
+  ) WHERE rk <= {LANG_TOP_K}
+),
+scores AS (
+  SELECT d.doc_id, p.cand_lang, count(*) AS score
+  FROM doc_top d JOIN profile p USING (tg)
+  GROUP BY d.doc_id, p.cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang AS predicted_lang, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, cand_lang) AS rk
+    FROM scores
+  ) WHERE rk = 1
+)
+SELECT d.doc_id, d.lang,
+       coalesce(b.predicted_lang, 'und') AS predicted_lang,
+       coalesce(b.score, 0) AS score
+FROM documents d LEFT JOIN best b USING (doc_id)
+""",
+    doc=(
+        "Character-trigram language ID: per-language top-40 trigram "
+        "profiles (train split doc_id % 5 != 0) broadcast against every "
+        "doc's own top trigrams; predicted language = most shared "
+        "profile — the CLD-style n-gram classifier, corpus-linear."
+    ),
+)
+def q119_lang_ngram_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_ngram_id(_docs(spark, sf_dir))

@@ -231,3 +231,32 @@ def test_span_overlap_flags_boilerplate_mass(spark):
     # 15 boilerplate tokens (start i covers i..i+7, i+7 <= 15) and all
     # appear in the boiler doc; every later span crosses into h-tokens
     assert out[3].n_shared == 8 and out[3].n_spans == 23
+
+
+def test_lang_ngram_id_discriminates_planted_alphabets(spark):
+    """q119's classifier on genuinely distinguishable languages: docs
+    drawn from disjoint alphabets classify to their own language's
+    profile, including a held-out (train-split-excluded) doc."""
+    from emap_spark.plans.text_dedup import lang_ngram_id
+
+    rng = random.Random(67)
+
+    def prose(letters, n=120):
+        return "".join(
+            rng.choice(letters) if rng.random() > 0.18 else " "
+            for _ in range(n)
+        )
+
+    rows = []
+    for i in range(12):
+        rows.append((i * 2 + 1, prose("abcdefg"), "aa"))   # odd ids: train
+        rows.append((i * 2 + 100, prose("tuvwxyz"), "zz"))
+    rows.append((0, prose("abcdefg"), "aa"))    # doc 0: held out of train
+    rows.append((200, prose("tuvwxyz"), "zz"))  # held out (200 % 5 == 0)
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in lang_ngram_id(docs).collect()}
+    assert all(r.predicted_lang == r.lang for r in out.values()), [
+        (r.doc_id, r.lang, r.predicted_lang) for r in out.values()
+        if r.predicted_lang != r.lang
+    ]
+    assert out[0].score > 0 and out[200].score > 0
