@@ -697,6 +697,35 @@ def q114_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESID = "zip_with({a}, {b}, (x, y) -> cast(x as double) - cast(y as double))"
 
 
+def ivf_residuals(assign: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cluster) + broadcast centroids ->
+    (vec_id, cluster, re) residual vectors."""
+    return assign.join(F.broadcast(cents), "cluster").select(
+        "vec_id",
+        "cluster",
+        F.expr(_RESID.format(a="embedding", b="ce")).alias("re"),
+    )
+
+
+def pq_encode_residuals(resid: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, cluster, re) -> (vec_id, cluster, codes): argmin
+    squared-L2 per subspace against the broadcast codebook (code-id
+    tie-break) — the corpus never shuffles its floats."""
+    slices = F.array(
+        *[F.slice(F.col("re"), j * SUB_DIM + 1, SUB_DIM) for j in range(M_SUB)]
+    )
+    sub = resid.select("vec_id", "cluster", F.posexplode(slices).alias("j", "sv"))
+    wbest = W.partitionBy("vec_id", "j").orderBy(_d2("sv", "cv"), F.col("code"))
+    return (
+        sub.join(F.broadcast(codebook), "j")
+        .withColumn("__rk", F.row_number().over(wbest))
+        .filter(F.col("__rk") == 1)
+        .groupBy("vec_id", "cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("a"))
+        .select("vec_id", "cluster", F.expr("transform(a, x -> x.code)").alias("codes"))
+    )
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     n_queries: int = N_QUERIES,
@@ -716,29 +745,13 @@ def ivf_pq_topk(
         F.col("vec_id").alias("cluster"), F.col("embedding").alias("ce")
     )
     assign = ivf_assignments(emb, cents)
-    resid = assign.join(F.broadcast(cents), "cluster").select(
-        "vec_id",
-        "cluster",
-        F.expr(_RESID.format(a="embedding", b="ce")).alias("re"),
-    )
+    resid = ivf_residuals(assign, cents)
     # residual codebook: the first k vectors' residual slices (seeded,
     # deterministic — production trains offline with k-means, same shape)
     seeds = _subspace_rows(
         resid.filter(F.col("vec_id") < k), "vec_id", "re", "cv"
     ).select(F.col("vec_id").alias("code"), "j", "cv")
-    slices = F.array(
-        *[F.slice(F.col("re"), j * SUB_DIM + 1, SUB_DIM) for j in range(M_SUB)]
-    )
-    sub = resid.select("vec_id", "cluster", F.posexplode(slices).alias("j", "sv"))
-    wbest = W.partitionBy("vec_id", "j").orderBy(_d2("sv", "cv"), F.col("code"))
-    codes = (
-        sub.join(F.broadcast(seeds), "j")
-        .withColumn("__rk", F.row_number().over(wbest))
-        .filter(F.col("__rk") == 1)
-        .groupBy("vec_id", "cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("a"))
-        .select("vec_id", "cluster", F.expr("transform(a, x -> x.code)").alias("codes"))
-    )
+    codes = pq_encode_residuals(resid, seeds)
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )

@@ -287,3 +287,44 @@ def test_corpus_dedup_streaming_loop(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         dd.drop()
+
+
+def test_vector_index_build_append_query_with_partition_pruning(spark, tmp_path):
+    """VectorIndex: an appended near-duplicate of the query is found via
+    the durable index, and the codes scan prunes to the probed cells'
+    PARTITIONS (static PartitionFilters — the physical form of q115's
+    'cluster = partition column at scale' claim)."""
+    from emap_spark.operators.vector_index import VectorIndex
+
+    rng = random.Random(71)
+
+    def blob(center, n, start_id):
+        return [
+            (start_id + j, [center + rng.uniform(-0.4, 0.4) for _ in range(64)])
+            for j in range(n)
+        ]
+
+    base = blob(0.0, 20, 0) + blob(4.0, 20, 100) + blob(-4.0, 20, 200)
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    idx = VectorIndex(spark, str(tmp_path / "vidx"), kc=3, k=K_CODES)
+    idx.build(emb)
+
+    # append a batch containing an exact copy of the query vector
+    qvec = base[5][1]
+    extra = [(900, list(qvec)), *blob(4.0, 5, 300)]
+    idx.add_batch(
+        spark.createDataFrame(extra, "vec_id long, embedding array<double>")
+    )
+
+    q = spark.createDataFrame(
+        [(5, qvec)], "query_id long, qe array<double>"
+    )
+    out = idx.query(q, n_probes=2, top_k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the codes scan carries the probe clusters as PARTITION filters
+    assert "PartitionFilters" in plan and "cluster" in plan
+    got = out.collect()
+    # the appended exact duplicate shares cell + codes -> minimum ADC
+    assert got[0].neighbor_id == 900
+    # every neighbor came from a probed cell (<= n_probes distinct)
+    assert len({r.cluster for r in got}) <= 2
