@@ -328,3 +328,32 @@ def test_vector_index_build_append_query_with_partition_pruning(spark, tmp_path)
     assert got[0].neighbor_id == 900
     # every neighbor came from a probed cell (<= n_probes distinct)
     assert len({r.cluster for r in got}) <= 2
+
+
+def test_vector_index_matches_ivf_pq_plan_exactly(spark, tmp_path):
+    """The durable index path (build -> query) returns bit-identical
+    results to the q115 in-plan operator on the same corpus: same
+    quantizers, same ADC fold, same tie-breaks."""
+    from emap_spark.operators.vector_index import VectorIndex
+    from emap_spark.plans.similarity import ivf_pq_topk
+
+    rng = random.Random(79)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    expect = sorted(
+        (r.query_id, r.neighbor_id, r.cluster, r.adc_d2)
+        for r in ivf_pq_topk(
+            emb, n_queries=3, kc=8, n_probes=2, k=K_CODES, top_k=10
+        ).collect()
+    )
+    idx = VectorIndex(spark, str(tmp_path / "vidx_eq"), kc=8, k=K_CODES)
+    idx.build(emb)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.cluster, r.adc_d2)
+        for r in idx.query(q, n_probes=2, top_k=10).collect()
+    )
+    assert got == expect
