@@ -554,12 +554,18 @@ GROUP BY doc_id
     doc="Winnowing-style fingerprint: min hash over rolling 2-gram windows.",
 )
 def q49_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # zero-shuffle (same trick as simhash): the rolling windows live in a
+    # per-row array, so min-hash and distinct-count are array folds in
+    # one projection — no explode, no groupBy exchange; a pure map over
+    # the corpus at any scale
     d = _words(_docs(spark, sf_dir))
-    grams = F.expr("transform(sequence(1, size(w)-1), i -> concat_ws(' ', w[i-1], w[i]))")
-    g = d.select("doc_id", F.explode(grams).alias("s"))
-    return g.groupBy("doc_id").agg(
-        F.min(F.md5(F.col("s").cast("binary"))).alias("fingerprint"),
-        F.countDistinct("s").alias("n_windows"),
+    grams = "transform(sequence(1, size(w)-1), i -> concat_ws(' ', w[i-1], w[i]))"
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"array_min(transform({grams}, s -> md5(cast(s as binary))))"
+        ).alias("fingerprint"),
+        F.expr(f"size(array_distinct({grams}))").cast("long").alias("n_windows"),
     )
 
 
