@@ -881,3 +881,69 @@ FROM (
 )
 def q115_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(_emb(spark, sf_dir), N_QUERIES, 8, 2, K_CODES, TOP_K)
+
+
+# --------------------------------------------------------------------------
+# q120: embedding near-dup CLUSTERS + survivors (completes the symmetry:
+# text has pairs -> clusters -> survivors; q59 stopped at pairs)
+# --------------------------------------------------------------------------
+@register(
+    "q120_cosine_near_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE seeded AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> (x * 1.05)::FLOAT)
+  FROM embeddings WHERE vec_id < 5
+),
+b AS (SELECT vec_id, embedding,
+  ({_SQL_BUCKET}) AS bucket FROM seeded),
+dup AS (
+  SELECT a.vec_id AS src_id, c.vec_id AS dup_id
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE round({_sql_cos('a.embedding', 'c.embedding')}, 4) >= {NEARDUP_THRESHOLD}
+),
+edges AS (
+  SELECT src_id AS a, dup_id AS b FROM dup
+  UNION SELECT dup_id, src_id FROM dup
+),
+reach(a, b) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+),
+cc AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a)
+SELECT cluster_id,
+       count(*)::BIGINT AS n_vecs,
+       cluster_id AS survivor_vec_id,
+       (count(*) - 1)::BIGINT AS n_removed
+FROM cc
+GROUP BY cluster_id
+HAVING count(*) > 1
+""",
+    doc=(
+        "Embedding near-dup CLUSTERING: q59's verified cosine pairs "
+        "collapse to connected components (min-label propagation, "
+        "bounded rounds) with one survivor per cluster — the embedding-"
+        "side counterpart of q108, the operation that actually shrinks "
+        "a vector corpus. Same seeded positives as q59."
+    ),
+)
+def q120_cosine_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.plans.text_dedup import connected_components
+
+    pairs = q59_cosine_near_dup_pairs(spark, sf_dir).select(
+        F.col("src_id").alias("doc_a"), F.col("dup_id").alias("doc_b")
+    )
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .filter(F.col("n_vecs") > 1)
+        .select(
+            "cluster_id",
+            "n_vecs",
+            F.col("cluster_id").alias("survivor_vec_id"),
+            (F.col("n_vecs") - 1).cast("long").alias("n_removed"),
+        )
+    )
