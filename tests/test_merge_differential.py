@@ -36,7 +36,11 @@ settings.load_profile(
 # this harness found every real engine bug three rounds running, so its
 # scheduled budget grows); per-test @settings would otherwise pin the
 # profile's example count.
-_EXPLORE_MULT = 4 if os.environ.get("HYPOTHESIS_EXPLORE") else 1
+_EXPLORE_MULT = (
+    int(os.environ.get("HYPOTHESIS_EXPLORE_MULT", "4"))
+    if os.environ.get("HYPOTHESIS_EXPLORE")
+    else 1
+)
 # message-sequence depth knob for explore runs: longer sequences
 # exercise interactions (multiple retro-creations/voids interleaved
 # across batches) the default bound cannot express
