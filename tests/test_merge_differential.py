@@ -18,6 +18,7 @@ from __future__ import annotations
 import datetime
 import os
 
+import pytest
 from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 settings.register_profile(
@@ -683,3 +684,46 @@ def test_early_creator_retro_creates(spark):
     # exists and is superseded at the stored write's time
     aud = r2.audit.collect()
     assert [(x.a, x.valid_until) for x in aud] == [("aX", t0)]
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="KNOWN BUG (found by the r6 mult-8 explore hunt; pre-existing "
+    "since the M6 machinery): in a MIXED incarnation (untrusted creation "
+    "+ later trusted writes) the stored __untrusted flag is last-writer-"
+    "level, so per-field provenance is lost — a retro-creating (or "
+    "earlier-trusted) void resurrects the creation's TS_TRACKED "
+    "contributions (FILL/TRISTATE; ASSIGN is already handled by the "
+    "UNTRUSTED_EPOCH floor). Fix design in SURVEY round-6 ledger: store "
+    "__ucre (incarnation created by untrusted msg); per-field provenance "
+    "= __ucre & (__ts_f == __cre_t); pseudo seeds carry per-FIELD __unt "
+    "and skip collapse/riding for provenance-true fields; generalize "
+    "m6_tr_voids to mixed stores via anchor-carried creation time; "
+    "mirror as per-field masks in _mb_templates.",
+)
+def test_void_drops_mixed_store_untrusted_fill_and_tristate(spark):
+    """An untrusted creation carrying a FILL and a TRISTATE, a later
+    trusted write touching only ASSIGN, then an EARLIER untrusted
+    retro-creator in a later batch: in event order the retro-creator
+    creates, the stored creation is skipped, so its fill/tristate
+    contributions must vanish while the trusted ASSIGN survives."""
+    t9 = Row(value="t9", status="SAVE")
+    ign = Row(value=None, status="IGNORE")
+
+    def m(minute, seq, a, f, t, trusted):
+        return Row(
+            k="x", valid_from=datetime.datetime(2024, 1, 1, 0, minute, seq),
+            seq=seq, a=a, f=f, t=t, dead=False, trusted=trusted,
+        )
+
+    for merge in (merge_batch, merge_batch_versions):
+        b0 = spark.createDataFrame(
+            [m(7, 1, None, "f1", t9, False), m(26, 2, "a1", None, ign, True)],
+            TRUSTED_SCHEMA,
+        )
+        r1 = merge(None, b0, TRUSTED_SPEC, "2024-06-01 00:00:00")
+        b2 = spark.createDataFrame([m(0, 3, None, None, ign, False)], TRUSTED_SCHEMA)
+        r2 = merge(r1.current, b2, TRUSTED_SPEC, "2024-06-01 00:00:02")
+        rows = r2.current.filter("NOT is_deleted").collect()
+        got = (rows[0].a, rows[0].f, rows[0].t)
+        assert got == ("a1", None, None), (merge.__name__, got)
