@@ -803,7 +803,28 @@ def _mb_templates(spec: MergeSpec) -> dict:
         creator_acts = (
             cur_exists & creator_t.isNotNull() & (creator_t < first_guard)
         )
-        un_replaces = creator_acts & cur_unt
+        # PER-FIELD untrusted provenance (the r6 mixed-incarnation fix):
+        # a TS_TRACKED field whose stored last-write time sits at the
+        # UNTRUSTED_EPOCH floor was written by this incarnation's
+        # untrusted CREATION (only creators write untrusted, and
+        # untrusted write times are floored; trusted writes always store
+        # real event times). This is the marker the row-level
+        # __untrusted flag loses once a later trusted write lands on
+        # OTHER fields — without it, voiding a mixed store resurrected
+        # the creation's fills/tristates (explore-hunt falsifier, r6).
+        # For any untrusted-created incarnation first_guard (__first_t)
+        # IS the creation's real event time (a creator only acts when
+        # its time precedes every applied event), so the void
+        # comparisons below need no separate creation-time column.
+        _floored = {
+            name: F.col(f"cur.__ts_{name}").eqNullSafe(floor_lit)
+            for name, p in spec.fields.items()
+            if p in TS_TRACKED
+        }
+        cur_has_unt_fields = F.lit(False)
+        for _fl in _floored.values():
+            cur_has_unt_fields = cur_has_unt_fields | _fl
+        cur_ucre = cur_unt | cur_has_unt_fields
         # a TRUSTED update with an earlier REAL event time than the
         # stored untrusted creation also voids it (m6_tr_voids in the
         # message-granularity templates — same rule, same reason: in
@@ -811,18 +832,27 @@ def _mb_templates(spec: MergeSpec) -> dict:
         # untrusted creation never happened and its contributions,
         # fills included, must not survive)
         tr_min_t = F.col("cnd.__tr_min_t")
-        tr_voids = (
+        tr_voids_any = (
             cur_exists
-            & cur_unt
+            & cur_ucre
             & tr_min_t.isNotNull()
             & (tr_min_t < first_guard)
         )
         creator_invalid = creator_t.isNotNull() & cur_exists & ~creator_acts
-        un_replaces = un_replaces | tr_voids
+        voided = creator_acts | tr_voids_any
+        # pure untrusted-origin store: voided WHOLESALE (the batch
+        # rebuilds the entity from its own contributions alone)
+        un_replaces = voided & cur_unt
+        # MIXED store (untrusted creation + later trusted writes): the
+        # trusted state survives; only the creation's own per-field
+        # contributions — identified by their floored __ts — are masked
+        partial_void = voided & ~cur_unt & cur_has_unt_fields
     else:
         un_replaces = F.lit(False)
         creator_acts = F.lit(False)
         creator_invalid = F.lit(False)
+        partial_void = F.lit(False)
+        _floored = {}
     cnd_applies = cnd_exists & (
         F.col("cnd.__trusted") | ~cur_exists | un_replaces | creator_acts
     )
@@ -892,6 +922,10 @@ def _mb_templates(spec: MergeSpec) -> dict:
             field_wiped = wiped | (
                 cnd_applies & tomb_t.isNotNull() & (cur_ts0 < tomb_t)
             )
+            if spec.trusted:
+                # mixed-incarnation void: the stored creation's own
+                # contributions (floored __ts) read as never-written
+                field_wiped = field_wiped | (partial_void & _floored[name])
             cur_ts = F.when(
                 field_wiped, F.lit(None).cast("timestamp_ntz")
             ).otherwise(cur_ts0)
@@ -1045,7 +1079,7 @@ def _mb_templates(spec: MergeSpec) -> dict:
         & F.col("cnd.__trusted")
         & ~F.col("cnd.__tombstone")
         & tomb_t.isNull()
-        & cur_exists & ~cur_deleted & ~wiped & ~un_replaces
+        & cur_exists & ~cur_deleted & ~wiped & ~un_replaces & ~partial_void
         & first_live.isNotNull()
         & cre.isNotNull()
         & (first_live < cre)
@@ -1445,11 +1479,26 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
         )
         # floor seeds keep their REAL time (a tombstone's position in
         # event order is its time regardless of source trust)
-        seed_unt = (
-            F.coalesce(F.col("__untrusted"), F.lit(False))
-            if spec.trusted and not is_floor
-            else F.lit(False)
-        )
+        if not spec.trusted or is_floor:
+            seed_unt = F.lit(False)
+        elif is_anchor:
+            seed_unt = F.coalesce(F.col("__untrusted"), F.lit(False))
+        else:
+            # PER-FIELD provenance (r6 mixed-incarnation fix): a pseudo
+            # seed positioned at the UNTRUSTED_EPOCH floor carries a
+            # field written by this incarnation's untrusted CREATION
+            # (only creators write untrusted; their write times are
+            # floored) — mark it __unt so a void (m6_keep) drops it even
+            # when the row-level __untrusted flag was cleared by a later
+            # trusted write. A floored pseudo can never collapse onto
+            # the anchor or ride a non-floored emitter (anchor_t >=
+            # valid_from, a real event time > the 1800 floor), so the
+            # creation's contributions always drop independently.
+            seed_unt = F.coalesce(F.col("__untrusted"), F.lit(False)) | (
+                _ts_pos(which).eqNullSafe(
+                    F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
+                )
+            )
         cols += [
             t.alias(spec.event_time),
             seed_seq.alias("__seq"),
@@ -1693,9 +1742,22 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
         # the key's earliest-ever APPLIED event, carried by the anchor
         # seed (__first_t metadata; null when no stored state exists)
         stored_first = F.max(F.col("__first")).over(wfull)
-        unt_anchor_vf = F.max(
-            F.when(F.col("__anchor") & F.col("__unt"), F.col(spec.event_time))
-        ).over(wfull)
+        # any stored untrusted provenance: a pure untrusted-origin
+        # anchor OR a floored pseudo seed (a MIXED incarnation's
+        # creation contribution — see the per-field __unt in
+        # _seed_struct). When it exists, the stored creation was
+        # untrusted and its real event time IS stored_first (an
+        # untrusted creator only acts when its time precedes every
+        # applied event, so it is the key's earliest applied event).
+        stored_unt_any = (
+            F.coalesce(
+                F.max(
+                    F.when(F.col("__seed") & F.col("__unt"), F.lit(1))
+                ).over(wfull),
+                F.lit(0),
+            )
+            == 1
+        )
         first_is_unt = (
             F.coalesce(
                 F.max(
@@ -1732,9 +1794,10 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
             F.when(~F.col("__seed") & F.col("__trusted"), F.col(spec.event_time))
         ).over(wfull)
         t["m6_tr_voids"] = (
-            unt_anchor_vf.isNotNull()
+            stored_unt_any
             & min_tr_upd_t.isNotNull()
-            & (min_tr_upd_t < unt_anchor_vf)
+            & stored_first.isNotNull()
+            & (min_tr_upd_t < stored_first)
         )
         tr_voids = F.col("__m6_tr_voids")
         t["m6_keep"] = (

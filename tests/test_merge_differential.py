@@ -545,6 +545,37 @@ mixed_msg_strategy = st.fixed_dictionaries(
     ],
     split=[0, 0, 2],
 )
+@example(
+    # r6 mult-8 explore falsifier (the MIXED-incarnation void): an
+    # untrusted creation carrying FILL + TRISTATE, a later trusted
+    # ASSIGN write (flips the row-level __untrusted off), then an
+    # EARLIER untrusted retro-creator alone in a later batch — the
+    # creation is skipped in event order, so its fill/tristate must
+    # vanish while the trusted ASSIGN survives (per-field floored-__ts
+    # provenance).
+    raw=[
+        {"k": "u", "minute": 7, "a": None, "f": "f1", "tmode": "save1",
+         "dead": False, "trusted": False},
+        {"k": "u", "minute": 26, "a": "a1", "f": None, "tmode": "ignore",
+         "dead": False, "trusted": True},
+        {"k": "u", "minute": 0, "a": None, "f": None, "tmode": "ignore",
+         "dead": False, "trusted": False},
+    ],
+    split=[0, 0, 2],
+)
+@example(
+    # the mirror case: the void arrives as an earlier TRUSTED update
+    # (m6_tr_voids generalized beyond pure-untrusted anchors)
+    raw=[
+        {"k": "u", "minute": 7, "a": None, "f": "f1", "tmode": "save1",
+         "dead": False, "trusted": False},
+        {"k": "u", "minute": 26, "a": "a1", "f": None, "tmode": "ignore",
+         "dead": False, "trusted": True},
+        {"k": "u", "minute": 0, "a": None, "f": None, "tmode": "ignore",
+         "dead": False, "trusted": True},
+    ],
+    split=[0, 0, 2],
+)
 @given(
     st.lists(mixed_msg_strategy, min_size=1, max_size=_MAX_MSGS),
     st.lists(st.integers(0, 2), min_size=2, max_size=8),
@@ -686,27 +717,24 @@ def test_early_creator_retro_creates(spark):
     assert [(x.a, x.valid_until) for x in aud] == [("aX", t0)]
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="KNOWN BUG (found by the r6 mult-8 explore hunt; pre-existing "
-    "since the M6 machinery): in a MIXED incarnation (untrusted creation "
-    "+ later trusted writes) the stored __untrusted flag is last-writer-"
-    "level, so per-field provenance is lost — a retro-creating (or "
-    "earlier-trusted) void resurrects the creation's TS_TRACKED "
-    "contributions (FILL/TRISTATE; ASSIGN is already handled by the "
-    "UNTRUSTED_EPOCH floor). Fix design in SURVEY round-6 ledger: store "
-    "__ucre (incarnation created by untrusted msg); per-field provenance "
-    "= __ucre & (__ts_f == __cre_t); pseudo seeds carry per-FIELD __unt "
-    "and skip collapse/riding for provenance-true fields; generalize "
-    "m6_tr_voids to mixed stores via anchor-carried creation time; "
-    "mirror as per-field masks in _mb_templates.",
-)
 def test_void_drops_mixed_store_untrusted_fill_and_tristate(spark):
     """An untrusted creation carrying a FILL and a TRISTATE, a later
     trusted write touching only ASSIGN, then an EARLIER untrusted
     retro-creator in a later batch: in event order the retro-creator
     creates, the stored creation is skipped, so its fill/tristate
-    contributions must vanish while the trusted ASSIGN survives."""
+    contributions must vanish while the trusted ASSIGN survives.
+
+    (The r6 mult-8 explore-hunt falsifier, fixed in round 6: the stored
+    row-level __untrusted flag is last-writer-level, so a MIXED
+    incarnation read as trusted-origin and voids left the creation's
+    TS_TRACKED contributions standing. Fix: per-field provenance is
+    recovered from stored state — a TS_TRACKED field whose __ts sits at
+    the UNTRUSTED_EPOCH floor was written by the untrusted creation
+    (only creators write untrusted, and their write times are floored),
+    and for an untrusted-created incarnation __first_t IS the creation's
+    real event time. mbv marks floored pseudo seeds __unt so m6_keep
+    drops them under a void; mb masks floored fields under
+    partial_void.)"""
     t9 = Row(value="t9", status="SAVE")
     ign = Row(value=None, status="IGNORE")
 
