@@ -1561,3 +1561,272 @@ FROM documents d LEFT JOIN best b USING (doc_id)
 )
 def q119_lang_ngram_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_ngram_id(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q121: PII scrub & redact (training-corpus sanitization pass)
+# --------------------------------------------------------------------------
+# Pre-training corpora are scrubbed for emails / IPs / phone numbers plus
+# a configurable entity dictionary before anything else touches the text.
+# The operator is a pure per-row projection — regexp counts + a chained
+# regexp_replace — so it is corpus-linear with zero shuffle at any scale.
+# The synthetic corpus contains no real PII (the email/IP/phone counters
+# prove the plumbing at zero); the entity dictionary fires on real tokens
+# so the redaction path and its fingerprint are value-checked end to end.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+_PII_TERMS = r"\b(?:customer|order|vector)\b"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Per-doc PII hit counts + fully redacted text fingerprint.
+
+    Chained global regexp_replace (email -> ip -> phone -> entity terms),
+    identical order in the oracle so the md5 fingerprints match bit-for-
+    bit. All engine built-ins: one scan, no shuffle, no UDFs."""
+    n = lambda pat: F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+    red = F.col("text")
+    for pat, repl in (
+        (_PII_EMAIL, "<EMAIL>"),
+        (_PII_IPV4, "<IP>"),
+        (_PII_PHONE, "<PHONE>"),
+        (_PII_TERMS, "<ENTITY>"),
+    ):
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(
+        "doc_id",
+        n(_PII_EMAIL).cast("long").alias("n_email"),
+        n(_PII_IPV4).cast("long").alias("n_ipv4"),
+        n(_PII_PHONE).cast("long").alias("n_phone"),
+        n(_PII_TERMS).cast("long").alias("n_entity"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+@register(
+    "q121_pii_scrub",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+       len(regexp_extract_all(text, '{_PII_TERMS}')) AS n_entity,
+       len(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IPV4}', '<IP>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_TERMS}', '<ENTITY>', 'g')) AS redacted_len,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IPV4}', '<IP>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_TERMS}', '<ENTITY>', 'g')) AS redacted_md5
+FROM documents
+""",
+    doc=(
+        "PII scrub & redact: per-doc email/IPv4/phone/entity-dictionary "
+        "hit counts plus the md5 fingerprint of the fully redacted text. "
+        "Pure column expressions; one scan, no shuffle."
+    ),
+)
+def q121_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scrub(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q122: repetition quality filters (Gopher-style, zero-shuffle)
+# --------------------------------------------------------------------------
+# The Gopher/MassiveText repetition rules: a document dominated by one
+# word, one bigram, or by repeated word types is boilerplate/spam and is
+# dropped before training. The per-doc mode of a word multiset is
+# normally an explode + two groupBys (two shuffles); sorting the token
+# array and taking the longest equal-run instead computes the same mode
+# INSIDE one projection (the q48/q49 zero-shuffle recipe) — the corpus
+# never leaves its scan partitions.
+def _run_stats(arr):
+    """(max_run, dup_count) over a SORTED array via one sequential fold:
+    max_run = the multiset's mode count; dup_count = total elements whose
+    type occurs >= 2 times."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("mx"),
+        F.lit(0).alias("dup"),
+    )
+
+    def step(acc, w):
+        run2 = F.when(acc["prev"] == w, acc["run"] + 1).otherwise(F.lit(1))
+        closed = F.when(
+            (acc["prev"] != w) & (acc["run"] >= 2), acc["run"]
+        ).otherwise(F.lit(0))
+        return F.struct(
+            w.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc["mx"], run2).alias("mx"),
+            (acc["dup"] + closed).alias("dup"),
+        )
+
+    def fin(acc):
+        return F.struct(
+            acc["mx"].alias("mx"),
+            (
+                acc["dup"]
+                + F.when(acc["run"] >= 2, acc["run"]).otherwise(F.lit(0))
+            ).alias("dup"),
+        )
+
+    return F.aggregate(arr, zero, step, fin)
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition metrics + keep flag (top-word and top-bigram
+    fractions at the Gopher-style 0.2 threshold)."""
+    d = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    ).select(
+        "doc_id",
+        F.size("w").alias("n"),
+        _run_stats(F.array_sort("w")).alias("ws"),
+        _run_stats(
+            F.array_sort(
+                F.when(
+                    F.size("w") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(w) - 2),"
+                        " i -> concat(element_at(w, i + 1), ' ',"
+                        " element_at(w, i + 2)))"
+                    ),
+                ).otherwise(F.expr("cast(array() as array<string>)"))
+            )
+        ).alias("bs"),
+    )
+    top_w = F.col("ws")["mx"].cast("double") / F.col("n")
+    dup_w = F.col("ws")["dup"].cast("double") / F.col("n")
+    top_b = F.when(
+        F.col("n") >= 2, F.col("bs")["mx"].cast("double") / (F.col("n") - 1)
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_words"),
+        F.round(top_w, 6).alias("top_word_frac"),
+        F.round(dup_w, 6).alias("dup_word_frac"),
+        F.round(top_b, 6).alias("top_bigram_frac"),
+        ((top_w <= 0.2) & (top_b <= 0.2)).alias("keep"),
+    )
+
+
+@register(
+    "q122_repetition_filter",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2
+), ws AS (
+  SELECT doc_id, max(cnt) AS mx, sum(cnt) AS n,
+         coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0) AS dup
+  FROM c GROUP BY 1
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || ' ' ||
+                     string_split(text, ' ')[i + 1])) AS b
+  FROM documents
+), bc AS (
+  SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY 1, 2
+), bs AS (
+  SELECT doc_id, max(cnt) AS bmx FROM bc GROUP BY 1
+)
+SELECT d.doc_id,
+       ws.n::BIGINT AS n_words,
+       round(ws.mx::DOUBLE / ws.n, 6) AS top_word_frac,
+       round(ws.dup::DOUBLE / ws.n, 6) AS dup_word_frac,
+       round(bs.bmx::DOUBLE / (ws.n - 1), 6) AS top_bigram_frac,
+       (ws.mx::DOUBLE / ws.n <= 0.2
+        AND bs.bmx::DOUBLE / (ws.n - 1) <= 0.2) AS keep
+FROM documents d JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
+""",
+    doc=(
+        "Gopher-style repetition quality filters: top-word / top-bigram "
+        "/ duplicate-word-type fractions with a keep flag. Spark side is "
+        "a zero-shuffle sorted-array run-length fold; the oracle proves "
+        "it equals the explode+groupBy mode computation."
+    ),
+)
+def q122_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q123: sequence packing (context-window assembly for training)
+# --------------------------------------------------------------------------
+# Training examples are packed into fixed token budgets ("concat then
+# chunk"): documents are concatenated in a deterministic order and cut
+# every `budget` tokens; a document belongs to the pack where it STARTS.
+# Packing runs INDEPENDENTLY per shard (here `source`) — the window is
+# partitioned, never global, so the cumulative sum distributes (the q62
+# single-task-window lesson; production shards by file/source exactly
+# like this).
+PACK_BUDGET = 256
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Per (source, pack) roster: doc count, token total, doc-id range."""
+    tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = docs.select(
+        "doc_id", "source", tok.alias("tok")
+    ).select(
+        "doc_id", "source", "tok", F.sum("tok").over(w).alias("cum")
+    )
+    return (
+        c.select(
+            "source",
+            "doc_id",
+            "tok",
+            F.floor((F.col("cum") - F.col("tok")) / budget)
+            .cast("long")
+            .alias("pack_id"),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "q123_sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, source, tok,
+         sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source, ((cum - tok) // {PACK_BUDGET})::BIGINT AS pack_id,
+       count(*) AS n_docs, sum(tok)::BIGINT AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1, 2
+""",
+    doc=(
+        "Sequence packing: per-shard concat-then-chunk assignment of "
+        "documents to fixed token budgets (pack = floor(start/budget) "
+        "over a PARTITIONED cumulative sum), with per-pack rosters. "
+        "One shuffle on the shard key; no global window."
+    ),
+)
+def q123_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(_docs(spark, sf_dir))

@@ -260,3 +260,90 @@ def test_lang_ngram_id_discriminates_planted_alphabets(spark):
         if r.predicted_lang != r.lang
     ]
     assert out[0].score > 0 and out[200].score > 0
+
+
+def test_pii_scrub_counts_and_redacts_planted_pii(spark):
+    from emap_spark.plans.text_dedup import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@dept.example.org for the customer list"),
+            (2, "server 10.0.255.3 called 212-555-0187 twice"),
+            (3, "plain text with a vector and an order inside"),
+            (4, "nothing sensitive here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (got[1].n_email, got[1].n_entity) == (1, 1)
+    assert (got[2].n_ipv4, got[2].n_phone) == (1, 1)
+    assert (got[3].n_entity, got[3].n_email) == (2, 0)
+    assert got[4].n_email == got[4].n_ipv4 == got[4].n_entity == 0
+    # redaction is total: no raw hit survives in the fingerprinted text
+    red = pii_scrub(docs).select("doc_id", "redacted_len").collect()
+    lens = {r.doc_id: r.redacted_len for r in red}
+    # doc 1: email (30 chars) -> <EMAIL> (7), customer -> <ENTITY>
+    assert lens[1] == len(
+        "contact <EMAIL> for the <ENTITY> list"
+    )
+    assert lens[2] == len("server <IP> called <PHONE> twice")
+    assert lens[4] == len("nothing sensitive here at all")
+
+
+def test_repetition_filter_flags_planted_boilerplate(spark):
+    from emap_spark.plans.text_dedup import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 10 words, 'spam' x 6 -> top_word_frac 0.6, rejected
+            (1, "spam spam spam spam spam spam a b c d"),
+            # all-distinct words -> fracs at the floor, kept
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # repeated BIGRAM dominates while words stay under 0.2:
+            # 'x y' appears 3x in 16 words (top_bigram 3/15 = 0.2 OK,
+            # top_word 3/16 < 0.2) -> kept at the boundary
+            (3, "x y p x y q x y r s t u v w m n"),
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].top_word_frac == 0.6 and got[1].keep is False
+    assert got[1].dup_word_frac == 0.6  # the 6 spam tokens
+    assert got[2].top_word_frac == 0.1 and got[2].keep is True
+    assert got[2].dup_word_frac == 0.0
+    assert got[3].top_bigram_frac == 0.2 and got[3].keep is True
+    assert got[4].n_words == 1 and got[4].top_bigram_frac is None
+    # single word -> top_word_frac 1.0 fails the threshold, and
+    # false AND null = false (same three-valued AND in the oracle)
+    assert got[4].top_word_frac == 1.0 and got[4].keep is False
+
+
+def test_sequence_packing_boundaries_and_shard_independence(spark):
+    from emap_spark.plans.text_dedup import pack_sequences
+
+    # tokens: each word = 1 token; budget 10
+    def doc(i, src, n):
+        return (i, " ".join(f"t{j}" for j in range(n)), src)
+
+    docs = spark.createDataFrame(
+        [
+            doc(1, "a", 4),   # pack 0 (start 0)
+            doc(2, "a", 4),   # pack 0 (start 4)
+            doc(3, "a", 4),   # pack 0 (start 8, crosses into 1)
+            doc(4, "a", 12),  # pack 1 (start 12; doc larger than budget)
+            doc(5, "a", 1),   # pack 2 (start 24)
+            doc(6, "b", 9),   # shard b restarts: pack 0
+            doc(7, "b", 2),   # pack 0 (start 9)
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.source, r.pack_id): (r.n_docs, r.total_tokens, r.first_doc, r.last_doc)
+        for r in pack_sequences(docs, budget=10).collect()
+    }
+    assert got[("a", 0)] == (3, 12, 1, 3)
+    assert got[("a", 1)] == (1, 12, 4, 4)
+    assert got[("a", 2)] == (1, 1, 5, 5)
+    assert got[("b", 0)] == (2, 11, 6, 7)
+    assert len(got) == 4
