@@ -100,6 +100,14 @@ def _load_all() -> None:
 # billion-vector recipe) enters; q47 rotates to the local replica (its
 # LSH banding operator is directly exercised by driver q57/q106/q112/
 # q113 — q47 alone is the candidate subset of q57).
+# Round-6 fourth session: the three new corpus-preparation operators —
+# q121 (PII scrub & redact), q122 (Gopher-style repetition filters),
+# q123 (sequence packing) — enter for their first hard driver check.
+# Out: q105 (JDBC mirror — driver-green r4/r5, K2 also pinned by the
+# delta/fused-commit/durable-pipeline suites), q106 (LSH parameter
+# sweep — a parameter variation of driver-resident q57/q112/q113
+# banding) and q59 (embedding-cosine near-dup — driver-green r4/r5;
+# the embedding family keeps driver q58/q114/q115 and local q120).
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
@@ -122,19 +130,21 @@ _PRIORITY = [
     "q86_oru_vendor_observations",
     "q87_forms_pipeline", "q88_stream_dedupe_within_watermark",
     "q96_hl7_lab_vendor_parse", "q100_incremental_polling",
-    "q105_jdbc_upsert_mirror",
     # LLM-data pipeline family (dedup/similarity/text)
     "q44_dedup_survivors", "q49_doc_fingerprint",
     "q51_ann_lsh_bucketed", "q53_label_centroids",
     "q57_lsh_near_dup_verified",
     "q48_simhash", "q58_ann_ivf_probe",
-    "q59_cosine_near_dup_pairs", "q102_media_builtin_decode",
-    "q103_salted_hot_key_agg", "q106_lsh_parameter_sweep",
+    "q102_media_builtin_decode",
+    "q103_salted_hot_key_agg",
     "q107_normalized_dup_groups", "q108_near_dup_clusters",
     "q109_bpe_regex_tokens", "q110_media_resize",
     "q112_lsh_bucket_cap", "q113_incremental_corpus_dedup",
     "q114_pq_adc_topk", "q115_ivf_pq_topk",
+    "q121_pii_scrub", "q122_repetition_filter", "q123_sequence_packing",
     # --- driver cap boundary (first 50 above get the hard driver check) ---
+    "q105_jdbc_upsert_mirror", "q106_lsh_parameter_sweep",
+    "q59_cosine_near_dup_pairs",
     "q47_minhash_lsh_pairs",
     "q63_interval_join_errors_to_sessions",
     "q77_media_decode_features", "q78_video_frame_plan",

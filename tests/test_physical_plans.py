@@ -201,3 +201,20 @@ def test_decontamination_broadcasts_benchmark_grams(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q116_benchmark_decontamination")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_corpus_prep_ops_plan_hygiene(spark, sf_dir):
+    """q121/q122 are corpus-linear projections (no hash exchange, no
+    window, no join — only the _docs round-robin fan-out); q123 shuffles
+    exactly once on the shard key, its cumulative-sum window is
+    PARTITIONED (never a global single-task window), and the final
+    group-by reuses the shard partitioning (no second exchange)."""
+    for name in ("q121_pii_scrub", "q122_repetition_filter"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "hashpartitioning" not in plan, name
+        assert "Window" not in plan, name
+        assert "Join" not in plan, name
+    plan = plan_of(spark, sf_dir, "q123_sequence_packing")
+    assert plan.count("hashpartitioning") == 1
+    assert "hashpartitioning(source" in plan
+    assert "windowspecdefinition(source" in plan
