@@ -755,3 +755,68 @@ def test_void_drops_mixed_store_untrusted_fill_and_tristate(spark):
         rows = r2.current.filter("NOT is_deleted").collect()
         got = (rows[0].a, rows[0].f, rows[0].t)
         assert got == ("a1", None, None), (merge.__name__, got)
+
+
+@settings(
+    max_examples=_n(4),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@example(
+    # delete + recreate: as-of inside the tombstone window must be empty
+    raw=[
+        {"k": "x", "minute": 5, "a": "a1", "f": "f1", "tmode": "save1", "dead": False},
+        {"k": "x", "minute": 12, "a": None, "f": None, "tmode": "ignore", "dead": True},
+        {"k": "x", "minute": 20, "a": "a2", "f": None, "tmode": "ignore", "dead": False},
+    ],
+)
+@given(st.lists(msg_strategy, min_size=1, max_size=6))
+def test_as_of_reconstruction_matches_model_at_every_time(spark, raw):
+    """Q5 property (AuditCore.isValidAsOf semantics, informdb/
+    AuditCore.java:83-97): within ONE batch the message-granularity fold
+    is event-order exact, so as_of(current, audit, t) must equal the
+    sequential model applied to exactly the messages at-or-before t —
+    values, liveness AND valid_from — at every message timestamp and at
+    midpoints between them."""
+    import datetime as _dt
+
+    from emap_spark.operators.merge import as_of
+
+    messages = []
+    for i, r in enumerate(raw):
+        t = {"ignore": Row(value=None, status="IGNORE"),
+             "save1": Row(value="t1", status="SAVE"),
+             "save2": Row(value="t2", status="SAVE"),
+             "delete": Row(value=None, status="DELETE")}[r["tmode"]]
+        messages.append(
+            {
+                "k": r["k"],
+                "valid_from": datetime.datetime(2024, 1, 1, 0, r["minute"], i),
+                "seq": i,
+                "a": r["a"],
+                "f": r["f"],
+                "t": t,
+                "dead": r["dead"] and i % 3 == 0,
+            }
+        )
+    df = spark.createDataFrame([Row(**m) for m in messages], SCHEMA)
+    res = merge_batch_versions(None, df, SPEC, "2024-06-01 00:00:00")
+    cur = res.current.localCheckpoint()
+    aud = res.audit.localCheckpoint()
+
+    plain = [
+        {**m, "t": None if m["t"] is None else
+         {"value": m["t"].value, "status": m["t"].status}}
+        for m in messages
+    ]
+    times = sorted({m["valid_from"] for m in messages})
+    probes = list(times)
+    probes += [a + (b - a) / 2 for a, b in zip(times, times[1:])]
+    probes.append(times[-1] + _dt.timedelta(minutes=1))
+    for t in probes:
+        got = {
+            r.k: (r.a, r.f, r.t, r.valid_from)
+            for r in as_of(cur, aud, t).collect()
+        }
+        expected = model_fold([m for m in plain if m["valid_from"] <= t])
+        assert got == expected, f"as_of({t})"
