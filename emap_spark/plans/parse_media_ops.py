@@ -1148,3 +1148,45 @@ def q110_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(media, out_w=8, out_h=6).select(
         "media_id", "src_w", "src_h", "out_w", "out_h", "out_bytes", "mean_value"
     )
+
+
+# --------------------------------------------------------------------------
+# q124: REAL audio feature extraction (framing / peak / zero-crossings)
+# --------------------------------------------------------------------------
+# fixture closed form (multimodal/binary_ops.synthetic_real_media): even
+# ids are 16-bit mono 8 kHz WAVs of a 1 kHz sine with amplitude 1000+i
+# and exactly 800*((i%10)+1) frames. The sine's period is 8 samples with
+# zeros at half-periods, so the (pcm >= 0) sign sequence flips twice per
+# period -> nf/4 - 1 transitions over nf samples; the peak sample is
+# exactly the amplitude (sin(pi/2) rounds to 1.0); 160-sample framing
+# (20 ms at 8 kHz) gives nf/160 whole frames. Every feature is integer-
+# exact, so the DuckDB oracle needs no trig at all.
+_Q124_ORACLE = """
+SELECT i::BIGINT AS media_id,
+       (800 * ((i % 10) + 1))::BIGINT AS n_samples,
+       (800 * ((i % 10) + 1) // 160)::BIGINT AS n_frames,
+       (1000 + i)::BIGINT AS peak_abs,
+       (800 * ((i % 10) + 1) // 4 - 1)::BIGINT AS zero_crossings,
+       (800 * ((i % 10) + 1) // 8)::BIGINT AS duration_ms
+FROM range(40) t(i) WHERE i % 2 = 0
+"""
+
+
+@register(
+    "q124_audio_features",
+    oracle=_Q124_ORACLE,
+    doc=(
+        "REAL audio DSP over decoded PCM (multimodal/binary_ops."
+        "audio_features): stdlib-wave parse + numpy framing, peak, and "
+        "zero-crossing count inside Arrow-batched mapInPandas. The "
+        "fixture sines give every feature an integer-exact closed form, "
+        "so the oracle verifies the actual decode+DSP path bit-for-bit."
+    ),
+)
+def q124_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emap_spark.multimodal.binary_ops import (
+        audio_features,
+        synthetic_real_media,
+    )
+
+    return audio_features(synthetic_real_media(spark, n=40))

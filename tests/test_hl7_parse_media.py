@@ -116,3 +116,52 @@ def test_death_info_consistency(spark):
         ).alias("ok")
     )
     assert [r.ok for r in df.collect()] == [True, False, True, True]
+
+
+def test_audio_features_real_dsp_and_width_guard(spark):
+    """audio_features computes framing/peak/zero-crossings on the TRUE
+    decoded PCM (not metadata): a hand-built two-tone WAV with a known
+    sign pattern checks the DSP; a stereo payload hits the documented
+    NotImplementedError swap point."""
+    import io
+    import struct
+    import wave as _wave
+
+    import pytest as _pytest
+
+    from emap_spark.multimodal.binary_ops import MEDIA_SCHEMA, audio_features
+
+    # 400 samples alternating [+5, +5, -5, -5]: sign flips every 2
+    # samples -> 199 transitions over 399 pairs; peak 5; 2 full frames
+    pcm = b"".join(
+        struct.pack("<h", 5 if (k // 2) % 2 == 0 else -5) for k in range(400)
+    )
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm)
+    stereo = io.BytesIO()
+    with _wave.open(stereo, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm)
+    rows = [
+        (1, "audio", "audio/wav", None, None, 50, buf.getvalue()),
+        (2, "image", "image/x-portable-pixmap", 1, 1, None, b"P6\n1 1\n255\nabc"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = audio_features(media, frame_len=160).collect()
+    assert len(got) == 1  # image rows filtered before the UDF
+    r = got[0]
+    assert (r.n_samples, r.n_frames, r.peak_abs) == (400, 2, 5)
+    assert r.zero_crossings == 199 and r.duration_ms == 50
+
+    bad = spark.createDataFrame(
+        [(3, "audio", "audio/wav", None, None, 50, stereo.getvalue())],
+        MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="16-bit mono"):
+        audio_features(bad).collect()
