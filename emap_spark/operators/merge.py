@@ -764,13 +764,24 @@ def _mb_templates(spec: MergeSpec) -> dict:
     # (any trusted write supersedes them, M6).
     raw_seen = F.coalesce(F.col("cur.__seen_t"), F.col("cur.valid_from"))
     if spec.trusted:
-        _unt_floor = F.coalesce(F.col("cur.__untrusted"), F.lit(False))
-        cur_seen = F.when(
-            _unt_floor, F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
-        ).otherwise(raw_seen)
-        cur_prec = F.when(
-            _unt_floor, F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
-        ).otherwise(F.col("cur.valid_from"))
+        _flr = F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
+        # PURITY (r6 second explore falsifier): the precedence floor —
+        # and the wholesale void below — only apply to a store that
+        # never absorbed a single trusted write since its untrusted
+        # creation. __seen_t is exactly that marker: it advances on
+        # EVERY absorbed message (no-ops included) at the message's
+        # PRECEDENCE time, so an untrusted-created store sits at the
+        # floor until the first trusted write lands — even a change-
+        # gated no-op (which leaves the creation's version row, and its
+        # __untrusted flag, as current) raises it to a real time. An
+        # IMPURE store's values are trusted-era state: flooring its
+        # newer-wins boundary would let an out-of-order older trusted
+        # write overwrite what a newer absorbed trusted write asserted.
+        _unt_floor = F.coalesce(F.col("cur.__untrusted"), F.lit(False)) & (
+            F.coalesce(raw_seen <= _flr, F.lit(False))
+        )
+        cur_seen = F.when(_unt_floor, _flr).otherwise(raw_seen)
+        cur_prec = F.when(_unt_floor, _flr).otherwise(F.col("cur.valid_from"))
     else:
         cur_seen = raw_seen
         cur_prec = F.col("cur.valid_from")
@@ -840,13 +851,21 @@ def _mb_templates(spec: MergeSpec) -> dict:
         )
         creator_invalid = creator_t.isNotNull() & cur_exists & ~creator_acts
         voided = creator_acts | tr_voids_any
-        # pure untrusted-origin store: voided WHOLESALE (the batch
-        # rebuilds the entity from its own contributions alone)
-        un_replaces = voided & cur_unt
-        # MIXED store (untrusted creation + later trusted writes): the
-        # trusted state survives; only the creation's own per-field
-        # contributions — identified by their floored __ts — are masked
-        partial_void = voided & ~cur_unt & cur_has_unt_fields
+        # PURE untrusted-origin store (never absorbed a trusted write —
+        # _unt_floor, the __seen_t-at-floor test): voided WHOLESALE (the
+        # batch rebuilds the entity from its own contributions alone).
+        # Purity, not the __untrusted flag alone, gates this: a trusted
+        # NO-OP absorbed into an untrusted-created store is change-gated
+        # out of the versions, leaving the creation's row (and flag) as
+        # current — but the no-op is real knowledge that must survive a
+        # void of the creation (r6 second explore falsifier: tr@26 a=NULL
+        # absorbed, then tr@0 a1 arrives — the model keeps a=NULL).
+        un_replaces = voided & _unt_floor
+        # IMPURE store (untrusted creation + absorbed trusted writes,
+        # change-gated or not): the trusted-era state survives; only the
+        # creation's own per-field contributions — identified by their
+        # floored __ts — are masked
+        partial_void = voided & ~_unt_floor & cur_has_unt_fields
     else:
         un_replaces = F.lit(False)
         creator_acts = F.lit(False)
@@ -1482,7 +1501,22 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
         if not spec.trusted or is_floor:
             seed_unt = F.lit(False)
         elif is_anchor:
-            seed_unt = F.coalesce(F.col("__untrusted"), F.lit(False))
+            # PURITY (r6 second explore falsifier): the anchor is
+            # untrusted-droppable (and its fold position floorable) only
+            # when the store never absorbed a trusted write — __seen_t
+            # still at the UNTRUSTED_EPOCH floor. A trusted NO-OP
+            # absorbed into an untrusted-created store is change-gated,
+            # leaving the creation's version row (and its __untrusted
+            # flag) as current, but the stored state is then trusted-era
+            # knowledge: a void of the creation must keep it, and its
+            # newer-wins boundary is the real __seen_t, not the floor.
+            seed_unt = F.coalesce(F.col("__untrusted"), F.lit(False)) & (
+                F.coalesce(
+                    F.coalesce(F.col("__seen_t"), F.col("valid_from"))
+                    <= F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz"),
+                    F.lit(False),
+                )
+            )
         else:
             # PER-FIELD provenance (r6 mixed-incarnation fix): a pseudo
             # seed positioned at the UNTRUSTED_EPOCH floor carries a

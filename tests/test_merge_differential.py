@@ -576,6 +576,26 @@ mixed_msg_strategy = st.fixed_dictionaries(
     ],
     split=[0, 0, 2],
 )
+@example(
+    # r6 SECOND explore falsifier (purity): batch 0 = untrusted creator
+    # @0:02 + trusted NO-OP @26 (a=NULL over the creation's NULL — it is
+    # change-gated, so the creation's row and its __untrusted flag stay
+    # current, but __seen_t advances to 26). Batch 2's trusted a1 @0:00
+    # then retro-creates in event order, the untrusted creation is
+    # skipped — and the ABSORBED tr@26 a=NULL must still win (final a =
+    # NULL). A wholesale void keyed on the row flag alone dropped the
+    # absorbed no-op with the creation; purity (__seen_t at the floor)
+    # is the correct wholesale-void gate.
+    raw=[
+        {"k": "u", "minute": 0, "a": "a1", "f": None, "tmode": "ignore",
+         "dead": False, "trusted": True},
+        {"k": "u", "minute": 26, "a": None, "f": None, "tmode": "ignore",
+         "dead": False, "trusted": True},
+        {"k": "u", "minute": 0, "a": None, "f": None, "tmode": "ignore",
+         "dead": False, "trusted": False},
+    ],
+    split=[2, 0, 0],
+)
 @given(
     st.lists(mixed_msg_strategy, min_size=1, max_size=_MAX_MSGS),
     st.lists(st.integers(0, 2), min_size=2, max_size=8),
