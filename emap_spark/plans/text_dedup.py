@@ -15,7 +15,7 @@ whole-stage codegen — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from emap_spark.plans._util import davg, dsum, sql_davg, sql_dsum
 from emap_spark.registry import register
@@ -1579,14 +1579,12 @@ _PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 _PII_TERMS = r"\b(?:customer|order|vector)\b"
 
 
-def pii_scrub(docs: DataFrame) -> DataFrame:
-    """Per-doc PII hit counts + fully redacted text fingerprint.
-
-    Chained global regexp_replace (email -> ip -> phone -> entity terms),
-    identical order in the oracle so the md5 fingerprints match bit-for-
-    bit. All engine built-ins: one scan, no shuffle, no UDFs."""
-    n = lambda pat: F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
-    red = F.col("text")
+def pii_redact_expr(col: Column | str = "text") -> Column:
+    """The redaction column: chained global regexp_replace
+    (email -> ip -> phone -> entity terms). Shared by q121 and the
+    streaming CorpusPrep loop so the stored corpus and the fingerprint
+    use the identical transformation."""
+    red = F.col(col) if isinstance(col, str) else col
     for pat, repl in (
         (_PII_EMAIL, "<EMAIL>"),
         (_PII_IPV4, "<IP>"),
@@ -1594,6 +1592,16 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         (_PII_TERMS, "<ENTITY>"),
     ):
         red = F.regexp_replace(red, pat, repl)
+    return red
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Per-doc PII hit counts + fully redacted text fingerprint.
+
+    Identical replace order in the oracle so the md5 fingerprints match
+    bit-for-bit. All engine built-ins: one scan, no shuffle, no UDFs."""
+    n = lambda pat: F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+    red = pii_redact_expr()
     return docs.select(
         "doc_id",
         n(_PII_EMAIL).cast("long").alias("n_email"),
@@ -1772,28 +1780,32 @@ def q122_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET = 256
 
 
-def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
-    """Per (source, pack) roster: doc count, token total, doc-id range."""
+def pack_assignments(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Doc-level pack assignment: every input column plus the token
+    count and the pack the doc STARTS in (per-shard partitioned cumsum;
+    shared by q123 and the streaming CorpusPrep loop)."""
     tok = F.size(F.split(F.col("text"), " ")).cast("long")
     w = (
         W.partitionBy("source")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    c = docs.select(
-        "doc_id", "source", tok.alias("tok")
-    ).select(
-        "doc_id", "source", "tok", F.sum("tok").over(w).alias("cum")
+    c = docs.select("*", tok.alias("tok")).select(
+        "*", F.sum("tok").over(w).alias("cum")
     )
+    return c.select(
+        *docs.columns,
+        "tok",
+        F.floor((F.col("cum") - F.col("tok")) / budget)
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Per (source, pack) roster: doc count, token total, doc-id range."""
     return (
-        c.select(
-            "source",
-            "doc_id",
-            "tok",
-            F.floor((F.col("cum") - F.col("tok")) / budget)
-            .cast("long")
-            .alias("pack_id"),
-        )
+        pack_assignments(docs, budget)
         .groupBy("source", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

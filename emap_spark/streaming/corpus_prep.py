@@ -1,0 +1,105 @@
+"""End-to-end continuous corpus preparation: the full training-data
+ingestion loop as one foreachBatch-able component, composing the
+oracle-checked operators in production order —
+
+  1. quality gate   — Gopher-style repetition filters (q122): rejected
+                      boilerplate never reaches dedup or the corpus;
+  2. PII redaction  — q121's chained regexp scrub: the corpus only ever
+                      stores redacted text (dedup shingles are computed
+                      AFTER redaction, the standard order);
+  3. corpus dedup   — CorpusDedup (q113 shape): the batch is checked
+                      against the durable LSH index; only the incoming
+                      side shuffles;
+  4. packing        — q123's per-shard concat-then-chunk assignment;
+                      packs are keyed (batch_id, source, pack_id) since
+                      a continuous pipeline assembles packs within each
+                      ingest slice, exactly as file-sharded production
+                      packing does;
+  5. durable append — the packed, redacted survivors land in a parquet
+                      corpus table.
+
+Scale shape: steps 1-2 and the pack cumsum are corpus-linear per batch
+(plan-pinned for the underlying operators in test_physical_plans); step
+3's per-batch cost is independent of corpus size at the shuffle level
+(the corpus index is bucketed — see streaming/dedup.py). Nothing here
+depends on batch count: state lives in the bucketed index tables and
+the append-only corpus table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from emap_spark.plans.text_dedup import (
+    pack_assignments,
+    pii_redact_expr,
+    repetition_stats,
+)
+from emap_spark.streaming.dedup import CorpusDedup
+
+
+class CorpusPrep:
+    """foreachBatch-able corpus-preparation loop.
+
+    ``process_batch(docs)`` (docs: doc_id, text, source, ...) returns
+    one outcome row per incoming doc: (doc_id, outcome, dup_of,
+    jaccard) with outcome in {'rejected_quality', 'rejected_dup',
+    'admitted'}; admitted docs are appended — redacted and packed — to
+    ``<name>_corpus`` before it returns."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        budget: int = 256,
+        **dedup_kwargs,
+    ) -> None:
+        self.spark = spark
+        self.budget = budget
+        self.dedup = CorpusDedup(spark, name, **dedup_kwargs)
+        self.corpus_table = f"{name}_corpus"
+
+    def process_batch(self, docs: DataFrame, batch_id: int = 0) -> DataFrame:
+        keep = repetition_stats(docs).filter(F.col("keep")).select("doc_id")
+        clean = docs.join(keep, "doc_id").select(
+            "doc_id",
+            pii_redact_expr().alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        decisions = self.dedup.process_batch(clean, batch_id)
+
+        admitted = clean.join(
+            decisions.filter("admitted").select("doc_id"), "doc_id"
+        )
+        packed = pack_assignments(admitted, self.budget).select(
+            "*", F.lit(batch_id).cast("long").alias("batch_id")
+        )
+        packed.write.mode("append").format("parquet").saveAsTable(
+            self.corpus_table
+        )
+
+        outcome = (
+            F.when(F.col("admitted").isNull(), F.lit("rejected_quality"))
+            .when(~F.col("admitted"), F.lit("rejected_dup"))
+            .otherwise(F.lit("admitted"))
+        )
+        return docs.select("doc_id").join(
+            decisions.select("doc_id", "dup_of", "jaccard", "admitted"),
+            "doc_id",
+            "left",
+        ).select("doc_id", outcome.alias("outcome"), "dup_of", "jaccard")
+
+    def run_stream(self, stream_df: DataFrame, checkpoint_dir: str):
+        """Attach to a streaming document source; each micro-batch runs
+        the full prepare-and-admit loop."""
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
+    def drop(self) -> None:
+        self.dedup.drop()
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.corpus_table}")

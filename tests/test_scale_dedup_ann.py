@@ -357,3 +357,67 @@ def test_vector_index_matches_ivf_pq_plan_exactly(spark, tmp_path):
         for r in idx.query(q, n_probes=2, top_k=10).collect()
     )
     assert got == expect
+
+
+def test_corpus_prep_end_to_end_loop(spark):
+    """CorpusPrep: the composed training-data ingestion loop — planted
+    boilerplate is rejected BEFORE dedup (outcome rejected_quality and
+    absent from the index), PII survives only redacted in the stored
+    corpus, a cross-batch near-dup is rejected against the standing
+    index, and admitted docs carry budget-consistent pack assignments."""
+    import uuid
+
+    from emap_spark.streaming.corpus_prep import CorpusPrep
+
+    rng = random.Random(83)
+    vocab = [f"w{k}" for k in range(400)]
+
+    def words(n):
+        return [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+
+    base = words(80)
+    pii_words = words(80)
+    pii_words[10] = "alice@example.com"
+    near = list(base)
+    near[40] = "MUTANT"
+    docs0 = [
+        (1, " ".join(base), "src0"),
+        (2, " ".join(pii_words), "src0"),
+        (3, "spam " * 59 + "ham", "src1"),  # top_word_frac ~0.98
+    ]
+    docs1 = [
+        (10, " ".join(near), "src0"),  # near-dup of admitted doc 1
+        (11, " ".join(words(80)), "src1"),
+    ]
+    cp = CorpusPrep(
+        spark, f"cpx_{uuid.uuid4().hex[:8]}", budget=64,
+        n_hashes=128, n_bands=16, threshold=0.5,
+    )
+    try:
+        out0 = {r.doc_id: r for r in cp.process_batch(
+            spark.createDataFrame(docs0, "doc_id long, text string, source string"), 0
+        ).collect()}
+        assert out0[3].outcome == "rejected_quality"
+        assert out0[1].outcome == out0[2].outcome == "admitted"
+
+        out1 = {r.doc_id: r for r in cp.process_batch(
+            spark.createDataFrame(docs1, "doc_id long, text string, source string"), 1
+        ).collect()}
+        assert out1[10].outcome == "rejected_dup" and out1[10].dup_of == 1
+        assert out1[11].outcome == "admitted"
+
+        corpus = {r.doc_id: r for r in spark.table(cp.corpus_table).collect()}
+        assert set(corpus) == {1, 2, 11}
+        # the stored text is REDACTED (and dedup ran on the redacted form)
+        assert "<EMAIL>" in corpus[2].text
+        assert "alice@example.com" not in corpus[2].text
+        # rejected docs never entered the dedup index
+        idx = {r.doc_id for r in spark.table(cp.dedup.sets_table).collect()}
+        assert idx == {1, 2, 11}
+        # pack assignment: 80-token docs at budget 64 -> doc 1 starts
+        # pack 0, doc 2 starts pack 1 (cum 80), per-shard restart for 11
+        assert (corpus[1].pack_id, corpus[1].batch_id) == (0, 0)
+        assert corpus[2].pack_id == 1
+        assert (corpus[11].pack_id, corpus[11].batch_id) == (0, 1)
+    finally:
+        cp.drop()
