@@ -840,3 +840,71 @@ def test_as_of_reconstruction_matches_model_at_every_time(spark, raw):
         }
         expected = model_fold([m for m in plain if m["valid_from"] <= t])
         assert got == expected, f"as_of({t})"
+
+
+@settings(
+    max_examples=_n(4),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@example(
+    # untrusted creation then trusted overwrite: as-of between them
+    # must show the creation's values at the creation's REAL time
+    raw=[
+        {"k": "u", "minute": 3, "a": "a1", "f": "f1", "tmode": "save1",
+         "dead": False, "trusted": False},
+        {"k": "u", "minute": 20, "a": "a2", "f": None, "tmode": "ignore",
+         "dead": False, "trusted": True},
+    ],
+)
+@given(st.lists(mixed_msg_strategy, min_size=1, max_size=6))
+def test_as_of_reconstruction_trusted_matches_model(spark, raw):
+    """The as-of property under M6 trust (single batch, mixed per-message
+    trust): skipped untrusted messages contribute no version, untrusted
+    creations surface at their real event time, and every probe time
+    reconstructs the sequential trusted model exactly."""
+    import datetime as _dt
+
+    from emap_spark.operators.merge import as_of
+
+    messages = []
+    for i, r in enumerate(raw):
+        t = {"ignore": Row(value=None, status="IGNORE"),
+             "save1": Row(value="t1", status="SAVE"),
+             "save2": Row(value="t2", status="SAVE"),
+             "delete": Row(value=None, status="DELETE")}[r["tmode"]]
+        messages.append(
+            {
+                "k": r["k"],
+                "valid_from": datetime.datetime(2024, 1, 1, 0, r["minute"], i),
+                "seq": i,
+                "a": r["a"],
+                "f": r["f"],
+                "t": t,
+                "dead": r["dead"] and i % 3 == 0,
+                "trusted": r["trusted"],
+            }
+        )
+    df = spark.createDataFrame([Row(**m) for m in messages], TRUSTED_SCHEMA)
+    res = merge_batch_versions(None, df, TRUSTED_SPEC, "2024-06-01 00:00:00")
+    cur = res.current.localCheckpoint()
+    aud = res.audit.localCheckpoint()
+
+    plain = [
+        {**m, "t": None if m["t"] is None else
+         {"value": m["t"].value, "status": m["t"].status}}
+        for m in messages
+    ]
+    times = sorted({m["valid_from"] for m in messages})
+    probes = list(times)
+    probes += [a + (b - a) / 2 for a, b in zip(times, times[1:])]
+    probes.append(times[-1] + _dt.timedelta(minutes=1))
+    for t in probes:
+        got = {
+            r.k: (r.a, r.f, r.t, r.valid_from)
+            for r in as_of(cur, aud, t).collect()
+        }
+        expected = model_fold_trusted(
+            [m for m in plain if m["valid_from"] <= t]
+        )
+        assert got == expected, f"as_of({t})"
