@@ -1842,3 +1842,131 @@ FROM c GROUP BY 1, 2
 )
 def q123_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q125: BPE pair-frequency vocabulary induction (the first merge step)
+# --------------------------------------------------------------------------
+# Byte-pair-encoding training starts from per-word symbol sequences and
+# repeatedly merges the most frequent adjacent pair. The corpus-scale
+# cost is THIS step: word frequencies (one shuffle on the word — the
+# distinct-word table is tiny next to the corpus) then adjacent-pair
+# counts weighted by word frequency (one shuffle on the pair). Every
+# later merge iterates over the DISTINCT-WORD table only, so the corpus
+# is scanned once no matter how many merges are learned; the driver
+# loop over merges is metadata-sized, exactly how production BPE
+# trainers shard the work.
+BPE_TOP_K = 20
+
+
+def bpe_pair_frequencies(docs: DataFrame, top_k: int = BPE_TOP_K) -> DataFrame:
+    """Top-k adjacent character pairs across the corpus, weighted by
+    word frequency — the argmax set of the first BPE merge."""
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # single-char words contribute no pair; the guard matters because
+    # Spark's sequence(1, 0) is DESCENDING ([1, 0]), which would emit
+    # junk char+empty pairs that DuckDB's empty range(1, 1) never sees
+    pairs = wf.filter(F.length("word") >= 2).select(
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> concat(substring(word, i, 1), substring(word, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    w = W.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("pair_count"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("pair", "pair_count", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@register(
+    "q125_bpe_pair_frequencies",
+    oracle=f"""
+WITH wf AS (
+  SELECT word, count(*) AS wc FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) GROUP BY word
+), p AS (
+  SELECT unnest(list_transform(range(1, greatest(len(word), 1)),
+                i -> word[i] || word[i + 1])) AS pair, wc
+  FROM wf
+), pc AS (
+  SELECT pair, sum(wc)::BIGINT AS pair_count FROM p GROUP BY pair
+)
+SELECT pair, pair_count, rk::INT AS rk FROM (
+  SELECT *, row_number() OVER (ORDER BY pair_count DESC, pair) AS rk
+  FROM pc
+) WHERE rk <= {BPE_TOP_K}
+""",
+    doc=(
+        "BPE vocabulary induction, first merge step: corpus-weighted "
+        "adjacent character-pair frequencies with a deterministic top-k. "
+        "Two linear shuffles (word count, pair count); the top-k window "
+        "runs over the pair-count table, never the corpus."
+    ),
+)
+def q125_bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_pair_frequencies(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q126: dedup-aware sampling weights (cluster size -> keep probability)
+# --------------------------------------------------------------------------
+# Production mixtures do not hard-drop every duplicate: a document that
+# appears n times is often kept with probability ~1/n so the EXPECTED
+# number of surviving copies is one (soft dedup preserves natural
+# up-weighting signals while bounding repetition). This composes the
+# exact-dup grouping (q43's shape) with q117's deterministic draw: one
+# window over the text-hash partition for the cluster size, then the
+# stateless md5 draw against rate/n.
+def dedup_aware_sample(docs: DataFrame, rate: float = 0.9) -> DataFrame:
+    """Per doc: duplicate-cluster size, weight 1/n, and the kept flag
+    from a deterministic hash draw against rate * weight."""
+    n = F.count(F.lit(1)).over(W.partitionBy(F.md5("text")))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("dup_count"),
+        F.round(F.lit(1.0) / n, 6).alias("weight"),
+        (u < F.lit(rate) / n).alias("kept"),
+    )
+
+
+@register(
+    "q126_dedup_aware_sample",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY md5(text)) AS n,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, n::BIGINT AS dup_count, round(1.0 / n, 6) AS weight,
+       (u < 0.9 / n) AS kept
+FROM s
+""",
+    doc=(
+        "Dedup-aware soft sampling: exact-duplicate cluster size via one "
+        "text-hash window, weight 1/n, kept iff the deterministic "
+        "md5-of-id draw falls under rate/n — expected one surviving copy "
+        "per cluster. One shuffle on the text hash; stateless draw."
+    ),
+)
+def q126_dedup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_aware_sample(_docs(spark, sf_dir))

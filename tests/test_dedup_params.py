@@ -347,3 +347,36 @@ def test_sequence_packing_boundaries_and_shard_independence(spark):
     assert got[("a", 2)] == (1, 1, 5, 5)
     assert got[("b", 0)] == (2, 11, 6, 7)
     assert len(got) == 4
+
+
+def test_bpe_pair_frequencies_weighted_and_guarded(spark):
+    from emap_spark.plans.text_dedup import bpe_pair_frequencies
+
+    # 'abc' x3 + 'ab' x1 -> ab: 4, bc: 3; single-char 'a' contributes
+    # NOTHING (the sequence(1,0)-is-descending guard)
+    docs = spark.createDataFrame(
+        [(1, "abc abc a"), (2, "abc ab a")], "doc_id long, text string"
+    )
+    got = [(r.pair, r.pair_count, r.rk) for r in
+           bpe_pair_frequencies(docs, top_k=5).collect()]
+    assert got == [("ab", 4, 1), ("bc", 3, 2)]
+
+
+def test_dedup_aware_sample_weights_and_expected_copies(spark):
+    from emap_spark.plans.text_dedup import dedup_aware_sample
+
+    # 4 copies of X, 1 of Y: weights 0.25 / 1.0; the draw is
+    # deterministic, so kept flags are stable across runs
+    docs = spark.createDataFrame(
+        [(i, "X X X", "s") for i in range(4)] + [(9, "Y Y Y", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r for r in dedup_aware_sample(docs, rate=1.0).collect()}
+    assert all(got[i].dup_count == 4 and got[i].weight == 0.25 for i in range(4))
+    assert got[9].dup_count == 1 and got[9].weight == 1.0 and got[9].kept
+    import hashlib
+    expected_kept = {
+        i for i in range(4)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32 < 0.25
+    }
+    assert {i for i in range(4) if got[i].kept} == expected_kept
