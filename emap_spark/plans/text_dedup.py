@@ -1970,3 +1970,78 @@ FROM s
 )
 def q126_dedup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_aware_sample(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q127: document chunking with overlap (context-window splitter)
+# --------------------------------------------------------------------------
+# Retrieval and long-document training both split documents into
+# fixed-token chunks with a small overlap so no span is cut without
+# context. Pure per-row array slicing + one posexplode — corpus-linear,
+# no shuffle, chunk ids deterministic. Stride = chunk - overlap; the
+# final partial chunk is kept iff it adds tokens beyond the previous
+# chunk's end (standard splitter behavior).
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(
+    docs: DataFrame, chunk: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """One row per (doc_id, chunk_id): token span, token count, and the
+    md5 fingerprint of the chunk text."""
+    if not 0 <= overlap < chunk:
+        raise ValueError("need 0 <= overlap < chunk")
+    stride = chunk - overlap
+    w = F.split(F.col("text"), " ")
+    # chunk count: 1 + ceil(max(n - chunk, 0) / stride)
+    d = docs.select("doc_id", w.alias("w")).select(
+        "doc_id",
+        F.size("w").alias("n_tokens_doc"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, 1 + int(ceil(greatest(size(w) - {chunk}, 0) / {stride})) - 1),"
+                f" i -> slice(w, i * {stride} + 1, {chunk}))"
+            )
+        ).alias("chunk_id", "cw"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id") * stride).cast("long").alias("start_token"),
+        F.size("cw").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "cw")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "q127_chunk_documents",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), c AS (
+  SELECT doc_id,
+         unnest(range(0, 1 + ceil(greatest(len(w) - {CHUNK_TOKENS}, 0)
+                                  / {CHUNK_TOKENS - CHUNK_OVERLAP})::INT)) AS chunk_id,
+         w
+  FROM d
+)
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       (chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP})::BIGINT AS start_token,
+       len(w[chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+             chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}])::BIGINT
+         AS n_tokens,
+       md5(array_to_string(w[chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+             chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}], ' '))
+         AS chunk_md5
+FROM c
+""",
+    doc=(
+        "Document chunking with overlap: fixed-token windows at stride "
+        "chunk-overlap, one posexplode over per-row array slices — "
+        "corpus-linear, no shuffle; chunk fingerprints via md5. The "
+        "splitter every retrieval/long-context pipeline runs."
+    ),
+)
+def q127_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(_docs(spark, sf_dir))

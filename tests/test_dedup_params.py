@@ -380,3 +380,30 @@ def test_dedup_aware_sample_weights_and_expected_copies(spark):
         if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32 < 0.25
     }
     assert {i for i in range(4) if got[i].kept} == expected_kept
+
+
+def test_chunk_documents_spans_and_overlap(spark):
+    from emap_spark.plans.text_dedup import chunk_documents
+
+    import pytest as _pytest
+
+    # 10 tokens, chunk 4, overlap 1 -> stride 3: chunks start 0,3,6
+    # (covers to 10), i.e. 1 + ceil((10-4)/3) = 3 chunks
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{j}" for j in range(10))),
+         (2, "a b")],  # shorter than one chunk -> exactly one chunk
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.chunk_id): r for r in
+           chunk_documents(docs, chunk=4, overlap=1).collect()}
+    assert {k for k in got} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert (got[(1, 0)].start_token, got[(1, 0)].n_tokens) == (0, 4)
+    assert (got[(1, 1)].start_token, got[(1, 1)].n_tokens) == (3, 4)
+    assert (got[(1, 2)].start_token, got[(1, 2)].n_tokens) == (6, 4)
+    assert (got[(2, 0)].start_token, got[(2, 0)].n_tokens) == (0, 2)
+    # adjacent chunks share exactly `overlap` tokens: chunk 0 = t0..t3,
+    # chunk 1 = t3..t6 — verified via the fingerprints of known spans
+    import hashlib
+    assert got[(1, 1)].chunk_md5 == hashlib.md5(b"t3 t4 t5 t6").hexdigest()
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk=4, overlap=4)
