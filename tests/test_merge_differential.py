@@ -908,3 +908,50 @@ def test_as_of_reconstruction_trusted_matches_model(spark, raw):
             [m for m in plain if m["valid_from"] <= t]
         )
         assert got == expected, f"as_of({t})"
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="KNOWN BUG (r6 16-msg mult-8 hunt; pre-existing — the "
+    "incarnation floor carries no provenance): an UNTRUSTED "
+    "creation-tombstone's floor survives resurrection as bare "
+    "__floor_t, so a retro-creator earlier than the tombstone — which "
+    "in event order proves the key existed first, meaning the "
+    "creation-tombstone was SKIPPED and its floor never existed — "
+    "still has its contributions cut by the floor seed (mbv) / "
+    "_above_floor (mb). Fix design in SURVEY round-6 ledger item 36: "
+    "store __ufloor_t (floor provenance: the tombstone's real time "
+    "when the floor derives from an untrusted creation-tombstone, "
+    "null otherwise); void the floor when creator_t/tr_min_t precede "
+    "it. A TRUSTED first-event tombstone floor must STAND (trusted "
+    "deletes act on existing entities, so an earlier creator does not "
+    "unmake them).",
+)
+def test_early_creator_voids_untrusted_creation_tombstone_floor(spark):
+    """Minimized from the 16-message falsifier: b0 = untrusted
+    creation-TOMBSTONE @7 + trusted a1 @21 (resurrects; floor = 7);
+    b1 = untrusted retro-creator @6 carrying FILL f2. Event order:
+    f2-creation @6, the @7 delete is SKIPPED (entity exists), trusted
+    a1 @21 — final (a1, f2, None). The engine's floor seed wipes the
+    creator's fill."""
+    ign = Row(value=None, status="IGNORE")
+
+    def m(minute, seq, a, f, dead, trusted):
+        return Row(
+            k="x", valid_from=datetime.datetime(2024, 1, 1, 0, minute, seq),
+            seq=seq, a=a, f=f, t=ign, dead=dead, trusted=trusted,
+        )
+
+    for merge in (merge_batch, merge_batch_versions):
+        b0 = spark.createDataFrame(
+            [m(7, 0, None, None, True, False), m(21, 1, "a1", None, False, True)],
+            TRUSTED_SCHEMA,
+        )
+        r1 = merge(None, b0, TRUSTED_SPEC, "2024-06-01 00:00:00")
+        b1 = spark.createDataFrame(
+            [m(6, 2, None, "f2", False, False)], TRUSTED_SCHEMA
+        )
+        r2 = merge(r1.current, b1, TRUSTED_SPEC, "2024-06-01 00:00:01")
+        rows = r2.current.filter("NOT is_deleted").collect()
+        got = (rows[0].a, rows[0].f, rows[0].t)
+        assert got == ("a1", "f2", None), (merge.__name__, got)
