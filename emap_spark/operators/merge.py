@@ -1720,7 +1720,18 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
         "seed_structs": seed_structs,
         "epoch_expr": F.sum(F.col("__tomb").cast("int")).over(cum),
         "epoch_extra": [
-            F.max(F.when(F.col("__tomb"), F.col(spec.event_time)))
+            # the floor is stored at the tombstone's PRECEDENCE time
+            # (__ord), not its raw time: an UNTRUSTED creation-tombstone
+            # may never cut anything — any earlier-timed arrival proves
+            # the key existed first, so in event order the delete was
+            # SKIPPED and its floor never existed (r6 floor-provenance
+            # falsifier: creation-tombstone, trusted resurrection, then
+            # a retro-creator older than the tombstone). Flooring its
+            # stored time makes the floor self-voiding, exactly as
+            # merge_batch's tomb_t (computed from the floored fold
+            # event time) already behaves; trusted tombstones keep
+            # their real time and their floor stands.
+            F.max(F.when(F.col("__tomb"), F.col("__ord")))
             .over(wfull_k)
             .alias("__floor_t"),
             F.max(F.col("__ord")).over(wfull_k).alias("__seen_t"),

@@ -910,30 +910,17 @@ def test_as_of_reconstruction_trusted_matches_model(spark, raw):
         assert got == expected, f"as_of({t})"
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="KNOWN BUG (r6 16-msg mult-8 hunt; pre-existing — the "
-    "incarnation floor carries no provenance): an UNTRUSTED "
-    "creation-tombstone's floor survives resurrection as bare "
-    "__floor_t, so a retro-creator earlier than the tombstone — which "
-    "in event order proves the key existed first, meaning the "
-    "creation-tombstone was SKIPPED and its floor never existed — "
-    "still has its contributions cut by the floor seed (mbv) / "
-    "_above_floor (mb). Fix design in SURVEY round-6 ledger item 36: "
-    "store __ufloor_t (floor provenance: the tombstone's real time "
-    "when the floor derives from an untrusted creation-tombstone, "
-    "null otherwise); void the floor when creator_t/tr_min_t precede "
-    "it. A TRUSTED first-event tombstone floor must STAND (trusted "
-    "deletes act on existing entities, so an earlier creator does not "
-    "unmake them).",
-)
 def test_early_creator_voids_untrusted_creation_tombstone_floor(spark):
-    """Minimized from the 16-message falsifier: b0 = untrusted
-    creation-TOMBSTONE @7 + trusted a1 @21 (resurrects; floor = 7);
+    """Minimized from the r6 16-message falsifier (fixed in round 6):
+    b0 = untrusted creation-TOMBSTONE @7 + trusted a1 @21 (resurrects);
     b1 = untrusted retro-creator @6 carrying FILL f2. Event order:
     f2-creation @6, the @7 delete is SKIPPED (entity exists), trusted
-    a1 @21 — final (a1, f2, None). The engine's floor seed wipes the
-    creator's fill."""
+    a1 @21 — final (a1, f2, None). An untrusted creation-tombstone may
+    never cut anything (any earlier arrival proves the key existed
+    first, so the delete was skipped), which is why mbv stores the
+    floor at the tombstone's PRECEDENCE time — floored for untrusted
+    creators, self-voiding — exactly as merge_batch's tomb_t already
+    did (mb passed this test before the fix)."""
     ign = Row(value=None, status="IGNORE")
 
     def m(minute, seq, a, f, dead, trusted):
