@@ -770,3 +770,48 @@ class EmapEngine:
 
     def metrics(self, spark) -> DataFrame:
         return self.pipeline.metrics_df(spark)
+
+    # -- validation (Q8, the reference's acceptance flow) --------------------
+    def validate(
+        self,
+        messages: DataFrame,
+        start: str,
+        end: str,
+        ref: DataFrame,
+        table: str = "hospital_visit",
+        keys: list[str] | None = None,
+        tolerances: dict[str, float] | None = None,
+        rel_tol: dict[str, float] | None = None,
+        n_batches: int = 4,
+        time_col: str = "valid_from",
+        first_batch_id: int = 0,
+    ):
+        """The reference's full acceptance flow in one call (emap-setup
+        validation_runner.py:98-109 + docs/Data_and_validation/
+        validation.md:56-64): replay the [start, end) window of the
+        message feed through this engine in chronological batches, then
+        compare the resulting star table field-by-field against an
+        INDEPENDENT reference extract with the given tolerances.
+
+        Returns ``(run, match)``: the :class:`ValidationReport`
+        (days-per-day throughput, the reference's >> 1 target) and the
+        per-field match-rate DataFrame (the reference's gate is every
+        field's match_pct >= 99). Only the columns present on ``ref``
+        are compared; ``keys`` defaults to the visit key."""
+        from emap_spark.plans.validation import field_match_report, validation_run
+
+        keys = list(keys or ["encounter"])
+        run = validation_run(
+            self,
+            messages,
+            start,
+            end,
+            n_batches=n_batches,
+            time_col=time_col,
+            first_batch_id=first_batch_id,
+        )
+        ours = self.table(table).select(
+            *keys, *[c for c in ref.columns if c not in keys]
+        )
+        match = field_match_report(ours, ref, keys, tolerances, rel_tol)
+        return run, match

@@ -394,26 +394,41 @@ def audio_features(media: DataFrame, frame_len: int = 160) -> DataFrame:
     — bounded memory, corpus-linear, no shuffle. All reported features
     are integer-exact, so the oracle has a closed form from the fixture
     generator (q124). Non-audio rows are filtered BEFORE the UDF so the
-    scan prunes the image payload bytes."""
+    scan prunes the image payload bytes.
+
+    Error contract: a CORRUPT payload (truncated/non-RIFF — wave raises
+    wave.Error or EOFError) is isolated to its own row, emitted with
+    null features so one bad file can't fail a 100-TB job; callers count
+    `n_samples IS NULL` for a corruption rate. A DECODABLE file in an
+    unsupported layout (non-16-bit / non-mono) still fails fast — that
+    is the documented swap point for wider codec support, a systematic
+    capability gap rather than a bad row."""
     import io
     import wave as _wave
 
     import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nulls = dict.fromkeys(
+            [f.name for f in AUDIO_FEATURES_SCHEMA.fields if f.name != "media_id"]
+        )
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                with _wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
-                        raise NotImplementedError(
-                            "only 16-bit mono PCM; extend audio_features "
-                            "for other widths/channel layouts"
-                        )
-                    rate = w.getframerate()
-                    pcm = np.frombuffer(
-                        w.readframes(w.getnframes()), dtype="<i2"
-                    ).astype(np.int64)
+                try:
+                    with _wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                            raise NotImplementedError(
+                                "only 16-bit mono PCM; extend audio_features "
+                                "for other widths/channel layouts"
+                            )
+                        rate = w.getframerate()
+                        pcm = np.frombuffer(
+                            w.readframes(w.getnframes()), dtype="<i2"
+                        ).astype(np.int64)
+                except (_wave.Error, EOFError):
+                    out.append({"media_id": mid, **nulls})
+                    continue
                 n = len(pcm)
                 nonneg = pcm >= 0
                 out.append(

@@ -48,6 +48,12 @@ def field_match_report(
     present on BOTH sides, __rows__.n_match counts exactly those, and
     __rows__.n_compared counts keys on EITHER side (so its match_pct is
     the row-coverage rate).
+
+    match_pct is the EXACT ratio (one IEEE double division — identical
+    bits in any engine); rounding for display is the caller's concern.
+    (Spark's round() goes through BigDecimal HALF_UP while DuckDB
+    rounds via scaled double multiply, so a rounded pct can differ in
+    the last ulp between engines — the raw ratio cannot.)
     """
     tolerances = tolerances or {}
     rel_tol = rel_tol or {}
@@ -112,13 +118,12 @@ def field_match_report(
         "field",
         F.col("n_compared").cast("long").alias("n_compared"),
         F.col("n_match").cast("long").alias("n_match"),
-        F.round(
-            F.when(
-                F.col("n_compared") > 0,
-                F.col("n_match") / F.col("n_compared") * 100.0,
-            ).otherwise(F.lit(100.0)),
-            4,
-        ).alias("match_pct"),
+        F.when(
+            F.col("n_compared") > 0,
+            F.col("n_match") * F.lit(100.0) / F.col("n_compared"),
+        )
+        .otherwise(F.lit(100.0))
+        .alias("match_pct"),
     )
 
 
@@ -204,49 +209,61 @@ WITH state AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ),
-ref AS (
-  SELECT user_id, last_event_type, last_value,
-         date_trunc('minute', valid_from) AS valid_from
+h AS (
+  SELECT *, ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
   FROM state
 ),
-j AS (
-  SELECT s.user_id,
-         s.last_event_type AS o_let, r.last_event_type AS r_let,
-         s.last_value AS o_lv, r.last_value AS r_lv,
-         s.valid_from AS o_vf, r.valid_from AS r_vf
-  FROM state s FULL OUTER JOIN ref r USING (user_id)
+o AS (
+  SELECT user_id, TRUE AS op, last_event_type AS o_let,
+         last_value AS o_lv, valid_from AS o_vf
+  FROM h WHERE hv % 19 != 0
 ),
+r AS (
+  SELECT user_id, TRUE AS rp, last_event_type AS r_let,
+         CASE WHEN hv % 7 = 0 THEN last_value * 1.5 ELSE last_value END AS r_lv,
+         CASE WHEN hv % 13 = 0
+              THEN date_trunc('minute', valid_from) + INTERVAL 120 SECOND
+              ELSE date_trunc('minute', valid_from) END AS r_vf
+  FROM h WHERE hv % 17 != 0
+),
+j AS (SELECT * FROM o FULL OUTER JOIN r USING (user_id)),
 agg AS (
   SELECT count(*) AS n_total,
-         sum(CASE WHEN o_let IS NOT NULL AND r_let IS NOT NULL THEN 1 ELSE 0 END) AS n_both,
-         sum(CASE WHEN o_let IS NOT NULL AND r_let IS NOT NULL THEN 1 ELSE 0 END) AS cmp_let,
-         sum(CASE WHEN o_let IS NOT NULL AND r_let IS NOT NULL AND o_let = r_let THEN 1 ELSE 0 END) AS ok_let,
-         sum(CASE WHEN o_let IS NOT NULL AND r_let IS NOT NULL THEN 1 ELSE 0 END) AS cmp_lv,
-         sum(CASE WHEN o_let IS NOT NULL AND r_let IS NOT NULL
-                   AND (o_lv = r_lv OR (o_lv IS NULL AND r_lv IS NULL)) THEN 1 ELSE 0 END) AS ok_lv,
-         sum(CASE WHEN o_let IS NOT NULL AND r_let IS NOT NULL THEN 1 ELSE 0 END) AS cmp_vf,
-         sum(CASE WHEN o_let IS NOT NULL AND r_let IS NOT NULL
-                   AND abs(epoch(o_vf) - epoch(r_vf)) <= 60 THEN 1 ELSE 0 END) AS ok_vf
+         sum(CASE WHEN op AND rp THEN 1 ELSE 0 END) AS n_both,
+         sum(CASE WHEN op AND rp AND o_let IS NOT DISTINCT FROM r_let
+                  THEN 1 ELSE 0 END) AS ok_let,
+         sum(CASE WHEN op AND rp AND (
+                    (o_lv IS NULL AND r_lv IS NULL)
+                    OR abs(o_lv - r_lv)
+                       / greatest(abs(o_lv), abs(r_lv), 1e-12) <= 1e-6)
+                  THEN 1 ELSE 0 END) AS ok_lv,
+         sum(CASE WHEN op AND rp AND (
+                    (o_vf IS NULL AND r_vf IS NULL)
+                    OR abs(epoch(o_vf) - epoch(r_vf)) <= 60.0)
+                  THEN 1 ELSE 0 END) AS ok_vf
   FROM j
 )
-SELECT field, n_compared, n_match,
-       round(CASE WHEN n_compared > 0
-                  THEN n_match * 100.0 / n_compared ELSE 100.0 END, 4) AS match_pct
+SELECT field, n_compared::BIGINT AS n_compared, n_match::BIGINT AS n_match,
+       CASE WHEN n_compared > 0
+            THEN n_match * 100.0 / n_compared ELSE 100.0 END AS match_pct
 FROM (
   SELECT '__rows__' AS field, n_total AS n_compared, n_both AS n_match FROM agg
   UNION ALL
-  SELECT 'last_event_type', cmp_let, ok_let FROM agg
+  SELECT 'last_event_type', n_both, ok_let FROM agg
   UNION ALL
-  SELECT 'last_value', cmp_lv, ok_lv FROM agg
+  SELECT 'last_value', n_both, ok_lv FROM agg
   UNION ALL
-  SELECT 'valid_from', cmp_vf, ok_vf FROM agg
+  SELECT 'valid_from', n_both, ok_vf FROM agg
 )
 ORDER BY field
 """,
     doc=(
-        "Q8/validation.md data comparison: engine state vs a "
-        "minute-truncated reference extract, per-field match rates with "
-        "a 60 s timestamp tolerance (the reference's >=99 % gate shape)."
+        "Q8/validation.md data comparison: engine state vs an "
+        "independently derived reference extract with PLANTED defects "
+        "(keys missing on each side, timestamps shifted past the 60 s "
+        "tolerance, numerics perturbed past rel_tol) so presence "
+        "markers and both tolerance branches report non-trivial match "
+        "rates — the reference's >=99 % gate shape."
     ),
 )
 def q111_validation_match_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,17 +271,36 @@ def q111_validation_match_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emap_spark.plans.emap_domain import _SPEC, _messages
 
     res = merge_batch(None, _messages(spark, sf_dir), _SPEC, "2024-06-01 00:00:00")
-    ours = res.live().select(
+    state = res.live().select(
         "user_id", "last_event_type", "last_value", "valid_from"
     )
-    # the "reference extract": same entities, times at minute precision
-    # (the tolerance case validation.md:62 calls out)
-    ref = ours.select(
+    # Seeded defects (md5-of-key draw, cross-engine exact — q117's
+    # recipe): the reference's comparison runs against an INDEPENDENT
+    # extract (validation.md:56-64), so coverage and match rates are
+    # never trivially 100 %. Planted here: keys absent from OUR extract
+    # (hv%19), keys absent from the REFERENCE (hv%17), timestamps
+    # shifted 120 s past the 60 s tolerance (hv%13), numerics scaled
+    # 1.5x past rel_tol=1e-6 (hv%7); everything else minute-truncated
+    # (inside tolerance — validation.md:62's rounded-times case).
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    ours = state.filter(hv % 19 != 0)
+    trunc = F.date_trunc("minute", F.col("valid_from")).cast("timestamp_ntz")
+    ref = state.filter(hv % 17 != 0).select(
         "user_id",
         "last_event_type",
-        "last_value",
-        F.date_trunc("minute", F.col("valid_from")).cast("timestamp_ntz").alias("valid_from"),
+        F.when(hv % 7 == 0, F.col("last_value") * 1.5)
+        .otherwise(F.col("last_value"))
+        .alias("last_value"),
+        F.when(hv % 13 == 0, trunc + F.expr("INTERVAL 120 SECONDS"))
+        .otherwise(trunc)
+        .alias("valid_from"),
     )
     return field_match_report(
-        ours, ref, ["user_id"], tolerances={"valid_from": 60}
+        ours,
+        ref,
+        ["user_id"],
+        tolerances={"valid_from": 60},
+        rel_tol={"last_value": 1e-6},
     ).orderBy("field")

@@ -108,6 +108,20 @@ def _load_all() -> None:
 # sweep — a parameter variation of driver-resident q57/q112/q113
 # banding) and q59 (embedding-cosine near-dup — driver-green r4/r5;
 # the embedding family keeps driver q58/q114/q115 and local q120).
+# Round-7 rotation (VERDICT r6 next-steps #4): the eight operators with
+# only local-replica evidence get their first hard driver check —
+# q116 (benchmark decontamination), q117 (mixture sampling), q118 (span
+# self-overlap), q119 (trigram language ID), q124 (real audio DSP over
+# decoded PCM), q125 (BPE pair-frequency induction), q126 (dedup-aware
+# soft sampling), q127 (document chunking). Out, per the multi-round-
+# green policy the r6 verdict endorsed: q44/q49/q51/q53 (driver-green
+# r6; exact-dedup keeps q126's text-hash clusters + local q43/q45,
+# fingerprints keep q48, ANN keeps q58-successors q114/q115, vector
+# stats keep local q52), q58 (driver-green r3-r6; IVF evidence now
+# carried by composed q115), q102 (driver-green r4-r6; media decode
+# evidence deepens via incoming q124, q76/q110 stay), q107/q109
+# (driver-green r5-r6; normalization/tokenization evidence stays via
+# q121/q122 driver rows + q40-q42 local).
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
@@ -131,18 +145,24 @@ _PRIORITY = [
     "q87_forms_pipeline", "q88_stream_dedupe_within_watermark",
     "q96_hl7_lab_vendor_parse", "q100_incremental_polling",
     # LLM-data pipeline family (dedup/similarity/text)
-    "q44_dedup_survivors", "q49_doc_fingerprint",
-    "q51_ann_lsh_bucketed", "q53_label_centroids",
     "q57_lsh_near_dup_verified",
-    "q48_simhash", "q58_ann_ivf_probe",
-    "q102_media_builtin_decode",
+    "q48_simhash",
     "q103_salted_hot_key_agg",
-    "q107_normalized_dup_groups", "q108_near_dup_clusters",
-    "q109_bpe_regex_tokens", "q110_media_resize",
+    "q108_near_dup_clusters",
+    "q110_media_resize",
     "q112_lsh_bucket_cap", "q113_incremental_corpus_dedup",
     "q114_pq_adc_topk", "q115_ivf_pq_topk",
+    "q116_benchmark_decontamination", "q117_mixture_sample",
+    "q118_span_self_overlap", "q119_lang_ngram_id",
     "q121_pii_scrub", "q122_repetition_filter", "q123_sequence_packing",
+    "q124_audio_features", "q125_bpe_pair_frequencies",
+    "q126_dedup_aware_sample", "q127_chunk_documents",
     # --- driver cap boundary (first 50 above get the hard driver check) ---
+    "q44_dedup_survivors", "q49_doc_fingerprint",
+    "q51_ann_lsh_bucketed", "q53_label_centroids",
+    "q58_ann_ivf_probe", "q102_media_builtin_decode",
+    "q107_normalized_dup_groups", "q109_bpe_regex_tokens",
+    "q120_cosine_near_dup_clusters",
     "q105_jdbc_upsert_mirror", "q106_lsh_parameter_sweep",
     "q59_cosine_near_dup_pairs",
     "q47_minhash_lsh_pairs",

@@ -66,6 +66,11 @@ class CorpusPrep:
             pii_redact_expr().alias("text"),
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         )
+        # clean fans out to dedup's bands/sets writers, the admitted
+        # join, and the corpus append — materialize once (mirroring the
+        # decisions materialization in CorpusDedup) so the quality join
+        # and the four-regex redaction don't run 3-4x per micro-batch
+        clean = clean.localCheckpoint(eager=True)
         decisions = self.dedup.process_batch(clean, batch_id)
 
         admitted = clean.join(

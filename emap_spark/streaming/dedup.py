@@ -74,14 +74,31 @@ class CorpusDedup:
     def process_batch(self, docs: DataFrame, batch_id: int = 0) -> DataFrame:
         """docs: (doc_id, text, ...). Returns the materialized decision
         frame; survivors' bands + shingle sets are appended to the index
-        before it returns (crash between append and downstream use
-        re-admits the batch idempotently iff the caller replays with the
-        same doc_ids — dropDuplicates on append is the caller's replay
-        guard, matching the at-least-once foreachBatch contract)."""
+        before it returns.
+
+        At-least-once replay is handled HERE (foreachBatch may redeliver
+        a batch after a crash between the index append and the caller's
+        downstream commit): incoming doc_ids already present in the
+        durable index were admitted by the prior attempt, so they are
+        re-admitted idempotently (same decision row, dup_of null) and
+        NOT re-scored — without this they would LSH-match their own
+        prior index entries and bounce as rejected_dup of themselves —
+        and their bands/sets are NOT appended again. Candidate scoring
+        also excludes doc_id == dup_of outright as defense in depth."""
         sets = (
             docs.withColumn("w", F.split("text", " "))
             .select("doc_id", F.expr(_SHINGLE).alias("sh"))
         )
+
+        replayed = None
+        if self._exists():
+            # indexed ∩ incoming: scan only the bucketed sets table's
+            # doc_id column against the broadcast batch ids — no shuffle
+            replayed = self.spark.table(self.sets_table).select("doc_id").join(
+                F.broadcast(sets.select("doc_id")), "doc_id", "semi"
+            )
+            sets = sets.join(F.broadcast(replayed), "doc_id", "left_anti")
+
         shingles = sets.select("doc_id", F.explode("sh").alias("s"))
         bands = lsh_band_keys(
             minhash_signatures(shingles, self.n_hashes),
@@ -95,6 +112,7 @@ class CorpusDedup:
             )
             cand = (
                 bands.join(corpus_bands, "bkey")
+                .filter(F.col("doc_id") != F.col("dup_of"))
                 .select("doc_id", "dup_of")
                 .distinct()
             )
@@ -132,6 +150,17 @@ class CorpusDedup:
                 F.lit(None).cast("long").alias("dup_of"),
                 F.lit(None).cast("double").alias("jaccard"),
                 F.lit(True).alias("admitted"),
+            )
+
+        if replayed is not None:
+            # idempotent re-admits: already indexed by the prior attempt
+            decisions = decisions.unionByName(
+                replayed.select(
+                    "doc_id",
+                    F.lit(None).cast("long").alias("dup_of"),
+                    F.lit(None).cast("double").alias("jaccard"),
+                    F.lit(True).alias("admitted"),
+                )
             )
 
         # one materialization: decisions drive BOTH the caller's sink

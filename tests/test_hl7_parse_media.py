@@ -165,3 +165,19 @@ def test_audio_features_real_dsp_and_width_guard(spark):
     )
     with _pytest.raises(Exception, match="16-bit mono"):
         audio_features(bad).collect()
+
+    # corrupt payloads are isolated per row (null features), they do
+    # not fail the batch — the good row in the same batch still decodes
+    corrupt = spark.createDataFrame(
+        [
+            (4, "audio", "audio/wav", None, None, 50, b"not RIFF at all"),
+            (5, "audio", "audio/wav", None, None, 50, buf.getvalue()[:20]),
+            (6, "audio", "audio/wav", None, None, 50, buf.getvalue()),
+        ],
+        MEDIA_SCHEMA,
+    ).coalesce(1)
+    by_id = {r.media_id: r for r in audio_features(corrupt, frame_len=160).collect()}
+    assert len(by_id) == 3
+    assert by_id[4].n_samples is None and by_id[4].peak_abs is None
+    assert by_id[5].n_samples is None
+    assert (by_id[6].n_samples, by_id[6].zero_crossings) == (400, 199)

@@ -284,6 +284,16 @@ def test_corpus_dedup_streaming_loop(spark):
         # rejected docs never entered the index
         ids = {r.doc_id for r in spark.table(dd.sets_table).collect()}
         assert ids == {0, 1, 2, 3, 4, 5, 100, 200}
+
+        # at-least-once REPLAY of batch 2 (crash after the index append):
+        # the already-indexed survivor re-admits idempotently instead of
+        # LSH-matching its own prior index entry, the rejected doc
+        # re-scores to the same decision, and the index does not grow
+        d2r = {r.doc_id: r for r in dd.process_batch(batch2, 2).collect()}
+        assert d2r[200].admitted and d2r[200].dup_of is None
+        assert d2r[2100].dup_of == 100 and not d2r[2100].admitted
+        rows = spark.table(dd.sets_table).collect()
+        assert len(rows) == 8  # no duplicate index rows for doc 200
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         dd.drop()
