@@ -2045,3 +2045,187 @@ FROM c
 )
 def q127_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q128: the FULL BPE merge loop (q125 is its first step)
+# --------------------------------------------------------------------------
+# A production tokenizer trainer learns K merges, each = (argmax of the
+# corpus-weighted adjacent-pair counts) + (apply that merge to every
+# word). The scale shape (the design q125's header sketches): the CORPUS
+# is scanned exactly once — into the distinct-word frequency table —
+# and every iteration runs over that metadata-sized table only; the
+# driver loop collects one scalar (the argmax pair) per merge, exactly
+# how production BPE trainers shard the work.
+#
+# Merge application is true left-to-right non-overlapping BPE ("aaa"
+# with merge (a,a) -> [aa, a]), expressed WITHOUT a sequential fold so
+# the DuckDB oracle can run the identical computation: pair position i
+# is merged iff it matches AND its distance to the previous non-match
+# position is odd (within a run of consecutive matches — only possible
+# when the pair self-chains — the 1st, 3rd, ... merge; a just-formed
+# symbol can never re-merge inside one step since merged == left is
+# impossible). Words are short, so the O(len^2) prefix scan inside the
+# per-word lambdas is constant-bounded.
+BPE_MERGES = 6
+
+
+def _bpe_pair_counts(syms: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent-pair counts over the symbol table."""
+    return (
+        syms.filter(F.size("s") >= 2)
+        .select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1),"
+                    " i -> struct(element_at(s, i) AS l,"
+                    " element_at(s, i + 1) AS r))"
+                )
+            ).alias("pr"),
+        )
+        .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+        .agg(F.sum("wc").alias("cnt"))
+    )
+
+
+def _apply_merge(syms: DataFrame, a: str, b: str) -> DataFrame:
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    # every sequence(1, n) is guarded for n = 0: Spark's sequence(1, 0)
+    # is DESCENDING ([1, 0]), and element_at rejects index 0
+    with_m = syms.withColumn(
+        "m",
+        F.expr(
+            f"CASE WHEN size(s) >= 2 THEN transform(sequence(1, size(s) - 1),"
+            f" i -> element_at(s, i) = '{qa}' AND element_at(s, i + 1) = '{qb}')"
+            f" ELSE cast(array() AS array<boolean>) END"
+        ),
+    ).withColumn(
+        "sel",
+        F.expr(
+            "CASE WHEN size(m) >= 1 THEN"
+            " transform(sequence(1, size(m)), i -> element_at(m, i) AND"
+            " ((i - coalesce(array_max(filter(sequence(1, i),"
+            " j -> NOT element_at(m, j))), 0)) % 2 = 1))"
+            " ELSE cast(array() AS array<boolean>) END"
+        ),
+    )
+    return with_m.select(
+        "wc",
+        F.expr(
+            f"CASE WHEN size(s) >= 1 THEN"
+            f" filter(transform(sequence(1, size(s)), i ->"
+            f" CASE WHEN i <= size(sel) AND element_at(sel, i) THEN '{qa}{qb}'"
+            f"      WHEN i >= 2 AND element_at(sel, i - 1) THEN NULL"
+            f"      ELSE element_at(s, i) END), x -> x IS NOT NULL)"
+            f" ELSE s END"
+        ).alias("s"),
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn `n_merges` BPE merges. Returns one row per merge:
+    (step, left, right, merged, pair_count), deterministic tie-break
+    (count desc, left, right). The corpus is scanned once; each
+    iteration's jobs run over the distinct-word symbol table only, and
+    the driver collects exactly one argmax row per merge."""
+    spark = docs.sparkSession
+    syms = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            "wc",
+            F.expr(
+                "CASE WHEN length(word) >= 1 THEN"
+                " transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+                " ELSE cast(array() AS array<string>) END"
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)  # the one corpus scan
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        best = (
+            _bpe_pair_counts(syms)
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0].l, best[0].r, best[0].cnt
+        merges.append((step, l, r, l + r, int(cnt)))
+        # bound lineage: the symbol table is metadata-sized
+        syms = _apply_merge(syms, l, r).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count long"
+    )
+
+
+def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Unrolled K-step DuckDB mirror of bpe_train: per step, the argmax
+    pair via one window, the merge applied via the identical run-parity
+    lambdas (w{k} = symbol table after k merges)."""
+    apply_s = (
+        "list_filter(list_transform(range(1, len(s) + 1), i -> "
+        "CASE WHEN i <= len(sel) AND sel[i] THEN b.l || b.r "
+        "     WHEN i >= 2 AND sel[i - 1] THEN NULL "
+        "     ELSE s[i] END), x -> x IS NOT NULL)"
+    )
+    parts = [
+        "WITH w0 AS (\n"
+        "  SELECT count(*) AS wc,\n"
+        "         list_transform(range(1, len(word) + 1), i -> word[i]) AS s\n"
+        "  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)\n"
+        "  GROUP BY word\n"
+        ")"
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f"p{k} AS (\n"
+            f"  SELECT pr.l AS l, pr.r AS r, sum(wc)::BIGINT AS cnt\n"
+            f"  FROM (SELECT wc, unnest(list_transform(range(1, len(s)),\n"
+            f"          i -> {{'l': s[i], 'r': s[i + 1]}})) AS pr FROM w{p})\n"
+            f"  GROUP BY pr.l, pr.r\n"
+            f"), b{k} AS (\n"
+            f"  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1\n"
+            f"), w{k} AS (\n"
+            f"  SELECT wc, {apply_s} AS s\n"
+            f"  FROM (\n"
+            f"    SELECT wc, s,\n"
+            f"      list_transform(range(1, len(m) + 1), i -> m[i] AND\n"
+            f"        ((i - coalesce(list_max(list_filter(range(1, i + 1),\n"
+            f"          j -> NOT m[j])), 0)) % 2 = 1)) AS sel, b\n"
+            f"    FROM (SELECT wc, s, list_transform(range(1, len(s)),\n"
+            f"            i -> s[i] = b.l AND s[i + 1] = b.r) AS m, b\n"
+            f"          FROM w{p}, b{k} b)\n"
+            f"  )\n"
+            f")"
+        )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT {k} AS step, l AS \"left\", r AS \"right\","
+        f" l || r AS merged, cnt AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT step::INT AS step, \"left\", \"right\", merged, pair_count\nFROM (\n{unions}\n)\nORDER BY step"
+    )
+
+
+@register(
+    "q128_bpe_train",
+    oracle=_bpe_oracle(),
+    doc=(
+        "Full BPE tokenizer training loop: K merges, each an argmax of "
+        "corpus-weighted adjacent-pair counts followed by left-to-right "
+        "non-overlapping merge application. Corpus scanned once into the "
+        "distinct-word table; every iteration is metadata-sized; the "
+        "driver collects one scalar per merge — the production trainer "
+        "shape (extends q125, which is this loop's first step)."
+    ),
+)
+def q128_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train(_docs(spark, sf_dir))

@@ -122,6 +122,11 @@ def _load_all() -> None:
 # evidence deepens via incoming q124, q76/q110 stay), q107/q109
 # (driver-green r5-r6; normalization/tokenization evidence stays via
 # q121/q122 driver rows + q40-q42 local).
+# Mid round 7: q128 (the FULL BPE merge loop — K argmax+apply
+# iterations over the distinct-word table, q125's completion per
+# VERDICT r6 #3) enters; q103 rotates local (salted hot-key agg,
+# driver-green r4-r6; the skew story keeps driver q112 and the
+# operator stays test-pinned).
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
@@ -147,7 +152,6 @@ _PRIORITY = [
     # LLM-data pipeline family (dedup/similarity/text)
     "q57_lsh_near_dup_verified",
     "q48_simhash",
-    "q103_salted_hot_key_agg",
     "q108_near_dup_clusters",
     "q110_media_resize",
     "q112_lsh_bucket_cap", "q113_incremental_corpus_dedup",
@@ -157,7 +161,9 @@ _PRIORITY = [
     "q121_pii_scrub", "q122_repetition_filter", "q123_sequence_packing",
     "q124_audio_features", "q125_bpe_pair_frequencies",
     "q126_dedup_aware_sample", "q127_chunk_documents",
+    "q128_bpe_train",
     # --- driver cap boundary (first 50 above get the hard driver check) ---
+    "q103_salted_hot_key_agg",
     "q44_dedup_survivors", "q49_doc_fingerprint",
     "q51_ann_lsh_bucketed", "q53_label_centroids",
     "q58_ann_ivf_probe", "q102_media_builtin_decode",

@@ -1,0 +1,76 @@
+"""q128 BPE training-loop semantics, pinned against an independent
+pure-Python reference implementing textbook BPE: per step, argmax of
+corpus-weighted adjacent-pair counts (tie-break count desc, left, right)
+then LEFT-TO-RIGHT NON-OVERLAPPING merge application. The adversarial
+shapes are self-chaining pairs ("aaa" -> [aa, a], "aaaaa" ->
+[aa, aa, a]) where naive replace/fixpoint semantics diverge."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from emap_spark.plans.text_dedup import bpe_train
+
+
+def _ref_bpe(texts: list[str], n_merges: int):
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            words[tuple(w)] += 1
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, wc in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, cnt))
+        nxt = Counter()
+        for syms, wc in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += wc
+        words = nxt
+    return merges
+
+
+def _check(spark, texts, n_merges=5):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(docs, n_merges).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe(texts, n_merges), f"texts={texts}\ngot={got}"
+
+
+def test_bpe_self_chaining_overlap(spark):
+    # runs of the same char: LTR non-overlap is the defining semantics
+    _check(spark, ["aaa aaaa aaaaa aaaaaa", "aa a aaa"], n_merges=4)
+
+
+def test_bpe_merged_symbol_feeds_next_step(spark):
+    # step k+1's counts must reflect step k's applied merge: after
+    # (l,o)->lo, the corpus's next-best pair involves the NEW symbol
+    _check(spark, ["low low low lower lowest", "low slow slower"], n_merges=6)
+
+
+def test_bpe_tie_breaks_and_singletons(spark):
+    # ties resolved (count desc, left, right); single-char words are
+    # pairless; multi-space text yields empty words that contribute none
+    _check(spark, ["ab cd ab cd", "x y z  q", "a b c"], n_merges=5)
+
+
+def test_bpe_exhausts_pairs_early(spark):
+    # fewer distinct pairs than requested merges: the loop stops clean
+    docs_texts = ["ab ab ab"]
+    _check(spark, docs_texts, n_merges=8)
