@@ -676,6 +676,11 @@ def merge_batch(
     joined = cur.join(cnd, key, "full_outer")
 
     T = _mb_templates(spec)
+    for tier in T["helpers"]:
+        # stacked intermediate projections computing the shared trusted-
+        # precedence predicates per row (see the Janino guard note in
+        # _mb_templates) — the giant trees codegen once, not per field
+        joined = joined.select("*", *tier)
     stored_lit = F.lit(stored_from).cast("timestamp_ntz")
     # stored_from is the only batch-varying literal: the stored_from of
     # a surviving row, plus the audit/combined stored_until below
@@ -693,10 +698,14 @@ def merge_batch(
     # and most callers read exactly one view
 
     def _audit() -> DataFrame:
-        return merged.filter(F.col("__audit_me")).select(
-            *T["audit_cols"],
-            stored_lit.alias("stored_until"),
-        )
+        # explode-of-null instead of filter(__audit_me): see _combined's
+        # note — a Filter on a computed alias is predicate-pushed below
+        # the projections with the alias substituted, re-inlining the
+        # trees the helper tiers deduplicate. explode(null) emits no row.
+        s = F.struct(*T["audit_cols"], stored_lit.alias("stored_until"))
+        return merged.select(
+            F.explode(F.when(F.col("__audit_me"), F.array(s))).alias("__r")
+        ).select("__r.*")
 
     def _current() -> DataFrame:
         return merged.select(
@@ -708,21 +717,22 @@ def merge_batch(
         # combined: each merged row explodes into its new version (+ the
         # superseded version when audited) in ONE pass over the join — no
         # double computation of the fold when the pipeline persists it.
+        # The audit gate is a CONDITIONAL ARRAY, not a post-explode
+        # filter: a Filter node referencing computed aliases gets
+        # predicate-pushed below every projection with the aliases
+        # SUBSTITUTED — re-inlining the giant trusted-precedence trees
+        # the helper tiers exist to deduplicate (Janino 64 KB, r6 ledger
+        # item 35). explode() drops nothing here, so no filter is needed.
         new_struct = F.struct(*T["new_struct_cols"])
         old_struct = F.struct(
             *T["old_struct_cols"],
             stored_lit.alias("stored_until"),
             F.lit(2).alias("__rk"),
         )
-        return (
-            merged.select(
-                F.explode(
-                    F.array(new_struct, F.when(F.col("__audit_me"), old_struct))
-                ).alias("__r")
-            )
-            .filter(F.col("__r").isNotNull())
-            .select("__r.*")
-        )
+        arr = F.when(
+            F.col("__audit_me"), F.array(new_struct, old_struct)
+        ).otherwise(F.array(new_struct))
+        return merged.select(F.explode(arr).alias("__r")).select("__r.*")
 
     return MergeResult(current=_current, audit=_audit, combined=_combined)
 
@@ -785,9 +795,6 @@ def _mb_templates(spec: MergeSpec) -> dict:
     else:
         cur_seen = raw_seen
         cur_prec = F.col("cur.valid_from")
-    cnd_newer = cnd_exists & (
-        ~cur_exists | (F.col("cnd.__event_time") >= cur_seen)
-    )
     # M6: untrusted candidates only act when the entity does not exist
     # yet (a tombstone row still counts as existing) — with ONE
     # exception: a batch's untrusted creator with an earlier REAL event
@@ -872,9 +879,53 @@ def _mb_templates(spec: MergeSpec) -> dict:
         creator_invalid = F.lit(False)
         partial_void = F.lit(False)
         _floored = {}
+
+    # Janino guard (r6 ledger item 35): the trusted-precedence predicates
+    # above are LARGE trees, and every field's CASE chain below embeds
+    # them inside conditional branches — where whole-stage codegen's
+    # subexpression elimination does not reach — so a wide trusted spec
+    # duplicated them per field until a single generated method crossed
+    # Janino's 64 KB limit and the whole stage fell back to interpreted
+    # mode. Materialize the shared row-level predicates ONCE as helper
+    # columns in TIERED intermediate projections (each tier may reference
+    # the previous tier's aliases; merge_batch stacks the selects between
+    # the join and the big template select — CollapseProject keeps
+    # non-cheap aliases referenced more than once) and rebind every
+    # downstream use to the slim column reference.
+    helper_tiers: list[list[Column]] = []
+    if spec.trusted:
+        helper_tiers.append(
+            [
+                cur_seen.alias("__mb_seen"),
+                cur_prec.alias("__mb_prec"),
+                creator_acts.alias("__mb_cracts"),
+                creator_invalid.alias("__mb_crinv"),
+                un_replaces.alias("__mb_unrepl"),
+                partial_void.alias("__mb_pvoid"),
+            ]
+        )
+        cur_seen = F.col("__mb_seen")
+        cur_prec = F.col("__mb_prec")
+        creator_acts = F.col("__mb_cracts")
+        creator_invalid = F.col("__mb_crinv")
+        un_replaces = F.col("__mb_unrepl")
+        partial_void = F.col("__mb_pvoid")
+
+    cnd_newer = cnd_exists & (
+        ~cur_exists | (F.col("cnd.__event_time") >= cur_seen)
+    )
     cnd_applies = cnd_exists & (
         F.col("cnd.__trusted") | ~cur_exists | un_replaces | creator_acts
     )
+    if spec.trusted:
+        helper_tiers.append(
+            [
+                cnd_newer.alias("__mb_newer"),
+                cnd_applies.alias("__mb_applies"),
+            ]
+        )
+        cnd_newer = F.col("__mb_newer")
+        cnd_applies = F.col("__mb_applies")
     # A mid-batch tombstone (newest in-batch delete at __tomb_t) must
     # clear STORED state older than it, exactly as sequential application
     # would: the whole stored row when the entity's newest write predates
@@ -906,10 +957,40 @@ def _mb_templates(spec: MergeSpec) -> dict:
     # future resurrection — EXCEPT under un_replaces, where the stored
     # row is a voided untrusted creation-tombstone: in replay that
     # delete never happened, so only the previously carried floor binds).
+    # The tombstone's contribution to the floor uses the PRECEDENCE time
+    # (cur_prec — EPOCH-floored for a pure untrusted store), not the raw
+    # valid_from: a pure untrusted tombstoned store is necessarily an
+    # untrusted CREATION-tombstone (only the creation ever acted), and
+    # such a floor is self-voiding — any earlier arrival proves the key
+    # existed first, so in event order the creation-tombstone was
+    # SKIPPED and its floor never existed; any later arrival sits above
+    # it regardless (item 37's rule: floored times ARE the provenance;
+    # r7 mult-8 falsifier: the b1 resurrection baked the tombstone's
+    # real time as floor and cut a b2 retro-creator's fill).
     stored_floor = F.when(
         cur_deleted & ~un_replaces,
-        F.greatest(F.col("cur.valid_from"), F.col("cur.__floor_t")),
+        F.greatest(cur_prec, F.col("cur.__floor_t")),
     ).otherwise(F.col("cur.__floor_t"))
+
+    # remaining tiers of the Janino guard: wiped / cur_dead /
+    # new_deleted are embedded in every field's CASE chains (each
+    # references the previous tier, hence separate projections)
+    if spec.trusted:
+        helper_tiers.append(
+            [wiped.alias("__mb_wiped"), stored_floor.alias("__mb_floor")]
+        )
+        wiped = F.col("__mb_wiped")
+        stored_floor = F.col("__mb_floor")
+        cur_dead = cur_deleted | wiped | un_replaces
+        helper_tiers.append([cur_dead.alias("__mb_dead")])
+        cur_dead = F.col("__mb_dead")
+        new_deleted = F.when(
+            cnd_applies & F.col("cnd.__tombstone") & cnd_newer, F.lit(True)
+        ).otherwise(
+            F.when(cnd_applies & cnd_newer, F.lit(False)).otherwise(cur_dead)
+        )
+        helper_tiers.append([new_deleted.alias("__mb_newdel")])
+        new_deleted = F.col("__mb_newdel")
 
     out_fields: list[Column] = [F.col(k) for k in key]
     change_terms: list[Column] = []
@@ -1060,14 +1141,16 @@ def _mb_templates(spec: MergeSpec) -> dict:
         ).alias("__seen_t")
     )
     # carry the incarnation floor forward: the old floor, the tombstone
-    # this resurrection rose from, and any in-batch tombstone all bound
-    # future late arrivals
+    # this resurrection rose from (at its PRECEDENCE time — floored for
+    # a pure untrusted creation-tombstone, whose floor is self-voiding;
+    # see the stored_floor note above), and any in-batch tombstone all
+    # bound future late arrivals
     fill_meta.append(
         F.greatest(
             F.col("cur.__floor_t"),
             F.when(
                 cur_deleted & ~un_replaces & cnd_applies & cnd_newer,
-                F.col("cur.valid_from"),
+                cur_prec,
             ),
             F.when(cnd_applies, tomb_t),
         ).alias("__floor_t")
@@ -1241,6 +1324,7 @@ def _mb_templates(spec: MergeSpec) -> dict:
 
     t = {
         "keep_stored": cur_exists & ~cur_deleted,
+        "helpers": helper_tiers,
         "merged_cols_head": merged_cols_head,
         "merged_cols_tail": merged_cols_tail,
         "audit_cols": audit_cols,

@@ -2111,7 +2111,7 @@ def _apply_merge(syms: DataFrame, a: str, b: str) -> DataFrame:
         ),
     )
     return with_m.select(
-        "wc",
+        *[c for c in syms.columns if c != "s"],
         F.expr(
             f"CASE WHEN size(s) >= 1 THEN"
             f" filter(transform(sequence(1, size(s)), i ->"
@@ -2123,18 +2123,16 @@ def _apply_merge(syms: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
-def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
-    """Learn `n_merges` BPE merges. Returns one row per merge:
-    (step, left, right, merged, pair_count), deterministic tie-break
-    (count desc, left, right). The corpus is scanned once; each
-    iteration's jobs run over the distinct-word symbol table only, and
-    the driver collects exactly one argmax row per merge."""
-    spark = docs.sparkSession
+def _bpe_fit(docs: DataFrame, n_merges: int):
+    """The shared trainer: returns (merges list, final word->symbols
+    DataFrame). One corpus scan; each iteration over the distinct-word
+    table; one argmax scalar collected per merge."""
     syms = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
         .select(
+            "word",
             "wc",
             F.expr(
                 "CASE WHEN length(word) >= 1 THEN"
@@ -2158,15 +2156,45 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         merges.append((step, l, r, l + r, int(cnt)))
         # bound lineage: the symbol table is metadata-sized
         syms = _apply_merge(syms, l, r).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    return merges, syms
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn `n_merges` BPE merges. Returns one row per merge:
+    (step, left, right, merged, pair_count), deterministic tie-break
+    (count desc, left, right). The corpus is scanned once; each
+    iteration's jobs run over the distinct-word symbol table only, and
+    the driver collects exactly one argmax row per merge."""
+    merges, _ = _bpe_fit(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count long"
     )
 
 
-def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
-    """Unrolled K-step DuckDB mirror of bpe_train: per step, the argmax
-    pair via one window, the merge applied via the identical run-parity
-    lambdas (w{k} = symbol table after k merges)."""
+def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Tokenize the corpus with the vocabulary bpe_train just learned:
+    per doc, word count and BPE token count. The tokenizer runs over
+    the DISTINCT-WORD table only (metadata-sized); the corpus-side cost
+    is one explode + a broadcast join of word -> token count + one
+    groupBy — the train->apply loop every tokenizer pipeline runs."""
+    _, syms = _bpe_fit(docs, n_merges)
+    wtok = syms.select("word", F.size("s").cast("long").alias("nt"))
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .join(F.broadcast(wtok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+
+
+def _bpe_oracle(n_merges: int = BPE_MERGES, encode: bool = False) -> str:
+    """Unrolled K-step DuckDB mirror of bpe_train / bpe_encode: per
+    step, the argmax pair via one window, the merge applied via the
+    identical run-parity lambdas (w{k} = symbol table after k merges).
+    encode=True emits the per-doc tokenization instead of the merges."""
     apply_s = (
         "list_filter(list_transform(range(1, len(s) + 1), i -> "
         "CASE WHEN i <= len(sel) AND sel[i] THEN b.l || b.r "
@@ -2175,7 +2203,7 @@ def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
     )
     parts = [
         "WITH w0 AS (\n"
-        "  SELECT count(*) AS wc,\n"
+        "  SELECT word, count(*) AS wc,\n"
         "         list_transform(range(1, len(word) + 1), i -> word[i]) AS s\n"
         "  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)\n"
         "  GROUP BY word\n"
@@ -2192,17 +2220,27 @@ def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
             f"), b{k} AS (\n"
             f"  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1\n"
             f"), w{k} AS (\n"
-            f"  SELECT wc, {apply_s} AS s\n"
+            f"  SELECT word, wc, {apply_s} AS s\n"
             f"  FROM (\n"
-            f"    SELECT wc, s,\n"
+            f"    SELECT word, wc, s,\n"
             f"      list_transform(range(1, len(m) + 1), i -> m[i] AND\n"
             f"        ((i - coalesce(list_max(list_filter(range(1, i + 1),\n"
             f"          j -> NOT m[j])), 0)) % 2 = 1)) AS sel, b\n"
-            f"    FROM (SELECT wc, s, list_transform(range(1, len(s)),\n"
+            f"    FROM (SELECT word, wc, s, list_transform(range(1, len(s)),\n"
             f"            i -> s[i] = b.l AND s[i + 1] = b.r) AS m, b\n"
             f"          FROM w{p}, b{k} b)\n"
             f"  )\n"
             f")"
+        )
+    if encode:
+        return (
+            ",\n".join(parts)
+            + f""",
+wtok AS (SELECT word, len(s)::BIGINT AS nt FROM w{n_merges})
+SELECT doc_id, count(*)::BIGINT AS n_words, sum(nt)::BIGINT AS n_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+JOIN wtok USING (word)
+GROUP BY doc_id"""
         )
     unions = "\n  UNION ALL\n".join(
         f"  SELECT {k} AS step, l AS \"left\", r AS \"right\","
@@ -2229,3 +2267,19 @@ def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
 )
 def q128_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir))
+
+
+@register(
+    "q129_bpe_encode",
+    oracle=_bpe_oracle(encode=True),
+    doc=(
+        "BPE tokenization with the just-learned vocabulary: per doc, "
+        "word count and token count after K merges. The tokenizer runs "
+        "over the distinct-word table only; corpus cost is one explode "
+        "+ a broadcast word->token-count join + one groupBy — the "
+        "train->apply loop every tokenizer pipeline runs (companion to "
+        "q128)."
+    ),
+)
+def q129_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode(_docs(spark, sf_dir))

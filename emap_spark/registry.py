@@ -126,7 +126,11 @@ def _load_all() -> None:
 # iterations over the distinct-word table, q125's completion per
 # VERDICT r6 #3) enters; q103 rotates local (salted hot-key agg,
 # driver-green r4-r6; the skew story keeps driver q112 and the
-# operator stays test-pinned).
+# operator stays test-pinned). q129 (BPE ENCODE — tokenize the corpus
+# with the q128-learned vocabulary, the train->apply loop) enters;
+# q110 rotates local (image resize, driver-green r5/r6; the media
+# family keeps driver q76 + incoming q124 and the resize operator
+# stays test-pinned).
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
@@ -153,7 +157,6 @@ _PRIORITY = [
     "q57_lsh_near_dup_verified",
     "q48_simhash",
     "q108_near_dup_clusters",
-    "q110_media_resize",
     "q112_lsh_bucket_cap", "q113_incremental_corpus_dedup",
     "q114_pq_adc_topk", "q115_ivf_pq_topk",
     "q116_benchmark_decontamination", "q117_mixture_sample",
@@ -161,9 +164,9 @@ _PRIORITY = [
     "q121_pii_scrub", "q122_repetition_filter", "q123_sequence_packing",
     "q124_audio_features", "q125_bpe_pair_frequencies",
     "q126_dedup_aware_sample", "q127_chunk_documents",
-    "q128_bpe_train",
+    "q128_bpe_train", "q129_bpe_encode",
     # --- driver cap boundary (first 50 above get the hard driver check) ---
-    "q103_salted_hot_key_agg",
+    "q103_salted_hot_key_agg", "q110_media_resize",
     "q44_dedup_survivors", "q49_doc_fingerprint",
     "q51_ann_lsh_bucketed", "q53_label_centroids",
     "q58_ann_ivf_probe", "q102_media_builtin_decode",

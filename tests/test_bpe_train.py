@@ -74,3 +74,40 @@ def test_bpe_exhausts_pairs_early(spark):
     # fewer distinct pairs than requested merges: the loop stops clean
     docs_texts = ["ab ab ab"]
     _check(spark, docs_texts, n_merges=8)
+
+
+def test_bpe_encode_matches_reference_tokenization(spark):
+    """q129: per-doc token counts after K merges equal the reference
+    tokenizer applied with the reference-learned merges."""
+    from emap_spark.plans.text_dedup import bpe_encode
+
+    texts = ["low lower lowest aaa", "aaaa low newest", "x aaa aaab"]
+    n_merges = 4
+    merges = _ref_bpe(texts, n_merges)
+
+    def tok(word):
+        syms = list(word)
+        for _, a, b, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    expected = {
+        i: (len(t.split(" ")), sum(tok(w) for w in t.split(" ")))
+        for i, t in enumerate(texts)
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_encode(docs, n_merges).collect()
+    }
+    assert got == expected

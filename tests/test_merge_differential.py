@@ -596,6 +596,30 @@ mixed_msg_strategy = st.fixed_dictionaries(
     ],
     split=[2, 0, 0],
 )
+@example(
+    # r7 16-msg mult-8 explore falsifier (the FOURTH void-family bug,
+    # minimized): an untrusted CREATION-TOMBSTONE @7 (batch 0), a
+    # trusted resurrection @14 (batch 1), then the key's REAL untrusted
+    # creator @6 carrying a FILL (batch 2). In event order the @6
+    # creation runs first, so the @7 tombstone is SKIPPED — its floor
+    # never existed — and the creator's fill must survive under the
+    # trusted @14 state. merge_batch's RESURRECTION baked the stored
+    # tombstone's raw valid_from (7) into __floor_t / stored_floor and
+    # cut the retro-creator's fill at 6. Fix: the tombstone contributes
+    # its PRECEDENCE time (EPOCH-floored for a pure untrusted store —
+    # which is necessarily a creation-tombstone, the only message that
+    # ever acted) — item 37's floored-times-are-the-provenance rule
+    # applied to mb's stored-floor baking sites.
+    raw=[
+        {"k": "x", "minute": 7, "a": None, "f": None, "tmode": "ignore",
+         "dead": True, "trusted": False},
+        {"k": "x", "minute": 14, "a": "a1", "f": None, "tmode": "ignore",
+         "dead": False, "trusted": True},
+        {"k": "x", "minute": 6, "a": None, "f": "f1", "tmode": "ignore",
+         "dead": False, "trusted": False},
+    ],
+    split=[0, 1, 2],
+)
 @given(
     st.lists(mixed_msg_strategy, min_size=1, max_size=_MAX_MSGS),
     st.lists(st.integers(0, 2), min_size=2, max_size=8),

@@ -261,3 +261,33 @@ def test_fill_legacy_frame_rejects_older(spark):
     )
     res3 = merge_batch(legacy_null, older, SPEC, "2024-06-01 00:00:00")
     assert res3.live().collect()[0].nhs_number == "OLD"
+
+
+def test_trusted_merge_batch_codegen_compiles(spark, capfd):
+    """r6 ledger item 35 / VERDICT r6 #6: the trusted-precedence
+    templates used to overflow Janino's 64 KB method limit (whole stage
+    silently fell back to interpreted mode — a latent 10x). The helper
+    tiers + the filter-free audit/combined views must keep every
+    generated method compiling; the JVM's 'Failed to compile' ERROR on
+    stderr is the regression signal (capfd sees the JVM fd)."""
+    from emap_spark.lineage import cut
+
+    msgs = [
+        msg("a", 1, 1, name="n1", trusted=False),
+        msg("a", 2, 2, name="n2", trusted=True),
+        msg("b", 1, 3, name="n3", trusted=True, deleted=True),
+        msg("b", 2, 4, name="n4", trusted=False),
+    ]
+    df = spark.createDataFrame(msgs, SCHEMA)
+    capfd.readouterr()  # drain earlier tests' output
+    res = merge_batch(None, df, SPEC, "2024-06-01 00:00:00")
+    assert res.combined.count() == 2 and res.audit.count() == 0
+    cur = cut(res.current)
+    res2 = merge_batch(cur, df, SPEC, "2024-06-02 00:00:00")
+    assert res2.combined.count() == 2 and res2.audit.count() == 0
+    assert [
+        (r.mrn, r.name) for r in res2.live().select("mrn", "name").collect()
+    ] == [("a", "n2")]
+    out = capfd.readouterr()
+    joined = out.err + out.out
+    assert "Failed to compile" not in joined, joined[-2000:]

@@ -120,7 +120,7 @@ def main() -> None:
         for s in sorted(grp, key=lambda s: -s["ms"])[:25]:
             d = stage2desc.get(s["id"], "?")
             tt = task_time.get(s["id"], [0.0, 0.0])
-            print(f"  stage {s['id']:>4}  {s['ms']:>7} ms  {s['tasks']:>3} tasks  run {tt[0]:>8.0f} cpu {tt[1]:>8.0f} [{d}]")
+            print(f"  stage {s['id']:>4}  {s['ms']:>7} ms  {s['tasks']:>3} tasks  run {tt[0]:>8.0f} cpu {tt[1]:>8.0f} [{d}] name={s['name']}")
         # timeline: per-100ms tick, how many stages were running — gaps
         # (ticks with 0 running) are driver/analysis/commit time
         ticks = int((eb - ea) // 100) + 1
