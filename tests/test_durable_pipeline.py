@@ -167,3 +167,35 @@ def test_merge_history_write_is_gated_on_identity_presence(spark, tmpdir):
     eng2.load(spark)
     live = {r.mrn: r.live_mrn for r in eng2.mrn_to_live().collect()}
     assert live[a] == b
+
+
+def test_ingest_scan_sizing_conf_is_scoped_to_the_batch(spark, tmpdir):
+    """process_batch sets spark.sql.files.minPartitionNum for the
+    ingest's small-file scans and must RESTORE it on exit (success and
+    failure), so analytic queries keep the session default."""
+    key = "spark.sql.files.minPartitionNum"
+    try:
+        before = spark.conf.get(key)
+    except Exception:
+        before = None
+
+    adt = adt_messages(spark, n_patients=3)
+    eng = EmapEngine(storage_root=tmpdir)
+    eng.process_batch(adt, batch_id=0)
+    try:
+        after = spark.conf.get(key)
+    except Exception:
+        after = None
+    assert after == before
+
+    # failure path: a batch missing required columns raises inside the
+    # scoped region; the conf must still come back
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng.process_batch(adt.select("mrn"), batch_id=1)
+    try:
+        after = spark.conf.get(key)
+    except Exception:
+        after = None
+    assert after == before
