@@ -218,3 +218,13 @@ def test_corpus_prep_ops_plan_hygiene(spark, sf_dir):
     assert plan.count("hashpartitioning") == 1
     assert "hashpartitioning(source" in plan
     assert "windowspecdefinition(source" in plan
+
+
+def test_bpe_encode_broadcasts_word_token_counts(spark, sf_dir):
+    """q129's 100 TB shape: the distinct-word token-count table is the
+    BROADCAST side of the tokenization join — the corpus-side explode
+    is never sort-merge-shuffled against the vocabulary; the only
+    corpus exchange is the final per-doc groupBy."""
+    plan = plan_of(spark, sf_dir, "q129_bpe_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
