@@ -426,7 +426,11 @@ def audio_features(media: DataFrame, frame_len: int = 160) -> DataFrame:
                         pcm = np.frombuffer(
                             w.readframes(w.getnframes()), dtype="<i2"
                         ).astype(np.int64)
-                except (_wave.Error, EOFError):
+                except (_wave.Error, EOFError, ValueError):
+                    # ValueError: a data chunk truncated to an odd byte
+                    # count parses through wave but breaks
+                    # np.frombuffer(dtype='<i2') — same per-row
+                    # corruption class as a wave.Error.
                     out.append({"media_id": mid, **nulls})
                     continue
                 n = len(pcm)

@@ -1279,7 +1279,8 @@ def decontaminate(
             "doc_id",
             "n_hit",
             "n_grams",
-            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contam_rate"),
+            # Raw IEEE ratio, not round(): see shared_frac note.
+            (F.col("n_hit") / F.col("n_grams")).alias("contam_rate"),
         )
     )
 
@@ -1308,7 +1309,7 @@ hits AS (
   GROUP BY t.doc_id
 )
 SELECT doc_id, n_hit, n_grams,
-       round(n_hit::DOUBLE / n_grams, 6) AS contam_rate
+       n_hit::DOUBLE / n_grams AS contam_rate
 FROM hits JOIN sizes USING (doc_id)
 """,
     doc=(
@@ -1405,7 +1406,10 @@ def span_overlap_report(docs: DataFrame, n: int = NGRAM_DECONTAM) -> DataFrame:
         "doc_id",
         "n_spans",
         "n_shared",
-        F.round(F.col("n_shared") / F.col("n_spans"), 6).alias("shared_frac"),
+        # Raw IEEE division (no round): Spark round() is BigDecimal
+        # HALF_UP while DuckDB round() is scaled-double — they can
+        # differ in the last ulp; a raw long/long -> double cannot.
+        (F.col("n_shared") / F.col("n_spans")).alias("shared_frac"),
     )
 
 
@@ -1417,8 +1421,8 @@ g AS (SELECT doc_id, unnest({_NGRAM_SQL}) AS g FROM w),
 cnt AS (SELECT g, count(*) AS nd FROM g GROUP BY g)
 SELECT doc_id,
        count(*) AS n_spans,
-       sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_shared,
-       round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+       sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)
          AS shared_frac
 FROM g JOIN cnt USING (g)
 GROUP BY doc_id
@@ -2089,8 +2093,17 @@ def _bpe_pair_counts(syms: DataFrame) -> DataFrame:
     )
 
 
+def _sql_str(s: str) -> str:
+    """Escape a learned symbol for embedding in a Spark SQL string
+    literal.  Spark's parser processes backslash escapes inside
+    single-quoted literals (unlike DuckDB), so backslashes must be
+    doubled FIRST — a corpus token with a trailing backslash would
+    otherwise swallow the closing quote and break the expression."""
+    return s.replace("\\", "\\\\").replace("'", "''")
+
+
 def _apply_merge(syms: DataFrame, a: str, b: str) -> DataFrame:
-    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    qa, qb = _sql_str(a), _sql_str(b)
     # every sequence(1, n) is guarded for n = 0: Spark's sequence(1, 0)
     # is DESCENDING ([1, 0]), and element_at rejects index 0
     with_m = syms.withColumn(

@@ -79,9 +79,32 @@ class CorpusPrep:
         packed = pack_assignments(admitted, self.budget).select(
             "*", F.lit(batch_id).cast("long").alias("batch_id")
         )
-        packed.write.mode("append").format("parquet").saveAsTable(
-            self.corpus_table
-        )
+        # Idempotent corpus append: the corpus table is PARTITIONED BY
+        # batch_id and each batch dynamically overwrites only its own
+        # partition.  A redelivered batch (crash after this append,
+        # before the streaming commit) therefore REPLACES its prior
+        # partition instead of double-appending — the replay
+        # re-admission in CorpusDedup re-admits the same docs, and the
+        # rewrite lands byte-equivalent.  O(batch), not O(corpus).
+        if not self.spark.catalog.tableExists(self.corpus_table):
+            packed.write.partitionBy("batch_id").format("parquet").saveAsTable(
+                self.corpus_table
+            )
+        else:
+            # conf-scoped: the writer OPTION is not honored on the
+            # insertInto path; static mode would truncate every
+            # partition, so set+restore the session conf around it
+            conf = self.spark.conf
+            key = "spark.sql.sources.partitionOverwriteMode"
+            old = conf.get(key, None)
+            conf.set(key, "dynamic")
+            try:
+                packed.write.mode("overwrite").insertInto(self.corpus_table)
+            finally:
+                if old is None:
+                    conf.unset(key)
+                else:
+                    conf.set(key, old)
 
         outcome = (
             F.when(F.col("admitted").isNull(), F.lit("rejected_quality"))

@@ -182,8 +182,13 @@ class CorpusDedup:
             .mode("append")
             .format("parquet")
         )
-        writer_bands.saveAsTable(self.bands_table)
+        # sets BEFORE bands: _exists() gates on bands_table but the
+        # replay guard and candidate scoring read sets_table, so the
+        # guard table must be created LAST — a crash between the two
+        # writes then replays down the not-yet-indexed path instead of
+        # raising TABLE_OR_VIEW_NOT_FOUND on the first batch.
         writer_sets.saveAsTable(self.sets_table)
+        writer_bands.saveAsTable(self.bands_table)
         return decisions
 
     def run_stream(self, stream_df: DataFrame, checkpoint_dir: str):

@@ -76,6 +76,19 @@ def test_bpe_exhausts_pairs_early(spark):
     _check(spark, docs_texts, n_merges=8)
 
 
+def test_bpe_metachar_symbols_survive_sql_quoting(spark):
+    # learned symbols are embedded into Spark SQL string literals; a
+    # corpus of code/paths exercises backslashes (Spark's parser
+    # escape-processes them — DuckDB/Python do not) and single quotes.
+    # Pre-fix, a symbol with a trailing backslash swallowed the closing
+    # quote and broke the expression entirely.
+    _check(
+        spark,
+        ["c:\\x c:\\x c:\\x \\\\ \\\\", "'a' 'a' 'a' \\' \\'"],
+        n_merges=6,
+    )
+
+
 def test_bpe_encode_matches_reference_tokenization(spark):
     """q129: per-doc token counts after K merges equal the reference
     tokenizer applied with the reference-learned merges."""

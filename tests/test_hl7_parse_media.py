@@ -181,3 +181,17 @@ def test_audio_features_real_dsp_and_width_guard(spark):
     assert by_id[4].n_samples is None and by_id[4].peak_abs is None
     assert by_id[5].n_samples is None
     assert (by_id[6].n_samples, by_id[6].zero_crossings) == (400, 199)
+
+    # a data chunk truncated to an ODD byte count parses through wave
+    # but breaks np.frombuffer(dtype='<i2') with ValueError — it must
+    # take the same per-row null-feature path, not fail the batch
+    odd = spark.createDataFrame(
+        [
+            (7, "audio", "audio/wav", None, None, 50, buf.getvalue()[:-1]),
+            (8, "audio", "audio/wav", None, None, 50, buf.getvalue()),
+        ],
+        MEDIA_SCHEMA,
+    ).coalesce(1)
+    by_id = {r.media_id: r for r in audio_features(odd, frame_len=160).collect()}
+    assert by_id[7].n_samples is None
+    assert (by_id[8].n_samples, by_id[8].peak_abs) == (400, 5)

@@ -299,6 +299,48 @@ def test_corpus_dedup_streaming_loop(spark):
         dd.drop()
 
 
+def test_corpus_dedup_first_batch_crash_window_recovers(spark):
+    """Crash between the two index writes on the FIRST batch: sets is
+    written before bands (the _exists() guard table is created LAST),
+    so a replay that finds sets-but-no-bands takes the not-yet-indexed
+    path instead of raising TABLE_OR_VIEW_NOT_FOUND, and the index is
+    fully usable afterwards."""
+    import uuid
+
+    from emap_spark.streaming.dedup import CorpusDedup
+
+    rng = random.Random(67)
+    vocab = [f"w{k}" for k in range(400)]
+
+    def doc(i):
+        return (i, " ".join(vocab[rng.randrange(len(vocab))] for _ in range(60)))
+
+    base = [doc(i) for i in range(4)]
+    dd = CorpusDedup(
+        spark, f"cdc_{uuid.uuid4().hex[:8]}", n_hashes=128, n_bands=16,
+        threshold=0.5,
+    )
+    try:
+        b0 = spark.createDataFrame(base, "doc_id long, text string")
+        dd.process_batch(b0, 0)
+        # simulate the crash window: sets persisted, bands not yet
+        spark.sql(f"DROP TABLE {dd.bands_table}")
+        d0r = {r.doc_id: r for r in dd.process_batch(b0, 0).collect()}
+        assert all(r.admitted for r in d0r.values()) and len(d0r) == 4
+
+        # the recovered index still catches a batch-1 near-dup
+        words = base[1][1].split(" ")
+        words[30] = "MUTANT"
+        b1 = spark.createDataFrame(
+            [(1001, " ".join(words)), doc(100)], "doc_id long, text string"
+        )
+        d1 = {r.doc_id: r for r in dd.process_batch(b1, 1).collect()}
+        assert d1[1001].dup_of == 1 and not d1[1001].admitted
+        assert d1[100].admitted
+    finally:
+        dd.drop()
+
+
 def test_vector_index_build_append_query_with_partition_pruning(spark, tmp_path):
     """VectorIndex: an appended near-duplicate of the query is found via
     the durable index, and the codes scan prunes to the probed cells'
@@ -429,5 +471,19 @@ def test_corpus_prep_end_to_end_loop(spark):
         assert (corpus[1].pack_id, corpus[1].batch_id) == (0, 0)
         assert corpus[2].pack_id == 1
         assert (corpus[11].pack_id, corpus[11].batch_id) == (0, 1)
+
+        # at-least-once REPLAY of batch 1 (crash after the corpus
+        # append, before the streaming commit): the re-admitted doc must
+        # NOT double-append — the batch_id partition is dynamically
+        # OVERWRITTEN, so the corpus is byte-identical after the replay
+        out1r = {r.doc_id: r for r in cp.process_batch(
+            spark.createDataFrame(docs1, "doc_id long, text string, source string"), 1
+        ).collect()}
+        assert out1r[10].outcome == "rejected_dup" and out1r[10].dup_of == 1
+        assert out1r[11].outcome == "admitted"
+        rows = spark.table(cp.corpus_table).collect()
+        assert sorted(r.doc_id for r in rows) == [1, 2, 11]
+        replayed = {r.doc_id: r for r in rows}
+        assert (replayed[11].pack_id, replayed[11].batch_id) == (0, 1)
     finally:
         cp.drop()

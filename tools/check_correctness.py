@@ -40,6 +40,24 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.iloc[key.argsort(kind="stable")].reset_index(drop=True)
 
 
+def _dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to the family the driver's typed hash
+    distinguishes.  int64 vs float64 drift (the r6 q111 / r7 q118
+    HUGEINT bug class) must fail even when values compare equal."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    if k == "m":
+        return "timedelta"
+    return "object"
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(sdf.columns) != sorted(odf.columns):
@@ -47,6 +65,20 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return problems
     if len(sdf) != len(odf):
         problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
+        return problems
+    # Dtype-parity gate: the driver hashes values THROUGH the pandas
+    # dtype, so an oracle column that lands in a different dtype family
+    # (e.g. DuckDB HUGEINT -> float64 vs Spark BIGINT -> int64)
+    # hash-mismatches at the driver even when every value is equal.
+    for col in sdf.columns:
+        sk, ok = _dtype_kind(sdf[col].dtype), _dtype_kind(odf[col].dtype)
+        if sk != ok:
+            problems.append(
+                f"col {col}: DTYPE DRIFT spark={sdf[col].dtype} ({sk}) "
+                f"oracle={odf[col].dtype} ({ok}) — cast the oracle "
+                f"(::BIGINT / ::DOUBLE) or the Spark side to agree"
+            )
+    if problems:
         return problems
     s, o = normalize(sdf), normalize(odf)
     for col in s.columns:
