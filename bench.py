@@ -44,6 +44,34 @@ HEADLINE = [
 ]
 
 
+def _probe_cpu() -> float:
+    """Single-thread fixed-cost probe: sha256 over a constant buffer.
+    The work is identical every run on every box, so the time is a pure
+    measure of the box's current single-core speed — the normalization
+    evidence for cross-run throughput comparisons (a shared box was
+    measured ~40% degraded mid-session in round 7 with no code change)."""
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(400):
+        h.update(buf)
+    assert h.digest()  # keep the loop un-elidable
+    return time.perf_counter() - t0
+
+
+def _probe_spark(spark) -> float:
+    """All-core fixed-cost JVM probe: a constant arithmetic fold over
+    spark.range across every local slot. Measures scheduler + JVM + all
+    cores under the same contention the lanes see."""
+    t0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(id % 7) AS s"
+    ).collect()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -97,6 +125,15 @@ def main() -> None:
     # honest number for a long-lived service, per the methodology note
     # above.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Box-health probes (VERDICT r7 #2): fixed-cost reference
+    # computations timed at the start AND end of the bench so every run
+    # carries its own normalization evidence. A cross-round throughput
+    # delta with a matching probe delta is box state, not code.
+    _probe_spark(spark)  # warm the probe's own plan once
+    probe = {
+        "cpu_sec_start": round(_probe_cpu(), 3),
+        "spark_sec_start": round(_probe_spark(spark), 3),
+    }
     for name in names:
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -235,7 +272,10 @@ def main() -> None:
     # for both batch sizes (its own top-level metric, not headline).
     adt_big = cut(adt_messages(spark, n_patients=25000))
     adt_secs, big_secs, n_actions = None, None, 0
-    for _ in range(max(2, n_runs)):
+    # min-of-3 (VERDICT r7 #2): the ADT lane is the noisiest metric in
+    # the driver record (r7: -33% vs a fresh-box +19% on identical
+    # code); a third independent engine materially tightens the min.
+    for _ in range(max(3, n_runs)):
         eng = EmapEngine(storage_root=tempfile.mkdtemp(prefix="bench_adt_"))
         eng.process_batch(warm, 0)
         eng.process_batch(warm.limit(400), 1)
@@ -265,6 +305,9 @@ def main() -> None:
     )
     replay_days_per_day = round(report.days_per_day)
 
+    probe["cpu_sec_end"] = round(_probe_cpu(), 3)
+    probe["spark_sec_end"] = round(_probe_spark(spark), 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -281,6 +324,7 @@ def main() -> None:
                 "adt_messages_per_sec_100k_batch": round(100_000 / big_secs),
                 "adt_spark_actions_per_batch": n_actions,
                 "replay_days_per_day": replay_days_per_day,
+                "box_probe": probe,
             }
         )
     )
