@@ -435,7 +435,16 @@ class EmapEngine:
             "location",
             "previous_location",
         ]
-        moves = moves.select(*cols).dropDuplicates(["source_message_id"])
+        # NO write-side dropDuplicates: every reader of the history log
+        # dedups by source_message_id on read (_movement_history,
+        # _update_location_visits, the memory-mode folds), so the
+        # persisted log tolerates at-least-once duplicates and the
+        # write path saves a hash-agg shuffle. The repartition in
+        # write_moves (one plain exchange, explicitly 16 partitions so
+        # AQE cannot coalesce it to a single task) buys 16 parallel
+        # partition-dir writers instead of one task writing every
+        # bucket dir sequentially (~0.6 s/batch measured).
+        moves = moves.select(*cols)
         merges = (
             adt_batch.filter(
                 F.col("message_type").isin(*IDENTITY_TYPES)
@@ -464,13 +473,15 @@ class EmapEngine:
             def write_moves() -> int:
                 # hash-partitioned on visit bucket: the D6 incremental
                 # recompute (and any per-visit read) prunes partitions
-                moves.withColumn(
+                mv = moves.withColumn(
                     "__vb",
                     F.pmod(
                         F.crc32(F.col("visit_number").cast("binary")),
                         F.lit(self.N_VISIT_BUCKETS),
                     ),
-                ).write.mode("overwrite").partitionBy("__vb").parquet(
+                )
+                mv = mv.repartition(self.N_VISIT_BUCKETS, F.col("__vb"))
+                mv.write.mode("overwrite").partitionBy("__vb").parquet(
                     os.path.join(self.storage_root, f"movement_history/batch={batch_id}")
                 )
                 n = 1

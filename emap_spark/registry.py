@@ -131,31 +131,38 @@ def _load_all() -> None:
 # q110 rotates local (image resize, driver-green r5/r6; the media
 # family keeps driver q76 + incoming q124 and the resize operator
 # stays test-pinned).
+# Round-8 rotation (VERDICT r7 next-steps #5): the six queries with NO
+# hard driver row in any round (q120) or only r1/r2-era rows under the
+# old smaller driver set (q45/q46, q52, q55/q56) enter the top-50 for
+# their first modern driver check. Out, per the multi-round-green
+# policy: q48 (driver-green r1+r3-r7, stays in the bench HEADLINE and
+# test-pinned; dedup family keeps q57/q108/q112/q113), q71/q74/q93
+# (driver-green r2-r7; the waveform family keeps q70/q72/q73/q95/q97
+# driver rows and q94 local), q91 (driver-green r2-r7; labs keep
+# q79/q96), q98 (driver-green r2-r7; clinical-domain keeps
+# q84/q87/q92/q101).
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
     "q62_identity_closure",
     # waveform/location/retention operators (W1/Q6/D6/D19/K4)
-    "q70_waveform_collation", "q71_waveform_gap_report",
-    "q93_waveform_stream_catalog",
+    "q70_waveform_collation", 
     "q95_waveform_integrity_check", "q97_waveform_hl7_parse",
     "q72_location_visit_inference", "q73_waveform_visit_attach",
-    "q74_waveform_retention",
     "q111_validation_match_report",
     # parse + domain pipelines (S3-S8, D7-D17, W4)
     "q75_hl7_parse_route", "q89_hl7_adt_breadth",
     "q101_hl7_clinical_factories", "q76_media_metadata",
-    "q79_labs_pipeline", "q91_lab_isolate_sensitivities",
+    "q79_labs_pipeline", 
     "q80_flowsheets_pipeline",
     "q81_identity_merge_closure", "q82_location_metadata_scd",
     "q83_pending_transfer_match", "q84_consults_and_questions",
-    "q92_patient_conditions", "q98_advance_decisions",
+    "q92_patient_conditions", 
     "q86_oru_vendor_observations",
     "q87_forms_pipeline", "q88_stream_dedupe_within_watermark",
     "q96_hl7_lab_vendor_parse", "q100_incremental_polling",
     # LLM-data pipeline family (dedup/similarity/text)
     "q57_lsh_near_dup_verified",
-    "q48_simhash",
     "q108_near_dup_clusters",
     "q112_lsh_bucket_cap", "q113_incremental_corpus_dedup",
     "q114_pq_adc_topk", "q115_ivf_pq_topk",
@@ -165,13 +172,19 @@ _PRIORITY = [
     "q124_audio_features", "q125_bpe_pair_frequencies",
     "q126_dedup_aware_sample", "q127_chunk_documents",
     "q128_bpe_train", "q129_bpe_encode",
+    "q120_cosine_near_dup_clusters",
+    "q45_jaccard_near_dup_pairs", "q46_minhash_signatures",
+    "q52_vector_stats",
+    "q55_token_frequencies", "q56_query_similarity_ranking",
     # --- driver cap boundary (first 50 above get the hard driver check) ---
+    "q48_simhash", "q71_waveform_gap_report",
+    "q74_waveform_retention", "q91_lab_isolate_sensitivities",
+    "q93_waveform_stream_catalog", "q98_advance_decisions",
     "q103_salted_hot_key_agg", "q110_media_resize",
     "q44_dedup_survivors", "q49_doc_fingerprint",
     "q51_ann_lsh_bucketed", "q53_label_centroids",
     "q58_ann_ivf_probe", "q102_media_builtin_decode",
     "q107_normalized_dup_groups", "q109_bpe_regex_tokens",
-    "q120_cosine_near_dup_clusters",
     "q105_jdbc_upsert_mirror", "q106_lsh_parameter_sweep",
     "q59_cosine_near_dup_pairs",
     "q47_minhash_lsh_pairs",
@@ -187,10 +200,8 @@ _PRIORITY = [
     "q94_waveform_sample_scan", "q99_metadata_dimensions",
     "q104_lakehouse_sink_roundtrip",
     "q50_knn_bruteforce",
-    "q45_jaccard_near_dup_pairs", "q46_minhash_signatures",
     "q21_stream_bounds",
-    "q52_vector_stats",
-    "q55_token_frequencies", "q56_query_similarity_ranking",
+    
     # flagship + streaming-shaped rollups
     "q01_pricing_summary", "q27_hourly_rollup", "q28_dedupe_stats",
 ]

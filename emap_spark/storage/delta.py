@@ -327,7 +327,9 @@ class DeltaLog:
             .parquet(path)
         )
 
-    def commit(self, batch_id: int, combined: DataFrame) -> int:
+    def commit(
+        self, batch_id: int, combined: DataFrame, n_parts: int | None = None
+    ) -> int:
         """Write the batch's row versions and commit them to the log;
         returns the number of Spark actions spent (1, +1 when this
         commit triggered a compaction).
@@ -335,26 +337,29 @@ class DeltaLog:
         ``combined`` must carry __rk (1 = new current version for its
         key, >1 = superseded/audit version) plus valid_until /
         stored_until columns (null on current rows). Write cost is
-        O(rows in combined) = O(keys touched by the batch)."""
+        O(rows in combined) = O(keys touched by the batch).
+
+        n_parts: the caller-declared partition count of ``combined``
+        (the merge fold's parallelism). Deltas are written UNBUCKETED
+        (O(touched keys) small by construction; only the BASE is
+        bucketed, at compaction). When the fold's own partitioning is
+        already within the small-file bound, the write rides the fold's
+        final stage DIRECTLY — no exchange, one fewer AQE stage wave
+        per table per batch, and the parquet encode keeps the fold's
+        parallelism (r6 measured 4 serialized tasks costing ~1.7 s of
+        encode on a 100k batch — the fold's 32 tasks encode in
+        parallel). Only a cluster-scale fold (n_parts beyond the
+        bound, or undeclared) re-narrows to n_delta_files so a
+        100M-row batch doesn't commit thousands of files; compaction
+        folds them away periodically either way."""
         if self.has_batch(batch_id):
             return 0
         path = self._delta_path(batch_id)
         versioned = combined.withColumn(META_V, F.lit(batch_id).cast("long"))
-        # deltas are written UNBUCKETED: they are O(touched keys) small
-        # by construction, so pruning them buys nothing while the
-        # bucketing shuffle + per-bucket files would tax every batch.
-        # Only the BASE — the O(table-state) file — is bucketed (at
-        # compaction, amortized over compact_every commits); that is the
-        # scan that must stay flat as table state grows. The write
-        # re-narrows to a bounded file count for the read-back union
-        # (the upstream merge runs cluster-wide) — but not TOO narrow:
-        # the post-shuffle stage does the parquet encode of the whole
-        # combined frame, and 4 tasks serialized ~1.7 s of encode on a
-        # 100k-message batch (r6 stage profile). n_delta_files balances
-        # the two; compaction folds the files away periodically.
-        versioned.repartition(self.n_delta_files).write.mode(
-            "overwrite"
-        ).parquet(path)
+        legacy = os.environ.get("EMAP_DELTA_WRITE") == "legacy"  # A/B knob
+        if legacy or n_parts is None or n_parts > 4 * self.n_delta_files:
+            versioned = versioned.repartition(self.n_delta_files)
+        versioned.write.mode("overwrite").parquet(path)
         return 1 + self._register(batch_id, combined.columns)
 
     def commit_external(self, batch_id: int, path: str, columns: list[str]) -> int:

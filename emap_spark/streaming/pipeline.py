@@ -313,6 +313,17 @@ class MergePipeline:
         deduped.sparkSession.sparkContext.setJobDescription(f"merge:{name}")
         res = self._build_merge(name, deduped, stored)
         if state.store is not None:
+            if isinstance(state.store, DeltaLog):
+                # declare the fold's parallelism (same formula as
+                # _build_merge) so the delta write can skip its
+                # re-narrowing exchange when the fold's partitioning is
+                # already within the store's small-file bound
+                dp = deduped.sparkSession.sparkContext.defaultParallelism
+                rpt = int(os.environ.get("EMAP_FOLD_ROWS_PER_TASK", "2500"))
+                fold_par = (
+                    min(dp, max(4, self._batch_rows // rpt)) if rpt > 0 else dp
+                )
+                return state.store.commit(batch_id, res.combined, fold_par)
             return state.store.commit(batch_id, res.combined)
         # ONE materialization per table: persist combined, derive both
         # views from the file (cut also breaks cross-batch lineage)

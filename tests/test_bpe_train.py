@@ -76,6 +76,51 @@ def test_bpe_exhausts_pairs_early(spark):
     _check(spark, docs_texts, n_merges=8)
 
 
+def test_bpe_word_table_cap(spark):
+    """The 100-TB scale knobs: a generous cap changes nothing; a tight
+    top-M cap matches the reference trained on the same truncated word
+    multiset (deterministic (count desc, word) truncation); a
+    min_count floor likewise; and the capped-train encode still
+    tokenizes OOV words (full-word-table re-apply, no silent drops)."""
+    from emap_spark.plans.text_dedup import bpe_encode, bpe_train
+
+    texts = ["low low low lower lowest", "low slow slower", "zz qq zz"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def got(**kw):
+        return [
+            (r.step, r.left, r.right, r.merged, r.pair_count)
+            for r in bpe_train(docs, 5, **kw).orderBy("step").collect()
+        ]
+
+    def ref_truncated(min_count=1, max_words=None):
+        words = Counter(w for t in texts for w in t.split(" "))
+        items = [(w, c) for w, c in words.items() if c >= min_count]
+        items.sort(key=lambda wc: (-wc[1], wc[0]))
+        if max_words is not None:
+            items = items[:max_words]
+        kept = [w for w, c in items for _ in range(c)]
+        return _ref_bpe([" ".join(kept)], 5)
+
+    assert got(max_words=100) == _ref_bpe(texts, 5)  # generous: exact
+    assert got(min_count=1) == _ref_bpe(texts, 5)
+    assert got(max_words=3) == ref_truncated(max_words=3)
+    assert got(min_count=2) == ref_truncated(min_count=2)
+
+    # capped-train encode: every doc keeps a row and every WORD counts
+    # toward n_tokens, including words outside the capped table
+    enc = {r.doc_id: (r.n_words, r.n_tokens)
+           for r in bpe_encode(docs, 5, max_words=3).collect()}
+    assert set(enc) == {0, 1, 2}
+    for i, t in enumerate(texts):
+        n_words = len(t.split(" "))
+        assert enc[i][0] == n_words
+        # token count bounded: [n_words, total chars]
+        assert n_words <= enc[i][1] <= sum(len(w) for w in t.split(" "))
+
+
 def test_bpe_metachar_symbols_survive_sql_quoting(spark):
     # learned symbols are embedded into Spark SQL string literals; a
     # corpus of code/paths exercises backslashes (Spark's parser
