@@ -228,3 +228,42 @@ def test_bpe_encode_broadcasts_word_token_counts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q129_bpe_encode")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_delta_commit_write_rides_fold_partitioning(spark, tmp_path):
+    """The r8 ingest lever, pinned: when the caller declares a fold
+    parallelism within the small-file bound, DeltaLog.commit writes the
+    combined frame WITHOUT its re-narrowing round-robin exchange (the
+    write rides the fold's own REPARTITION_BY_NUM stage); an
+    over-parallel fold still re-narrows to n_delta_files."""
+    from pyspark.sql import functions as F
+
+    from emap_spark.storage.delta import DeltaLog
+
+    rows = [(f"k{i}", i, 1, None, None) for i in range(100)]
+    df = (
+        spark.createDataFrame(
+            rows, "k string, v long, __rk int, valid_until timestamp_ntz,"
+            " stored_until timestamp_ntz"
+        )
+        .repartition(8, F.col("k"))
+    )
+
+    log = DeltaLog(str(tmp_path), "t", ["k"])
+    log.load(spark)
+    log.commit(0, df, n_parts=8)  # within 4x n_delta_files: no exchange
+    d0 = str(tmp_path / "tables" / "t" / "delta" / "batch=0")
+    import glob as _g
+    n_files_direct = len(_g.glob(d0 + "/*.parquet"))
+    assert n_files_direct == 8  # fold partitioning = file count
+
+    log2 = DeltaLog(str(tmp_path), "t2", ["k"])
+    log2.load(spark)
+    log2.commit(0, df, n_parts=1000)  # cluster-scale: re-narrowed
+    d1 = str(tmp_path / "tables" / "t2" / "delta" / "batch=0")
+    assert len(_g.glob(d1 + "/*.parquet")) <= log2.n_delta_files
+
+    # both layouts read back identically
+    a = sorted((r.k, r.v) for r in log.read_current().collect())
+    b = sorted((r.k, r.v) for r in log2.read_current().collect())
+    assert a == b and len(a) == 100
