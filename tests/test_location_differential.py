@@ -112,3 +112,32 @@ def test_incremental_equals_full_smoke_reversed(spark):
         assert len(maintained) == 3
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_history_log_tolerates_duplicate_deliveries(spark):
+    """The r8 write-path contract: the movement-history log is written
+    WITHOUT a dedup shuffle, so an at-least-once redelivery lands
+    duplicate rows in the log — every reader dedups by
+    source_message_id, so location visits (both the maintained
+    incremental table and the full recompute) are identical to the
+    clean-feed result."""
+    pool = adt_messages(spark, n_patients=2)
+    root_a = tempfile.mkdtemp(prefix="d6dupa_")
+    root_b = tempfile.mkdtemp(prefix="d6dupb_")
+    try:
+        clean = EmapEngine(storage_root=root_a, maintain_location_visits=True)
+        clean.process_batch(pool, 0)
+
+        # the same batch with every message delivered TWICE
+        dup = EmapEngine(storage_root=root_b, maintain_location_visits=True)
+        dup.process_batch(pool.unionByName(pool), 0)
+
+        a_inc = _intervals(clean.location_visits())
+        b_inc = _intervals(dup.location_visits())
+        assert a_inc == b_inc and len(a_inc) == 6
+        a_full = _intervals(infer_location_visits(clean._movement_history()))
+        b_full = _intervals(infer_location_visits(dup._movement_history()))
+        assert a_full == b_full == a_inc
+    finally:
+        shutil.rmtree(root_a, ignore_errors=True)
+        shutil.rmtree(root_b, ignore_errors=True)
