@@ -99,7 +99,13 @@ class CorpusPrep:
             old = conf.get(key, None)
             conf.set(key, "dynamic")
             try:
-                packed.write.mode("overwrite").insertInto(self.corpus_table)
+                # insertInto is POSITIONAL: bind by the table's own
+                # column order so a caller-side column reordering can
+                # never silently transpose fields
+                tcols = self.spark.table(self.corpus_table).columns
+                packed.select(*tcols).write.mode("overwrite").insertInto(
+                    self.corpus_table
+                )
             finally:
                 if old is None:
                     conf.unset(key)

@@ -99,6 +99,16 @@ class CorpusDedup:
             )
             sets = sets.join(F.broadcast(replayed), "doc_id", "left_anti")
 
+        # PIN the batch frame NOW (batch-sized): the replay-guard
+        # anti-join above reads sets_table, and the index writers below
+        # APPEND to that table — an unmaterialized `sets` would be
+        # re-evaluated by the bands writer AFTER the sets append, see
+        # its own rows in the table, and anti-join them away (bands
+        # written empty for every batch past the first). The checkpoint
+        # also collapses the 4x re-evaluation of the shingle transform
+        # (bands, candidate scoring, decisions, sets writer).
+        sets = sets.localCheckpoint(eager=True)
+
         shingles = sets.select("doc_id", F.explode("sh").alias("s"))
         bands = lsh_band_keys(
             minhash_signatures(shingles, self.n_hashes),
