@@ -231,16 +231,7 @@ class MergePipeline:
             and not self._batch_untrusted.get(name, True)
         ):
             kwargs["all_trusted"] = True
-        # parallelism follows the batch size, bounded rows per task:
-        # per-task fixed costs dominate sub-thousand-row tasks, so a
-        # 20k-message batch folds on ~8 tasks, a 100k batch on all
-        # cores, and a cluster-scale batch on rows/target tasks
-        # (EMAP_FOLD_ROWS_PER_TASK, default 2500; 0 = always all cores)
-        dp = deduped.sparkSession.sparkContext.defaultParallelism
-        rpt = int(os.environ.get("EMAP_FOLD_ROWS_PER_TASK", "2500"))
-        fold_par = (
-            min(dp, max(4, self._batch_rows // rpt)) if rpt > 0 else dp
-        )
+        fold_par = self._fold_parallelism(deduped)
         if self.granularity == "message":
             kwargs["parallelism"] = fold_par
         updates = self.routers[name](deduped)
@@ -302,6 +293,19 @@ class MergePipeline:
             current = state.current
         return merge(current, updates, state.spec, stored, **kwargs)
 
+    def _fold_parallelism(self, df: DataFrame) -> int:
+        """Merge-fold parallelism for the CURRENT batch: rows bounded
+        per task (per-task fixed costs dominate sub-thousand-row tasks,
+        so a 20k-message batch folds on ~8 tasks, a 100k batch on all
+        cores, and a cluster-scale batch on rows/target tasks —
+        EMAP_FOLD_ROWS_PER_TASK, default 2500; 0 = always all cores).
+        One formula shared by the fold plan and the delta-commit write
+        so the exchange-skip decision always sees the true partition
+        count."""
+        dp = df.sparkSession.sparkContext.defaultParallelism
+        rpt = int(os.environ.get("EMAP_FOLD_ROWS_PER_TASK", "2500"))
+        return min(dp, max(4, self._batch_rows // rpt)) if rpt > 0 else dp
+
     def _merge_one_table(self, name: str, deduped: DataFrame, batch_id: int, stored: str) -> int:
         """Merge + persist one table; returns the number of Spark actions
         spent. Independent across tables — called concurrently; the
@@ -314,16 +318,13 @@ class MergePipeline:
         res = self._build_merge(name, deduped, stored)
         if state.store is not None:
             if isinstance(state.store, DeltaLog):
-                # declare the fold's parallelism (same formula as
-                # _build_merge) so the delta write can skip its
-                # re-narrowing exchange when the fold's partitioning is
-                # already within the store's small-file bound
-                dp = deduped.sparkSession.sparkContext.defaultParallelism
-                rpt = int(os.environ.get("EMAP_FOLD_ROWS_PER_TASK", "2500"))
-                fold_par = (
-                    min(dp, max(4, self._batch_rows // rpt)) if rpt > 0 else dp
+                # declare the fold's parallelism so the delta write can
+                # skip its re-narrowing exchange when the fold's
+                # partitioning is already within the store's
+                # small-file bound
+                return state.store.commit(
+                    batch_id, res.combined, self._fold_parallelism(deduped)
                 )
-                return state.store.commit(batch_id, res.combined, fold_par)
             return state.store.commit(batch_id, res.combined)
         # ONE materialization per table: persist combined, derive both
         # views from the file (cut also breaks cross-batch lineage)
