@@ -7,6 +7,12 @@ oracle-checked operators in production order —
   2. PII redaction  — q121's chained regexp scrub: the corpus only ever
                       stores redacted text (dedup shingles are computed
                       AFTER redaction, the standard order);
+  2b. decontamination — q116's verbatim 8-gram check against a
+                      held-out benchmark set (optional: pass
+                      benchmark_docs): the gram set is computed ONCE at
+                      construction (redacted with the same scrub, so
+                      both sides normalize identically), broadcast, and
+                      each batch pays one linear gram pass;
   3. corpus dedup   — CorpusDedup (q113 shape): the batch is checked
                       against the durable LSH index; only the incoming
                       side shuffles;
@@ -31,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from emap_spark.plans.text_dedup import (
+    NGRAM_DECONTAM,
+    _ngram_hashes,
     pack_assignments,
     pii_redact_expr,
     repetition_stats,
@@ -52,12 +60,31 @@ class CorpusPrep:
         spark: SparkSession,
         name: str,
         budget: int = 256,
+        benchmark_docs: DataFrame | None = None,
+        decontam_max_rate: float = 0.0,
         **dedup_kwargs,
     ) -> None:
         self.spark = spark
         self.budget = budget
         self.dedup = CorpusDedup(spark, name, **dedup_kwargs)
         self.corpus_table = f"{name}_corpus"
+        self.decontam_max_rate = decontam_max_rate
+        self._bench_grams = None
+        if benchmark_docs is not None:
+            # the benchmark gram set is FIXED for the loop's lifetime:
+            # compute once, redacted with the same scrub the incoming
+            # side gets (both sides must normalize identically), pin it
+            bd = benchmark_docs.select(
+                "doc_id",
+                pii_redact_expr().alias("text"),
+                F.lit("bench").alias("source"),
+            )
+            self._bench_grams = (
+                _ngram_hashes(bd, NGRAM_DECONTAM)
+                .select("g")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
 
     def process_batch(self, docs: DataFrame, batch_id: int = 0) -> DataFrame:
         keep = repetition_stats(docs).filter(F.col("keep")).select("doc_id")
@@ -71,6 +98,31 @@ class CorpusPrep:
         # decisions materialization in CorpusDedup) so the quality join
         # and the four-regex redaction don't run 3-4x per micro-batch
         clean = clean.localCheckpoint(eager=True)
+
+        contaminated = None
+        if self._bench_grams is not None:
+            # q116's check, incremental: one linear gram pass over the
+            # batch, hits against the broadcast benchmark set; docs
+            # whose contaminated gram fraction exceeds the threshold
+            # never reach dedup or the corpus
+            g = _ngram_hashes(
+                clean.select("doc_id", "text", F.lit("b").alias("source")),
+                NGRAM_DECONTAM,
+            )
+            sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
+            hits = (
+                g.join(F.broadcast(self._bench_grams), "g")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("nh"))
+            )
+            contaminated = (
+                sizes.join(hits, "doc_id")
+                .filter(F.col("nh") / F.col("ng") > self.decontam_max_rate)
+                .select("doc_id")
+                .localCheckpoint(eager=True)  # consumed by filter + outcome
+            )
+            clean = clean.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
         decisions = self.dedup.process_batch(clean, batch_id)
 
         admitted = clean.join(
@@ -113,15 +165,25 @@ class CorpusPrep:
                     conf.set(key, old)
 
         outcome = (
-            F.when(F.col("admitted").isNull(), F.lit("rejected_quality"))
+            F.when(F.col("__contam"), F.lit("rejected_contaminated"))
+            .when(F.col("admitted").isNull(), F.lit("rejected_quality"))
             .when(~F.col("admitted"), F.lit("rejected_dup"))
             .otherwise(F.lit("admitted"))
         )
-        return docs.select("doc_id").join(
+        base = docs.select("doc_id").join(
             decisions.select("doc_id", "dup_of", "jaccard", "admitted"),
             "doc_id",
             "left",
-        ).select("doc_id", outcome.alias("outcome"), "dup_of", "jaccard")
+        )
+        if contaminated is not None:
+            base = base.join(
+                F.broadcast(contaminated.withColumn("__contam", F.lit(True))),
+                "doc_id",
+                "left",
+            ).withColumn("__contam", F.coalesce(F.col("__contam"), F.lit(False)))
+        else:
+            base = base.withColumn("__contam", F.lit(False))
+        return base.select("doc_id", outcome.alias("outcome"), "dup_of", "jaccard")
 
     def run_stream(self, stream_df: DataFrame, checkpoint_dir: str):
         """Attach to a streaming document source; each micro-batch runs

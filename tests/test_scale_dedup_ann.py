@@ -487,3 +487,62 @@ def test_corpus_prep_end_to_end_loop(spark):
         assert (replayed[11].pack_id, replayed[11].batch_id) == (0, 1)
     finally:
         cp.drop()
+
+
+def test_corpus_prep_decontamination_stage(spark):
+    """CorpusPrep with a benchmark set: a doc sharing a verbatim 8-gram
+    run with the held-out set is rejected BEFORE dedup (outcome
+    rejected_contaminated, absent from index and corpus); clean docs
+    flow through; the check runs on redacted text on BOTH sides so a
+    PII span inside the shared run still matches."""
+    import uuid
+
+    from emap_spark.streaming.corpus_prep import CorpusPrep
+
+    rng = random.Random(89)
+    vocab = [f"w{k}" for k in range(400)]
+
+    def words(n):
+        return [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+
+    bench_words = words(30)
+    # the shared run contains an email: redaction must normalize both
+    # sides identically for the gram to match
+    bench_words[12] = "bob@example.org"
+    bench = spark.createDataFrame(
+        [(9000, " ".join(bench_words))], "doc_id long, text string"
+    )
+
+    dirty = words(60)
+    dirty[20:35] = bench_words[5:20]  # 15-word verbatim benchmark run
+    docs0 = [
+        (1, " ".join(dirty), "src0"),
+        (2, " ".join(words(60)), "src0"),
+    ]
+    cp = CorpusPrep(
+        spark, f"cpd_{uuid.uuid4().hex[:8]}",
+        benchmark_docs=bench,
+        n_hashes=128, n_bands=16, threshold=0.5,
+    )
+    try:
+        out = {r.doc_id: r for r in cp.process_batch(
+            spark.createDataFrame(docs0, "doc_id long, text string, source string"), 0
+        ).collect()}
+        assert out[1].outcome == "rejected_contaminated"
+        assert out[2].outcome == "admitted"
+        assert {r.doc_id for r in spark.table(cp.corpus_table).collect()} == {2}
+        assert {r.doc_id for r in spark.table(cp.dedup.sets_table).collect()} == {2}
+
+        # batch 1: still-clean doc admitted; another contaminated doc
+        # caught against the SAME pinned gram set
+        dirty2 = words(60)
+        dirty2[0:12] = bench_words[10:22]
+        out1 = {r.doc_id: r for r in cp.process_batch(
+            spark.createDataFrame(
+                [(10, " ".join(dirty2), "src1"), (11, " ".join(words(60)), "src1")],
+                "doc_id long, text string, source string"), 1
+        ).collect()}
+        assert out1[10].outcome == "rejected_contaminated"
+        assert out1[11].outcome == "admitted"
+    finally:
+        cp.drop()
