@@ -357,10 +357,38 @@ class DeltaLog:
         path = self._delta_path(batch_id)
         versioned = combined.withColumn(META_V, F.lit(batch_id).cast("long"))
         legacy = os.environ.get("EMAP_DELTA_WRITE") == "legacy"  # A/B knob
-        if legacy or n_parts is None or n_parts > 4 * self.n_delta_files:
+        skip_exchange = (
+            not legacy and n_parts is not None
+            and n_parts <= 4 * self.n_delta_files
+        )
+        if not skip_exchange:
             versioned = versioned.repartition(self.n_delta_files)
         versioned.write.mode("overwrite").parquet(path)
-        return 1 + self._register(batch_id, combined.columns)
+        actions = 1
+        if skip_exchange:
+            # the exchange-skip trusted the CALLER-DECLARED fold
+            # parallelism; verify against what actually landed (one
+            # driver-side listing, no Spark job) and re-narrow if a
+            # re-planned final stage (AQE, a stale n_parts) emitted more
+            # files than the bound — a stale declaration can then never
+            # leak unbounded small files into the log
+            n_files = sum(
+                1
+                for f in os.listdir(path)
+                if f.startswith("part-") and not f.endswith(".crc")
+            )
+            if n_files > 4 * self.n_delta_files:
+                tmp = path + ".__narrow"
+                (
+                    combined.sparkSession.read.parquet(path)
+                    .repartition(self.n_delta_files)
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                )
+                shutil.rmtree(path)
+                os.replace(tmp, path)
+                actions += 1
+        return actions + self._register(batch_id, combined.columns)
 
     def commit_external(self, batch_id: int, path: str, columns: list[str]) -> int:
         """Register an ALREADY-WRITTEN delta dir (this table's partition

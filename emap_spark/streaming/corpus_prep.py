@@ -93,18 +93,18 @@ class CorpusPrep:
             pii_redact_expr().alias("text"),
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         )
-        # clean fans out to dedup's bands/sets writers, the admitted
-        # join, and the corpus append — materialize once (mirroring the
-        # decisions materialization in CorpusDedup) so the quality join
-        # and the four-regex redaction don't run 3-4x per micro-batch
-        clean = clean.localCheckpoint(eager=True)
-
-        contaminated = None
         if self._bench_grams is not None:
             # q116's check, incremental: one linear gram pass over the
             # batch, hits against the broadcast benchmark set; docs
             # whose contaminated gram fraction exceeds the threshold
-            # never reach dedup or the corpus
+            # never reach dedup or the corpus. The flag is computed as a
+            # COLUMN of the batch frame so it rides the single clean
+            # materialization below — one action/batch, not two (the
+            # gram branch re-derives the cheap quality-join + redaction
+            # exprs inside the same job; its doc_id-grouped exchange is
+            # reuse-eligible). The decontam 8-grams and dedup's 3-word
+            # shingles have different widths, so the frames cannot be
+            # shared further.
             g = _ngram_hashes(
                 clean.select("doc_id", "text", F.lit("b").alias("source")),
                 NGRAM_DECONTAM,
@@ -115,13 +115,30 @@ class CorpusPrep:
                 .groupBy("doc_id")
                 .agg(F.count(F.lit(1)).alias("nh"))
             )
-            contaminated = (
+            contam_ids = (
                 sizes.join(hits, "doc_id")
                 .filter(F.col("nh") / F.col("ng") > self.decontam_max_rate)
-                .select("doc_id")
-                .localCheckpoint(eager=True)  # consumed by filter + outcome
+                .select("doc_id", F.lit(True).alias("__contam"))
             )
-            clean = clean.join(F.broadcast(contaminated), "doc_id", "left_anti")
+            clean = clean.join(F.broadcast(contam_ids), "doc_id", "left")
+            clean = clean.withColumn(
+                "__contam", F.coalesce(F.col("__contam"), F.lit(False))
+            )
+        else:
+            clean = clean.withColumn("__contam", F.lit(False))
+
+        # clean fans out to dedup's bands/sets writers, the admitted
+        # join, the contaminated-outcome filter, and the corpus append —
+        # materialize once (mirroring the decisions materialization in
+        # CorpusDedup) so the quality join, the four-regex redaction,
+        # and the decontam gram pass don't run 3-4x per micro-batch
+        clean = clean.localCheckpoint(eager=True)
+        contaminated = (
+            clean.filter("__contam").select("doc_id")
+            if self._bench_grams is not None
+            else None
+        )
+        clean = clean.filter(~F.col("__contam")).drop("__contam")
 
         decisions = self.dedup.process_batch(clean, batch_id)
 
@@ -143,26 +160,29 @@ class CorpusPrep:
                 self.corpus_table
             )
         else:
-            # conf-scoped: the writer OPTION is not honored on the
-            # insertInto path; static mode would truncate every
-            # partition, so set+restore the session conf around it
-            conf = self.spark.conf
-            key = "spark.sql.sources.partitionOverwriteMode"
-            old = conf.get(key, None)
-            conf.set(key, "dynamic")
+            # statement-scoped partition overwrite: a FULLY-STATIC
+            # PARTITION spec makes INSERT OVERWRITE touch only this
+            # batch's partition regardless of the session's
+            # partitionOverwriteMode — no session-conf set/restore, so
+            # concurrent writers on the same SparkSession can never
+            # inherit (or race the restore of) a mode they didn't set.
+            # Column binding is BY NAME against the table's own order,
+            # so a caller-side reordering can never transpose fields.
+            tcols = [
+                c
+                for c in self.spark.table(self.corpus_table).columns
+                if c != "batch_id"
+            ]
+            view = f"__corpus_prep_batch_{abs(hash(self.corpus_table)) % 10**8}"
+            packed.select(*tcols).createOrReplaceTempView(view)
             try:
-                # insertInto is POSITIONAL: bind by the table's own
-                # column order so a caller-side column reordering can
-                # never silently transpose fields
-                tcols = self.spark.table(self.corpus_table).columns
-                packed.select(*tcols).write.mode("overwrite").insertInto(
-                    self.corpus_table
+                self.spark.sql(
+                    f"INSERT OVERWRITE TABLE {self.corpus_table} "
+                    f"PARTITION (batch_id = {int(batch_id)}) "
+                    f"SELECT * FROM {view}"
                 )
             finally:
-                if old is None:
-                    conf.unset(key)
-                else:
-                    conf.set(key, old)
+                self.spark.catalog.dropTempView(view)
 
         outcome = (
             F.when(F.col("__contam"), F.lit("rejected_contaminated"))

@@ -69,7 +69,7 @@ class CorpusDedup:
         self.threshold = threshold
 
     def _exists(self) -> bool:
-        return self.spark.catalog.tableExists(self.bands_table)
+        return self.spark.catalog.tableExists(self.sets_table)
 
     def process_batch(self, docs: DataFrame, batch_id: int = 0) -> DataFrame:
         """docs: (doc_id, text, ...). Returns the materialized decision
@@ -84,14 +84,30 @@ class CorpusDedup:
         NOT re-scored — without this they would LSH-match their own
         prior index entries and bounce as rejected_dup of themselves —
         and their bands/sets are NOT appended again. Candidate scoring
-        also excludes doc_id == dup_of outright as defense in depth."""
+        also excludes doc_id == dup_of outright as defense in depth.
+
+        Crash WINDOW between the two index writes (bands written, sets
+        not): the replay guard keys on sets_table — the LAST-written
+        table — so the affected docs replay down the full re-score path,
+        which yields the identical decisions (their own half-written
+        band rows can never self-match: verification joins corpus sets
+        on dup_of, and those docs have no sets row yet). The replay then
+        appends their sets exactly once and their bands a second time —
+        duplicate band rows are benign (the candidate join is
+        ``.distinct()``). This is why bands are written FIRST: a
+        sets-first order would leave replayed docs permanently bandless
+        (re-admitted via the guard, never re-indexed), silently
+        admitting their future near-dups."""
         sets = (
             docs.withColumn("w", F.split("text", " "))
             .select("doc_id", F.expr(_SHINGLE).alias("sh"))
         )
 
+        sets_exists = self._exists()
+        bands_exists = self.spark.catalog.tableExists(self.bands_table)
+
         replayed = None
-        if self._exists():
+        if sets_exists:
             # indexed ∩ incoming: scan only the bucketed sets table's
             # doc_id column against the broadcast batch ids — no shuffle
             replayed = self.spark.table(self.sets_table).select("doc_id").join(
@@ -116,7 +132,7 @@ class CorpusDedup:
             self.n_bands,
         )
 
-        if self._exists():
+        if bands_exists and sets_exists:
             corpus_bands = self.spark.table(self.bands_table).withColumnRenamed(
                 "doc_id", "dup_of"
             )
@@ -192,13 +208,17 @@ class CorpusDedup:
             .mode("append")
             .format("parquet")
         )
-        # sets BEFORE bands: _exists() gates on bands_table but the
-        # replay guard and candidate scoring read sets_table, so the
-        # guard table must be created LAST — a crash between the two
-        # writes then replays down the not-yet-indexed path instead of
-        # raising TABLE_OR_VIEW_NOT_FOUND on the first batch.
-        writer_sets.saveAsTable(self.sets_table)
+        # bands BEFORE sets: the replay guard keys on sets_table (the
+        # LAST-written table), so a crash between the two writes replays
+        # down the re-score path — decisions are identical (see the
+        # process_batch docstring), sets rows land exactly once, and the
+        # only residue is duplicate band rows, which the distinct
+        # candidate join absorbs. Every table read above gates on its
+        # OWN existence check, so a first-batch crash (bands present,
+        # sets absent) re-admits everything instead of raising
+        # TABLE_OR_VIEW_NOT_FOUND.
         writer_bands.saveAsTable(self.bands_table)
+        writer_sets.saveAsTable(self.sets_table)
         return decisions
 
     def run_stream(self, stream_df: DataFrame, checkpoint_dir: str):

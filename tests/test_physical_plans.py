@@ -267,3 +267,15 @@ def test_delta_commit_write_rides_fold_partitioning(spark, tmp_path):
     a = sorted((r.k, r.v) for r in log.read_current().collect())
     b = sorted((r.k, r.v) for r in log2.read_current().collect())
     assert a == b and len(a) == 100
+
+    # a STALE caller declaration cannot leak small files: declare a
+    # within-bound n_parts while the frame actually carries far more
+    # partitions — the post-write clamp re-narrows to n_delta_files
+    log3 = DeltaLog(str(tmp_path), "t3", ["k"])
+    log3.load(spark)
+    wide = df.repartition(300)  # actual plan >> declared parallelism
+    log3.commit(0, wide, n_parts=8)
+    d2 = str(tmp_path / "tables" / "t3" / "delta" / "batch=0")
+    assert len(_g.glob(d2 + "/*.parquet")) <= log3.n_delta_files
+    c = sorted((r.k, r.v) for r in log3.read_current().collect())
+    assert c == a

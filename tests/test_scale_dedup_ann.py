@@ -300,11 +300,12 @@ def test_corpus_dedup_streaming_loop(spark):
 
 
 def test_corpus_dedup_first_batch_crash_window_recovers(spark):
-    """Crash between the two index writes on the FIRST batch: sets is
-    written before bands (the _exists() guard table is created LAST),
-    so a replay that finds sets-but-no-bands takes the not-yet-indexed
-    path instead of raising TABLE_OR_VIEW_NOT_FOUND, and the index is
-    fully usable afterwards."""
+    """Crash between the two index writes on the FIRST batch: bands is
+    written before sets (the replay guard keys on the LAST-written
+    sets_table), so a replay that finds bands-but-no-sets takes the
+    all-admit path instead of raising TABLE_OR_VIEW_NOT_FOUND, appends
+    the missing sets rows exactly once, and the index is fully usable
+    afterwards."""
     import uuid
 
     from emap_spark.streaming.dedup import CorpusDedup
@@ -323,10 +324,12 @@ def test_corpus_dedup_first_batch_crash_window_recovers(spark):
     try:
         b0 = spark.createDataFrame(base, "doc_id long, text string")
         dd.process_batch(b0, 0)
-        # simulate the crash window: sets persisted, bands not yet
-        spark.sql(f"DROP TABLE {dd.bands_table}")
+        # simulate the crash window: bands persisted, sets not yet
+        spark.sql(f"DROP TABLE {dd.sets_table}")
         d0r = {r.doc_id: r for r in dd.process_batch(b0, 0).collect()}
         assert all(r.admitted for r in d0r.values()) and len(d0r) == 4
+        # sets rows landed exactly once despite the replay
+        assert spark.table(dd.sets_table).count() == 4
 
         # the recovered index still catches a batch-1 near-dup
         words = base[1][1].split(" ")
@@ -337,6 +340,78 @@ def test_corpus_dedup_first_batch_crash_window_recovers(spark):
         d1 = {r.doc_id: r for r in dd.process_batch(b1, 1).collect()}
         assert d1[1001].dup_of == 1 and not d1[1001].admitted
         assert d1[100].admitted
+    finally:
+        dd.drop()
+
+
+def test_corpus_dedup_later_batch_crash_window_keeps_bands(spark):
+    """Crash between the two index writes on a LATER batch (bands
+    appended, sets not): the replay guard — keyed on sets_table, the
+    last-written table — does NOT treat those docs as indexed, so they
+    re-score to the identical decisions (their half-written band rows
+    cannot self-match: verification joins corpus sets on dup_of), their
+    sets land exactly once, and — the regression this test pins — their
+    bands are PRESENT afterwards, so a future near-dup of a
+    crash-window survivor is still rejected. A sets-first write order
+    fails this: the guard would re-admit the docs without ever indexing
+    their bands."""
+    import uuid
+
+    from emap_spark.streaming.dedup import CorpusDedup
+
+    rng = random.Random(73)
+    vocab = [f"w{k}" for k in range(400)]
+
+    def doc(i):
+        return (i, " ".join(vocab[rng.randrange(len(vocab))] for _ in range(60)))
+
+    def mutate(d, new_id):
+        words = d[1].split(" ")
+        words[30] = "MUTANT"
+        return (new_id, " ".join(words))
+
+    base = [doc(i) for i in range(4)]
+    fresh = doc(100)
+    dd = CorpusDedup(
+        spark, f"cdl_{uuid.uuid4().hex[:8]}", n_hashes=128, n_bands=16,
+        threshold=0.5,
+    )
+    try:
+        dd.process_batch(
+            spark.createDataFrame(base, "doc_id long, text string"), 0
+        )
+        snapshot = spark.table(dd.sets_table).collect()
+
+        # batch 1: one near-dup of a batch-0 doc (rejected), one fresh
+        b1 = spark.createDataFrame(
+            [mutate(base[2], 1002), fresh], "doc_id long, text string"
+        )
+        d1 = {r.doc_id: r for r in dd.process_batch(b1, 1).collect()}
+        assert not d1[1002].admitted and d1[100].admitted
+
+        # simulate the crash window: batch-1 bands appended, batch-1
+        # sets not — restore sets_table to its pre-batch-1 snapshot
+        spark.sql(f"DROP TABLE {dd.sets_table}")
+        (
+            spark.createDataFrame(snapshot)
+            .write.bucketBy(dd.n_buckets, "doc_id").sortBy("doc_id")
+            .mode("overwrite").format("parquet").saveAsTable(dd.sets_table)
+        )
+
+        # replay batch 1: identical decisions, sets appended once
+        d1r = {r.doc_id: r for r in dd.process_batch(b1, 1).collect()}
+        assert not d1r[1002].admitted and d1r[1002].dup_of == d1[1002].dup_of
+        assert d1r[100].admitted and d1r[100].dup_of is None
+        ids = [r.doc_id for r in spark.table(dd.sets_table).collect()]
+        assert sorted(ids) == [0, 1, 2, 3, 100]
+
+        # THE regression: a near-dup of the crash-window survivor must
+        # still be rejected — its bands survived the crash+replay
+        b2 = spark.createDataFrame(
+            [mutate(fresh, 2100)], "doc_id long, text string"
+        )
+        d2 = {r.doc_id: r for r in dd.process_batch(b2, 2).collect()}
+        assert d2[2100].dup_of == 100 and not d2[2100].admitted
     finally:
         dd.drop()
 
