@@ -2219,6 +2219,52 @@ def bpe_train(
     )
 
 
+def _bpe_apply_all(merges: list[tuple[str, str]]):
+    """mapInPandas tokenizer apply: ALL learned merges applied to each
+    word in ONE Arrow-batched pass over the distinct-word table —
+    sequential semantics bit-identical to chaining _apply_merge (each
+    merge: one leftmost-greedy non-overlapping scan, in learned order),
+    but the job count is independent of K. At tokenizer scale K is tens
+    of thousands of merges; K localCheckpointed Spark passes over a
+    billions-row word table (the previous capped path) is a job-count
+    problem, one batched Python scan is not. A per-word symbol set
+    skips definitely-inapplicable merges, so the common cost is O(K)
+    set probes + O(applied * |word|).
+
+    The closure is fully self-contained (no module-global references),
+    so cloudpickle ships it by value and the executor side never needs
+    this package importable (the external driver runs from a foreign
+    cwd)."""
+
+    def apply_all(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            counts = []
+            for w in pdf["word"]:
+                s = list(w)
+                present = set(s)
+                for left, right in merges:
+                    if left not in present or right not in present:
+                        continue
+                    i, n, ns, hit = 0, len(s), [], False
+                    while i < n:
+                        if i + 1 < n and s[i] == left and s[i + 1] == right:
+                            ns.append(left + right)
+                            i += 2
+                            hit = True
+                        else:
+                            ns.append(s[i])
+                            i += 1
+                    if hit:
+                        s = ns
+                        present = set(s)
+                counts.append(len(s))
+            yield pd.DataFrame({"word": pdf["word"], "nt": counts})
+
+    return apply_all
+
+
 def bpe_encode(
     docs: DataFrame,
     n_merges: int = BPE_MERGES,
@@ -2235,26 +2281,21 @@ def bpe_encode(
     must still tokenize every word — an inner join against the capped
     table would silently drop out-of-vocabulary words from the token
     counts. So under a cap the learned merges are re-applied to the
-    FULL distinct-word table (one _apply_merge pass per merge, each
-    word-table-sized), and that table feeds the broadcast join."""
+    FULL distinct-word table in ONE Arrow-batched mapInPandas pass
+    (_bpe_apply_all: sequential per-merge scans inside Python, job
+    count independent of K), and that table feeds the broadcast join."""
     merges, syms = _bpe_fit(docs, n_merges, min_count, max_words)
     if min_count > 1 or max_words is not None:
-        syms = (
+        wtok = (
             docs.select(F.explode(F.split("text", " ")).alias("word"))
             .distinct()
-            .select(
-                "word",
-                F.expr(
-                    "CASE WHEN length(word) >= 1 THEN"
-                    " transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-                    " ELSE cast(array() AS array<string>) END"
-                ).alias("s"),
+            .mapInPandas(
+                _bpe_apply_all([(l, r) for _, l, r, _, _ in merges]),
+                "word string, nt long",
             )
-            .localCheckpoint(eager=True)
         )
-        for _, l, r, _, _ in merges:
-            syms = _apply_merge(syms, l, r).localCheckpoint(eager=True)
-    wtok = syms.select("word", F.size("s").cast("long").alias("nt"))
+    else:
+        wtok = syms.select("word", F.size("s").cast("long").alias("nt"))
     return (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .join(F.broadcast(wtok), "word")

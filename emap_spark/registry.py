@@ -141,6 +141,16 @@ def _load_all() -> None:
 # driver rows and q94 local), q91 (driver-green r2-r7; labs keep
 # q79/q96), q98 (driver-green r2-r7; clinical-domain keeps
 # q84/q87/q92/q101).
+# Round-9 rotation (VERDICT r8 next-steps #4): q130/q131 (capped BPE
+# train + OOV-safe capped encode — green locally first run in r8, but
+# registered below the top-50 boundary so never driver-checked) enter
+# for their first hard driver row. Out, per the multi-round-green
+# policy: q76 (media metadata, driver-green r2-r8; the media family
+# keeps driver q124 + local q102/q110 and the operator stays
+# test-pinned), q88 (stream dedupe within watermark, driver-green
+# r2-r8; W4 duplicate-delivery evidence stays via the fold-absorption
+# differentials + the quarantine/metrics tests, and driver q100 keeps
+# the polling/progress family).
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
@@ -152,14 +162,14 @@ _PRIORITY = [
     "q111_validation_match_report",
     # parse + domain pipelines (S3-S8, D7-D17, W4)
     "q75_hl7_parse_route", "q89_hl7_adt_breadth",
-    "q101_hl7_clinical_factories", "q76_media_metadata",
+    "q101_hl7_clinical_factories",
     "q79_labs_pipeline", 
     "q80_flowsheets_pipeline",
     "q81_identity_merge_closure", "q82_location_metadata_scd",
     "q83_pending_transfer_match", "q84_consults_and_questions",
     "q92_patient_conditions", 
     "q86_oru_vendor_observations",
-    "q87_forms_pipeline", "q88_stream_dedupe_within_watermark",
+    "q87_forms_pipeline",
     "q96_hl7_lab_vendor_parse", "q100_incremental_polling",
     # LLM-data pipeline family (dedup/similarity/text)
     "q57_lsh_near_dup_verified",
@@ -176,7 +186,9 @@ _PRIORITY = [
     "q45_jaccard_near_dup_pairs", "q46_minhash_signatures",
     "q52_vector_stats",
     "q55_token_frequencies", "q56_query_similarity_ranking",
+    "q130_bpe_train_capped", "q131_bpe_encode_capped",
     # --- driver cap boundary (first 50 above get the hard driver check) ---
+    "q76_media_metadata", "q88_stream_dedupe_within_watermark",
     "q48_simhash", "q71_waveform_gap_report",
     "q74_waveform_retention", "q91_lab_isolate_sensitivities",
     "q93_waveform_stream_catalog", "q98_advance_decisions",

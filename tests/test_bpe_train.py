@@ -169,3 +169,61 @@ def test_bpe_encode_matches_reference_tokenization(spark):
         for r in bpe_encode(docs, n_merges).collect()
     }
     assert got == expected
+
+
+def test_bpe_capped_encode_one_pass_matches_kpass_chain(spark):
+    """The capped encode's OOV re-apply runs as ONE mapInPandas pass
+    over the full distinct-word table (job count independent of K).
+    Differential vs the K-pass _apply_merge chain it replaced — the
+    sequential per-merge leftmost-greedy semantics must be bit-exact —
+    on a fixture with OOV words, repeated-char runs (overlap parity),
+    and SQL metacharacters (quotes/backslashes, which the Python path
+    need not escape)."""
+    from pyspark.sql import functions as F
+
+    from emap_spark.plans.text_dedup import _apply_merge, _bpe_fit, bpe_encode
+
+    texts = [
+        "low low low lower lowest aaaa aaa",
+        r"pa\th 'quo'ted pa\th low slow slower",
+        "zz qq zz aaaa newest widest OOVWORD",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n_merges, cap = 8, 5
+
+    # the old K-pass chain, reconstructed: re-apply learned merges to
+    # the FULL word table one _apply_merge pass at a time
+    merges, _ = _bpe_fit(docs, n_merges, max_words=cap)
+    syms = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .select(
+            "word",
+            F.expr(
+                "CASE WHEN length(word) >= 1 THEN"
+                " transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+                " ELSE cast(array() AS array<string>) END"
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _, l, r, _, _ in merges:
+        syms = _apply_merge(syms, l, r).localCheckpoint(eager=True)
+    kpass = {
+        r.word: r.nt
+        for r in syms.select("word", F.size("s").alias("nt")).collect()
+    }
+
+    # the one-pass path, via the public encode: per-doc totals must
+    # equal the K-pass chain's word-level counts summed per doc
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_encode(docs, n_merges, max_words=cap).collect()
+    }
+    expected = {
+        i: (len(t.split(" ")), sum(kpass[w] for w in t.split(" ")))
+        for i, t in enumerate(texts)
+    }
+    assert got == expected
