@@ -142,6 +142,7 @@ class MergePipeline:
         self._applied: set[int] = set()
         self._loaded = storage_root is None
         self._n_actions = 0
+        self._staged_cache: DataFrame | None = None
         # trust gate (M6 fast path): untrusted_flags maps a table name to
         # a boolean Column over the RAW batch that is true when a row MAY
         # be untrusted for that table (an over-approximation is fine —
@@ -397,6 +398,11 @@ class MergePipeline:
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, old_mpn)
+            # drop the staged-batch cache even when a merge raised —
+            # a long-running stream must not leak one cache per failure
+            if self._staged_cache is not None:
+                self._staged_cache.unpersist()
+                self._staged_cache = None
 
     def _process_batch_inner(
         self,
@@ -485,13 +491,27 @@ class MergePipeline:
             max(4, spark.sparkContext.defaultParallelism // 4)
         )
         spark.sparkContext.setJobDescription(f"stage-batch:{batch_id}")
-        # NOTE (r6, measured): persist(MEMORY_AND_DISK)+count instead of
-        # the parquet cut looked like a free ~1 s/batch (no encode +
-        # write + re-read) but interleaved A/B showed the cached-scan
-        # path ~0.8 s SLOWER at the 100k batch — three concurrent
-        # consumers re-scan the columnar cache worse than they re-read
-        # the (page-cached, column-pruned) parquet. Parquet cut stays.
-        staged = cut(staged)  # materializes -> observations fire; lineage cut
+        # Staging materialization: persist(MEMORY_AND_DISK) + count.
+        # The r6 A/B rejected the cached path (~0.8 s slower at the 100k
+        # batch: cached-scan re-reads vs page-cached pruned parquet),
+        # but that measurement predates the r8 levers (no write-side
+        # dedup shuffle, minPartitionNum-scoped scans, gated aux). The
+        # r9 interleaved A/B (8 pairs, fresh engine per rep, sides
+        # alternating) REVERSED it at the small batch and tied the big
+        # one: 20k persist wins 7/8 pairs (min 1.500 vs 1.600 s, median
+        # -8%), 100k split 4/4 with mins 2.27 vs 2.28 — the parquet
+        # cut's encode+write+re-read is pure fixed cost at micro-batch
+        # sizes. On a cluster the persisted batch lives in executor
+        # memory/disk instead of a distributed-FS round trip; the
+        # quarantine write and all three merges consume the cache and
+        # it is dropped at batch end. EMAP_STAGE_CUT=parquet restores
+        # the durable-file staging for memory-constrained deployments.
+        if os.environ.get("EMAP_STAGE_CUT", "persist") == "persist":
+            staged = staged.persist()
+            staged.count()  # materializes -> observations fire
+            self._staged_cache = staged  # unpersisted at batch end
+        else:
+            staged = cut(staged)  # materializes -> observations fire; cuts lineage
         spark.sparkContext.setJobDescription(None)
         self._n_actions += 1
         n_input = int(obs_in.get["n_input"])
@@ -590,6 +610,10 @@ class MergePipeline:
         for name, unt in self._batch_untrusted.items():
             if unt:
                 self._store_all_trusted[name] = False
+
+        if getattr(self, "_staged_cache", None) is not None:
+            self._staged_cache.unpersist()
+            self._staged_cache = None
 
         m = BatchMetrics(
             batch_id, n_input, n_deduped, n_quarantined,

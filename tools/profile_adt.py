@@ -41,6 +41,16 @@ def main() -> None:
     big = cut(adt_messages(spark, n_patients=25000))
     warm = cut(adt_messages(spark, n_patients=200))
 
+    # steady-state option: run N full throwaway engines first so the
+    # profiled engine sees the same JIT-warm JVM as bench.py's min-of-3
+    # best rep (the cold first engine's profile is dominated by tier-up)
+    for _ in range(int(os.environ.get("EMAP_PROFILE_PREWARM", "0"))):
+        pre = EmapEngine(storage_root=tempfile.mkdtemp(prefix="prof_adt_"))
+        pre.process_batch(warm, 0)
+        pre.process_batch(warm.limit(400), 1)
+        pre.process_batch(adt, 2)
+        pre.process_batch(big, 3)
+
     eng = EmapEngine(storage_root=tempfile.mkdtemp(prefix="prof_adt_"))
     eng.process_batch(warm, 0)
     eng.process_batch(warm.limit(400), 1)
