@@ -2482,3 +2482,95 @@ def q130_bpe_train_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q131_bpe_encode_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(_docs(spark, sf_dir), max_words=BPE_CAP_WORDS)
+
+
+# --------------------------------------------------------------------------
+# q132: BM25 top-k lexical retrieval (the classic relevance scorer)
+# --------------------------------------------------------------------------
+# The per-(doc, term) contribution is ONE shared SQL template evaluated
+# by both engines, so every float op parses with identical precedence
+# and runs on identical IEEE doubles; the per-doc sum folds the
+# contributions in SORTED TERM ORDER on both sides (float addition is
+# not associative — an unpinned SUM() would hash-mismatch whenever the
+# engines group in different orders); and the score is rounded to 6
+# decimals on both sides (the q56 pattern) because ln() is the one op
+# with no bit-portable form — JVM Math.log and DuckDB's libm disagree
+# by 1-3 ulps on some inputs (measured on this fixture's idf values),
+# and +,-,*,/ are correctly rounded everywhere but ln is only
+# faithfully rounded. The final ordering uses the ROUNDED score with a
+# doc_id tiebreak so the top-k row set is engine-independent.
+# Lucene-style idf: ln(1 + (N - df + 0.5)/(df + 0.5)); k1=1.2, b=0.75.
+_BM25_CONTRIB = (
+    "ln(1e0 + (n_docs - df + 0.5) / (df + 0.5))"
+    " * ((tf * 2.2) / (tf + 1.2 *"
+    " (0.25 + (0.75 * dl) / (cast(total_len as double) / n_docs))))"
+)
+
+
+@register(
+    "q132_bm25_topk",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS total_len FROM d),
+tok AS (SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS t FROM d),
+tf AS (
+  SELECT doc_id, dl, t, count(*)::BIGINT AS tf FROM tok
+  WHERE t IN ({", ".join(f"'{w}'" for w in sorted(set(_QUERY_TEXT.split(' '))))})
+  GROUP BY doc_id, dl, t
+),
+dft AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t),
+contrib AS (
+  SELECT doc_id, t, {_BM25_CONTRIB} AS c
+  FROM tf JOIN dft USING (t) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_matched,
+         round(list_reduce(list(c ORDER BY t), (a, b) -> a + b), 6) AS bm25
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_matched, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 25
+""",
+    doc=(
+        "BM25 top-k retrieval against a fixed query (k1=1.2, b=0.75, "
+        "Lucene idf). Scale shape: one corpus scan builds query-term "
+        "tfs; df and the corpus stats are tiny broadcast frames; the "
+        "per-doc score is a sorted-order array fold (bit-deterministic "
+        "under any partitioning); TakeOrdered top-k, no global sort."
+    ),
+)
+def q132_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _words(_docs(spark, sf_dir))
+    qterms = sorted(set(_QUERY_TEXT.split(" ")))
+    qlit = ", ".join(f"'{w}'" for w in qterms)
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("w")).cast("long").alias("total_len"),
+    )
+    tf = (
+        d.select(
+            "doc_id",
+            F.size("w").cast("long").alias("dl"),
+            F.explode("w").alias("t"),
+        )
+        .filter(F.expr(f"t IN ({qlit})"))
+        .groupBy("doc_id", "dl", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dft), "t")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "t", F.expr(_BM25_CONTRIB).alias("c"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.expr(
+                "round(aggregate(sort_array(collect_list(struct(t, c))),"
+                " cast(0 as double), (acc, x) -> acc + x.c), 6)"
+            ).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(25)
+    )

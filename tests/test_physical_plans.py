@@ -279,3 +279,20 @@ def test_delta_commit_write_rides_fold_partitioning(spark, tmp_path):
     assert len(_g.glob(d2 + "/*.parquet")) <= log3.n_delta_files
     c = sorted((r.k, r.v) for r in log3.read_current().collect())
     assert c == a
+
+
+def test_bm25_topk_plan_hygiene(spark, sf_dir):
+    """q132: df and corpus stats stay broadcast (no SMJ for the tiny
+    sides), top-k is TakeOrdered (no global range-partitioned sort),
+    and the score fold is an array aggregate (bit-deterministic under
+    any partitioning — no unpinned float SUM)."""
+    plan = plan_of(spark, sf_dir, "q132_bm25_topk")
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("CartesianProduct") == 0
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan  # top-k never global-sorts
+    # the score rides a collect_list fold, not an unpinned float SUM
+    # (plan stringification truncates the lambda, so pin the collector
+    # and the absence of a sum over the contribution column)
+    assert "collect_list" in plan
+    assert "sum(c#" not in plan
