@@ -2574,3 +2574,80 @@ def q132_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# q133: corpus length-distribution report (exact percentiles at scale)
+# --------------------------------------------------------------------------
+@register(
+    "q133_length_distribution",
+    oracle="""
+WITH lens AS (
+  SELECT lang, source, len(string_split(text, ' '))::BIGINT AS dl FROM documents
+),
+hist AS (
+  SELECT lang, source, dl, count(*)::BIGINT AS cnt FROM lens
+  GROUP BY lang, source, dl
+),
+cum AS (
+  SELECT lang, source, dl, cnt,
+         sum(cnt) OVER (PARTITION BY lang, source ORDER BY dl)::BIGINT AS cf
+  FROM hist
+),
+tot AS (
+  SELECT lang, source, sum(cnt)::BIGINT AS n_docs,
+         sum(dl * cnt)::BIGINT AS total_tokens,
+         min(dl) AS min_len, max(dl) AS max_len
+  FROM hist GROUP BY lang, source
+)
+SELECT c.lang, c.source, any_value(n_docs) AS n_docs,
+       any_value(total_tokens) AS total_tokens,
+       any_value(min_len) AS min_len,
+       min(CASE WHEN cf >= (n_docs + 1) // 2 THEN dl END) AS p50_len,
+       min(CASE WHEN cf >= (9 * n_docs + 9) // 10 THEN dl END) AS p90_len,
+       min(CASE WHEN cf >= (99 * n_docs + 99) // 100 THEN dl END) AS p99_len,
+       any_value(max_len) AS max_len
+FROM cum c JOIN tot USING (lang, source)
+GROUP BY c.lang, c.source
+""",
+    doc=(
+        "Per-(lang, source) token-length distribution: n_docs, totals, "
+        "min/max and EXACT discrete p50/p90/p99 — computed from the "
+        "length histogram + a cumulative sum, never by sorting a "
+        "group's rows (a language's documents are billions of rows at "
+        "corpus scale; the histogram is bounded by distinct lengths). "
+        "Percentile index ceil(p*n) is pure integer arithmetic "
+        "((k*n + k-?) // m form), so cross-engine parity is exact. "
+        "The report every packing/config stage runs first."
+    ),
+)
+def q133_length_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "lang", "source", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    hist = d.groupBy("lang", "source", "dl").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cum = hist.withColumn(
+        "cf",
+        F.sum("cnt").over(
+            W.partitionBy("lang", "source").orderBy("dl")
+        ).cast("long"),
+    )
+    tot = hist.groupBy("lang", "source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum(F.col("dl") * F.col("cnt")).cast("long").alias("total_tokens"),
+        F.min("dl").alias("min_len"),
+        F.max("dl").alias("max_len"),
+    )
+    j = cum.join(F.broadcast(tot), ["lang", "source"])
+    pick = lambda idx: F.min(F.when(F.col("cf") >= F.expr(idx), F.col("dl")))
+    return j.groupBy("lang", "source").agg(
+        F.first("n_docs").alias("n_docs"),
+        F.first("total_tokens").alias("total_tokens"),
+        F.first("min_len").alias("min_len"),
+        pick("(n_docs + 1) div 2").alias("p50_len"),
+        pick("(9 * n_docs + 9) div 10").alias("p90_len"),
+        pick("(99 * n_docs + 99) div 100").alias("p99_len"),
+        F.first("max_len").alias("max_len"),
+    )

@@ -296,3 +296,18 @@ def test_bm25_topk_plan_hygiene(spark, sf_dir):
     # and the absence of a sum over the contribution column)
     assert "collect_list" in plan
     assert "sum(c#" not in plan
+
+
+def test_length_distribution_never_sorts_raw_rows(spark, sf_dir):
+    """q133: exact percentiles ride the length HISTOGRAM (bounded by
+    distinct lengths) — the raw per-document rows are never window- or
+    range-sorted (a language's documents are billions of rows at corpus
+    scale), and the totals side stays broadcast."""
+    plan = plan_of(spark, sf_dir, "q133_length_distribution")
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "rangepartitioning" not in plan
+    # the window's sort appears AFTER the histogram aggregate: the only
+    # hash-aggregate upstream of the first Sort is the dl-histogram
+    first_sort = plan.index("Sort [")
+    assert "HashAggregate" in plan[first_sort:]
