@@ -151,13 +151,21 @@ def _load_all() -> None:
 # r2-r8; W4 duplicate-delivery evidence stays via the fold-absorption
 # differentials + the quarantine/metrics tests, and driver q100 keeps
 # the polling/progress family).
+# Round-9b rotation (same session as q132/q133's creation): the two
+# NEW queries enter for a first-round hard driver row rather than
+# waiting a round below the boundary. Out, per the multi-round-green
+# policy: q97 (waveform HL7 parse, driver-green r2-r8; S10/S11 stay
+# pinned by the loopback-TCP test and the waveform family keeps
+# driver q70/q72/q73/q95), q100 (incremental polling, driver-green
+# r2-r8; W6 progress tracking stays pinned by the ids/hoover
+# watermark tests and the q100 oracle stays in the local replica).
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
     "q62_identity_closure",
     # waveform/location/retention operators (W1/Q6/D6/D19/K4)
     "q70_waveform_collation", 
-    "q95_waveform_integrity_check", "q97_waveform_hl7_parse",
+    "q95_waveform_integrity_check",
     "q72_location_visit_inference", "q73_waveform_visit_attach",
     "q111_validation_match_report",
     # parse + domain pipelines (S3-S8, D7-D17, W4)
@@ -170,7 +178,7 @@ _PRIORITY = [
     "q92_patient_conditions", 
     "q86_oru_vendor_observations",
     "q87_forms_pipeline",
-    "q96_hl7_lab_vendor_parse", "q100_incremental_polling",
+    "q96_hl7_lab_vendor_parse",
     # LLM-data pipeline family (dedup/similarity/text)
     "q57_lsh_near_dup_verified",
     "q108_near_dup_clusters",
@@ -187,7 +195,9 @@ _PRIORITY = [
     "q52_vector_stats",
     "q55_token_frequencies", "q56_query_similarity_ranking",
     "q130_bpe_train_capped", "q131_bpe_encode_capped",
+    "q132_bm25_topk", "q133_length_distribution",
     # --- driver cap boundary (first 50 above get the hard driver check) ---
+    "q97_waveform_hl7_parse", "q100_incremental_polling",
     "q76_media_metadata", "q88_stream_dedupe_within_watermark",
     "q48_simhash", "q71_waveform_gap_report",
     "q74_waveform_retention", "q91_lab_isolate_sensitivities",
