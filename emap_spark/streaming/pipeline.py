@@ -391,6 +391,22 @@ class MergePipeline:
         spark.conf.set(
             conf_key, str(max(4, spark.sparkContext.defaultParallelism // 4))
         )
+        # A/B knob (EMAP_BATCH_AQE=off): disable adaptive execution for
+        # the batch window only. AQE materializes a job wave per
+        # exchange; the merge plans are small, known, and explicitly
+        # partitioned (EMAP_FOLD_ROWS_PER_TASK / the staging coalesce),
+        # so the runtime re-plan buys nothing here and its wave
+        # barriers are pure fixed cost. Results are identical either
+        # way (AQE only changes the physical schedule). Restored on
+        # exit so analytic queries keep runtime re-planning.
+        aqe_key = "spark.sql.adaptive.enabled"
+        old_aqe = None
+        if os.environ.get("EMAP_BATCH_AQE") == "off":
+            try:
+                old_aqe = spark.conf.get(aqe_key)
+            except Exception:
+                old_aqe = "true"
+            spark.conf.set(aqe_key, "false")
         try:
             self._process_batch_inner(batch_df, batch_id, aux_tasks, gated_aux)
         finally:
@@ -398,6 +414,8 @@ class MergePipeline:
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, old_mpn)
+            if old_aqe is not None:
+                spark.conf.set(aqe_key, old_aqe)
             # drop the staged-batch cache even when a merge raised —
             # a long-running stream must not leak one cache per failure
             if self._staged_cache is not None:
