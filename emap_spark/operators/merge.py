@@ -281,9 +281,13 @@ def _fold_templates(spec: MergeSpec) -> dict:
     frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     tomb = F.col(spec.tombstone) if spec.tombstone else F.lit(False)
-    last_tomb_t = F.max(F.when(tomb, F.col(spec.event_time))).over(
-        W.partitionBy(*spec.key)
-    )
+    # WINDOW-OP FUSION (r9, same idiom as the mbv templates): this is a
+    # whole-partition max, so it is written over the ORDERED spec with an
+    # unbounded frame (identical result) — its required child ordering
+    # then matches the stage-1/fold windows', and Catalyst plans ONE sort
+    # of the batch for the whole fold instead of a key-only sort here
+    # plus a (key, t, seq) re-sort after the tombstone filter.
+    last_tomb_t = F.max(F.when(tomb, F.col(spec.event_time))).over(frame)
     stage1: list[Column] = []
     cols: list[Column] = [F.col(k) for k in spec.key]
     marks: list[Column] = []
@@ -529,7 +533,6 @@ def _trusted_fold_templates(spec: MergeSpec) -> dict:
     if spec.seq:
         order.append(F.col(spec.seq))
     w_raw = W.partitionBy(*spec.key).orderBy(*order)
-    wkey = W.partitionBy(*spec.key)
     floor = F.lit(UNTRUSTED_EPOCH).cast("timestamp_ntz")
     # the fold below orders by the FLOORED event time; the kept creator
     # is raw-first so it still folds first — extras ride that frame
@@ -546,9 +549,14 @@ def _trusted_fold_templates(spec: MergeSpec) -> dict:
         "keep": tr | (F.col("__m6_rn") == 1),
         "floored_t": F.when(~tr, floor).otherwise(F.col(spec.event_time)),
         "extra_cols": [
-            F.max(tr).over(wkey).alias("__trusted"),
+            # whole-partition aggregates written over the ordered full
+            # frame (identical results) so they FUSE into the Window op
+            # that already evaluates __real_t / the fold columns instead
+            # of adding an unordered pass per distinct spec (r9, the
+            # mbv templates' window-op-fusion idiom)
+            F.max(tr).over(frame).alias("__trusted"),
             F.last(F.col("__raw_t")).over(frame).alias("__real_t"),
-            F.max(F.when(~tr, F.col("__raw_t"))).over(wkey).alias(
+            F.max(F.when(~tr, F.col("__raw_t"))).over(frame).alias(
                 "__u_creator_t"
             ),
             # earliest TRUSTED real event time in the batch: merge_batch
@@ -556,7 +564,7 @@ def _trusted_fold_templates(spec: MergeSpec) -> dict:
             # an earlier trusted event voids the creation (in event
             # order the trusted message creates first and the untrusted
             # one is skipped)
-            F.min(F.when(tr, F.col("__raw_t"))).over(wkey).alias(
+            F.min(F.when(tr, F.col("__raw_t"))).over(frame).alias(
                 "__tr_min_t"
             ),
         ],
@@ -606,7 +614,16 @@ def empty_current(spark, updates: DataFrame, spec: MergeSpec) -> DataFrame:
             sel.append(F.lit(False).alias("__untrusted"))
         st = folded.select(*sel).schema
         _EMPTY_SCHEMA_CACHE[ck] = st
-    return spark.createDataFrame([], st)
+    # limit(0) lets the optimizer SEE the emptiness: a bare
+    # createDataFrame([], st) is an RDD-backed scan with
+    # UnknownPartitioning, so the first batch's full-outer join against
+    # it planned a real SortMergeJoin (exchange + sort of both sides);
+    # OptimizeLimitZero folds limit(0) to an empty LocalRelation and
+    # PropagateEmptyRelation then rewrites the join to a null-padded
+    # projection of the candidate side — no exchange, no sort, no join.
+    # This fires statically, so it also covers the ingest path where
+    # adaptive execution is scoped out of the batch window.
+    return spark.createDataFrame([], st).limit(0)
 
 
 def _ts_cols(spec: MergeSpec) -> list[str]:

@@ -301,10 +301,17 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = PROD_MINHASH) -> Dat
     """(doc_id, s) exploded shingles -> one row per doc with h0..h{n-1}.
 
     Deliberately the exploded groupBy-min fold, NOT a per-row
-    array_min(transform(...)) projection: the aggregation creates an
-    exchange that the band self-join reuses (ReusedExchange), whereas a
-    pure projection is recomputed for BOTH join sides — measured ~1.7x
-    slower end-to-end despite doing zero shuffle."""
+    array_min(transform(...)) projection. Re-measured in r9 after a plan
+    audit showed the band self-join's sides no longer share the
+    aggregation exchange (one side is planned as a BroadcastExchange at
+    bench scale — 0 ReusedExchange in the executed q57 plan, the whole
+    explode->sort-aggregate subtree runs twice): the projection form
+    STILL loses, 2-3x slower end-to-end (q47 min 2.411 vs 5.212 s, q57
+    1.527 vs 5.408, interleaved 0/5 + 0/5 reps). min(string) plans a
+    sort-aggregate but runs inside whole-stage codegen, while
+    transform/array_min higher-order lambdas are evaluated interpreted
+    per element — 8 interpreted md5 lambdas per shingle cost far more
+    than the codegen'd aggregate plus its doc_id exchange."""
     return shingles.groupBy("doc_id").agg(*_minhash_cols(n_hashes))
 
 

@@ -311,3 +311,20 @@ def test_length_distribution_never_sorts_raw_rows(spark, sf_dir):
     # hash-aggregate upstream of the first Sort is the dl-histogram
     first_sort = plan.index("Sort [")
     assert "HashAggregate" in plan[first_sort:]
+
+
+def test_first_batch_merge_fold_one_sort_no_join(spark, sf_dir):
+    """r9 fold-plan pins: (a) merge_batch against a None current plans
+    NO join at all — empty_current's limit(0) lets
+    PropagateEmptyRelation rewrite the full-outer join to a null-padded
+    projection of the candidate side (statically, so it also covers the
+    AQE-off ingest batch window); (b) the fold's whole-partition
+    tombstone max rides the ordered window spec, so the whole fold runs
+    on ONE sort of the batch (previously a key-only sort for the
+    tombstone window plus a (key, t, seq) re-sort)."""
+    plan = plan_of(spark, sf_dir, "q60_merge_engine_snapshot")
+    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert plan.count("+- Sort ") == 1
+    # the one exchange is the user repartition on the merge key
+    assert plan.count("+- Exchange ") == 1
