@@ -37,7 +37,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot(a: str, b: str) -> Column:
-    """Sequential double-precision fold of the elementwise product."""
+    """Sequential double-precision fold of the elementwise product.
+
+    Kept as the aggregate() fold after two r9 A/Bs of a static-64-dim
+    UNROLLED sum (left-associated, 0.0-seeded — bit-identical values,
+    verified): the pure unrolled chain was a wash on the kNN lane (3/5
+    paired reps, mins 1.424 vs 1.515 s — the lane is join/window-bound,
+    not fold-bound), and a dim-guarded CASE variant was actively harmful
+    (0/5, up to 2x slower: the fold branch is CodegenFallback, and one
+    such child forces the WHOLE CaseWhen — including the unrolled branch
+    — into interpreted evaluation). The fold also stays correct for any
+    dimensionality, which the unrolled form would silently truncate."""
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
         " cast(0.0 as double), (acc, v) -> acc + v)"
