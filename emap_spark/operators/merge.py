@@ -1722,6 +1722,25 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
     # instead of adding a full extra pass per distinct unordered spec —
     # each Window op is a real per-row pass (~0.5 s per pass per table
     # per 100k batch, micro-benchmarked).
+    #
+    # ONE-SORT FOLD: measured and REJECTED (r9). The (key, __epoch)
+    # windows force a second full-width sort per fold (Catalyst's
+    # syntactic SortOrder matching cannot see that (key, _order) rows
+    # are already (key, __epoch, _order)-ordered, __epoch being a
+    # cumulative sum along _order). Folding the per-epoch restart into
+    # the expressions instead — tagging every window contribution with
+    # its __epoch over KEY-level windows and masking the picked struct
+    # to the current row's epoch — produced the expected plan (2 Sort →
+    # 1 Sort, windows/exchanges unchanged; plans/r09/mbv_fold_*.txt)
+    # and passed all merge suites + an 8-seed all-columns differential,
+    # but LOST the isolated interleaved A/B: a wash at a 400k-row fold
+    # (mins 1.353 vs 1.339 s, 2/4 pairs) and 0/4 pairs at 2M rows (mins
+    # 2.440 vs 1.788 s, +36%) — the epoch-tagged structs add per-row
+    # allocation inside EVERY fold window aggregate, which costs more
+    # than sorting already-clustered rows. Same lesson as the r9 LSH
+    # projection-form and generator-unroll rejections: expression-tree
+    # weight per row beats pass count at these shapes; re-measure
+    # before re-trying.
     wfull_k = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     wfull_ke = we.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
 
