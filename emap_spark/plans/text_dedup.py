@@ -335,11 +335,29 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Docs sharing >=1 LSH band — the linear-shuffle candidate join
     (bucket equi-join on bkey; at 100 TB bkey doubles as the partition
-    key so each bucket joins co-located)."""
+    key so each bucket joins co-located).
+
+    The self-join carries a MERGE hint (deliberate join-strategy choice,
+    optimization guide §3.1): below the broadcast threshold the planner
+    otherwise picks a BroadcastHashJoin whose build side re-runs the
+    ENTIRE signature pipeline (shingle explode + n_hashes md5 min
+    aggregates) serialized behind a driver-side relation build, while
+    the sort-merge form runs both sides' map stages concurrently and
+    shuffles only the narrow (doc_id, bkey) rows. Measured r9 (sf0.1,
+    one JVM, steady-state): broadcast 2.15-3.5 s vs merge 1.40-1.53 s
+    per pass; interleaved fresh-JVM A/B in plans/r09/. At 100 TB both
+    sides exceed the threshold and SMJ is what the planner picks anyway,
+    so the hint only pins the small-scale plan to the scale shape.
+    SHUFFLE_HASH measured slightly faster still (1.0-1.1 s) but builds a
+    per-partition hash table of band rows — the hot-bucket OOM shape the
+    capped q112 variant exists to avoid; SMJ spills gracefully instead."""
     bands = lsh_band_keys(minhash_signatures(shingles, n_hashes), n_hashes, n_bands)
     a, b = bands.alias("a"), bands.alias("b")
     return (
-        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b.hint("merge"),
+            (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )

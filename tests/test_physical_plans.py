@@ -328,3 +328,14 @@ def test_first_batch_merge_fold_one_sort_no_join(spark, sf_dir):
     assert plan.count("+- Sort ") == 1
     # the one exchange is the user repartition on the merge key
     assert plan.count("+- Exchange ") == 1
+
+
+def test_lsh_self_join_is_sort_merge(spark, sf_dir):
+    """r9 deliberate join strategy (guide §3.1): the LSH band self-join
+    carries a MERGE hint so the small-scale plan matches the 100 TB
+    shape (both sides above the broadcast threshold -> SMJ) instead of
+    a BroadcastHashJoin whose build side re-runs the whole signature
+    pipeline behind a driver-side relation build."""
+    plan = plan_of(spark, sf_dir, "q47_minhash_lsh_pairs")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
