@@ -59,6 +59,12 @@ import os
 import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    _parse_datatype_json_string,
+)
 
 META_RK = "__rk"
 META_V = "__v"
@@ -218,13 +224,37 @@ class DeltaLog:
         paths = self._live_paths(buckets)
         if not paths:
             return None
+        # explicit-schema fast path: the manifest records each column's
+        # exact written dataType (commit/_register), so the read needs no
+        # footer inference — spark.read with mergeSchema ran a small
+        # footer-merge JOB plus driver-side schema resolution per table
+        # per batch (~35-40 ms stage + ~60-100 ms driver on the profiled
+        # 20k ADT batch, x3 tables), pure fixed cost on the ingest path.
+        # Files missing a column yield nulls, exactly as mergeSchema did;
+        # files carrying extra columns (fused superset deltas) are never
+        # read beyond the projection. Legacy manifests without types fall
+        # through to the original mergeSchema read.
+        cols = self._manifest.get("columns")
+        types = self._manifest.get("types") or {}
+        if cols and os.environ.get("EMAP_DELTA_SCHEMA") != "legacy":
+            want = list(cols) + [c for c in (META_V,) if c not in cols]
+            if all(types.get(c) for c in want):
+                st = StructType(
+                    [
+                        StructField(c, _parse_datatype_json_string(types[c]), True)
+                        for c in want
+                    ]
+                )
+                # the trailing select keeps the surface exactly the table
+                # schema even if partition discovery appends a column
+                # (pre-bucketing batch roots)
+                return self.spark.read.schema(st).parquet(*paths).select(*want)
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         # fused delta files carry the SUPERSET of the fused tables'
         # columns (the other tables' columns are all-null and, being
         # columnar, cost ~nothing on disk and are never scanned after
         # this projection); the manifest records THIS table's columns so
         # the read surface stays exactly the table schema
-        cols = self._manifest.get("columns")
         if cols:
             keep = [c for c in cols if c in df.columns]
             keep += [c for c in (META_V,) if c in df.columns and c not in cols]
@@ -388,9 +418,16 @@ class DeltaLog:
                 shutil.rmtree(path)
                 os.replace(tmp, path)
                 actions += 1
+        self._merge_types(versioned.schema)
         return actions + self._register(batch_id, combined.columns)
 
-    def commit_external(self, batch_id: int, path: str, columns: list[str]) -> int:
+    def commit_external(
+        self,
+        batch_id: int,
+        path: str,
+        columns: list[str],
+        types_schema: StructType | None = None,
+    ) -> int:
         """Register an ALREADY-WRITTEN delta dir (this table's partition
         of a fused multi-table file — see commit_fused) in the
         transaction log; returns extra Spark actions spent (1 when the
@@ -399,7 +436,26 @@ class DeltaLog:
         if self.has_batch(batch_id):
             return 0
         self._manifest.setdefault("delta_paths", {})[str(batch_id)] = path
+        if types_schema is not None:
+            self._merge_types(types_schema)
         return self._register(batch_id, columns)
+
+    def _merge_types(self, schema: StructType) -> None:
+        """Record each written column's exact dataType in the manifest so
+        _read_live can skip footer-merge schema inference. A column whose
+        type ever CONFLICTS with a previously recorded one is tombstoned
+        (null) — live files then disagree on that column, so reads fall
+        back to the mergeSchema path rather than risk a wrong explicit
+        schema."""
+        types = self._manifest.setdefault("types", {})
+        for f in schema.fields:
+            if f.name == META_KB:
+                continue
+            tj = f.dataType.json()
+            if f.name not in types:
+                types[f.name] = tj
+            elif types[f.name] is not None and types[f.name] != tj:
+                types[f.name] = None
 
     def _register(self, batch_id: int, columns: list[str]) -> int:
         """Append a written delta to the log (atomic manifest rename) and
@@ -458,7 +514,13 @@ class DeltaLog:
             # the base was written through the pruned read surface, so
             # from here the table's files carry exactly these columns
             "columns": self._manifest.get("columns"),
+            # carry the recorded column types; the folded base's own
+            # types are re-merged (conflict -> tombstone -> mergeSchema
+            # fallback) so an explicit-schema read can never disagree
+            # with what compaction physically wrote
+            "types": self._manifest.get("types", {}),
         }
+        self._merge_types(folded.schema)
         self._write_manifest()
         for p in old_paths:
             if p != base:
@@ -547,8 +609,14 @@ def commit_fused(
     fused.repartition(4).write.mode("overwrite").partitionBy("__tbl").parquet(path)
     actions = 1
     for name, (log, df) in pending.items():
+        # the fused file's physical types for THIS table's columns are
+        # the union's (conflict-free by the check above) plus __v long
+        part_schema = StructType(
+            [StructField(c, types[c], True) for c in df.columns]
+            + [StructField(META_V, LongType(), True)]
+        )
         actions += log.commit_external(
-            batch_id, os.path.join(path, f"__tbl={name}"), df.columns
+            batch_id, os.path.join(path, f"__tbl={name}"), df.columns, part_schema
         )
     return actions
 

@@ -163,3 +163,51 @@ def test_crash_windows_converge(spark, tmp_path):
     _run(delta, spark, [(range(10), 1, "a"), (range(5, 15), 2, "b")])
     assert _snap(delta.read_current()) == state_after_1
     assert delta.read_audit().count() == n_audit_1
+
+
+def test_manifest_schema_cache_matches_mergeschema_read(spark, tmp_path, monkeypatch):
+    """r9 optimization: commits record every written column's exact
+    dataType in the manifest so _read_live reads with an explicit schema
+    (no footer-merge job per table per batch). The fast path must agree
+    with the mergeSchema fallback through commits AND compaction, a
+    tombstoned (conflicting) type must force the fallback, and the
+    legacy env knob must force it too."""
+    batches = [
+        (range(0, 40), 1 + b, f"b{b}") if b % 3 else (range(20, 60), 1 + b, f"b{b}")
+        for b in range(6)
+    ]
+    delta = DeltaLog(str(tmp_path / "d"), "t", ["k"], compact_every=4)
+    delta.load(spark)
+    _run(delta, spark, batches)
+
+    # every live column carries a recorded, non-tombstoned type
+    man = delta._manifest
+    types = man.get("types") or {}
+    want = list(man["columns"]) + ["__v"]
+    assert all(types.get(c) for c in want), f"untyped columns: {[c for c in want if not types.get(c)]}"
+
+    fast_cur, fast_aud = delta.read_current(), delta.read_audit()
+    monkeypatch.setenv("EMAP_DELTA_SCHEMA", "legacy")
+    slow_cur, slow_aud = delta.read_current(), delta.read_audit()
+    monkeypatch.delenv("EMAP_DELTA_SCHEMA")
+
+    for fast, slow in ((fast_cur, slow_cur), (fast_aud, slow_aud)):
+        assert [(f.name, f.dataType) for f in fast.schema.fields] == [
+            (f.name, f.dataType) for f in slow.schema.fields
+        ]
+        assert fast.exceptAll(slow).count() == 0
+        assert slow.exceptAll(fast).count() == 0
+
+    # the explicit-schema plan carries no mergeSchema inference and scans
+    # with exactly the recorded columns
+    plan = fast_cur._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan
+
+    # a type conflict tombstones the column and disables the fast path
+    # (falls back to mergeSchema rather than risk a wrong explicit schema)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    delta._merge_types(StructType([StructField("v", IntegerType(), True)]))
+    assert types["v"] is None
+    fb_cur = delta.read_current()  # must take the fallback path, still correct
+    assert _snap(fb_cur) == _snap(slow_cur)
