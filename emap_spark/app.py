@@ -65,18 +65,43 @@ NON_VISIT_TYPES = (
 ) + IDENTITY_TYPES
 
 
+# Router expression trees are frame-INDEPENDENT unresolved Columns, but
+# building them costs 25–155 ms of py4j round trips per call (r9h
+# profile, OPTIMIZATION_r09.md §9/§12) and the ingest path rebuilds them
+# identically per table per batch — pure GIL-bound driver fixed cost.
+# Column objects are immutable expression ASTs, valid for the life of
+# the py4j gateway (JVM), so they are cached per gateway: a restarted
+# SparkContext inside one JVM reuses them safely; a NEW gateway (fresh
+# JVM) gets a fresh build because the key changes.
+_EXPR_CACHE: dict = {}
+
+
+def _cached_exprs(name: str, batch: DataFrame, build):
+    key = (name, id(batch.sparkSession.sparkContext._gateway))
+    got = _EXPR_CACHE.get(key)
+    if got is None:
+        got = _EXPR_CACHE[key] = build()
+    return got
+
+
 def _route_mrn(batch: DataFrame) -> DataFrame:
     """D1: every identified message upserts the Mrn row — except A47,
     whose mrn is a rekey TARGET applied at read time (creating it would
     trip the collision guard of apply_identifier_changes)."""
-    return batch.filter(
-        F.col("mrn").isNotNull() & (F.col("message_type") != "CHANGE_IDENTIFIERS")
-    ).select(
-        "mrn",
-        F.col("valid_from"),
-        F.col("source_message_id").alias("seq"),
-        F.col("nhs_number"),
-        F.col("source_system"),
+    pred, cols = _cached_exprs("mrn", batch, _build_mrn_exprs)
+    return batch.filter(pred).select(*cols)
+
+
+def _build_mrn_exprs():
+    return (
+        F.col("mrn").isNotNull() & (F.col("message_type") != "CHANGE_IDENTIFIERS"),
+        [
+            F.col("mrn"),
+            F.col("valid_from"),
+            F.col("source_message_id").alias("seq"),
+            F.col("nhs_number"),
+            F.col("source_system"),
+        ],
     )
 
 
@@ -84,19 +109,25 @@ def _route_demographic(batch: DataFrame) -> DataFrame:
     """D4: demographics ride on any ADT message carrying them. A29
     DELETE_PERSON tombstones the row (PersonController
     deletePersonInformation — M9 delete-with-audit)."""
-    return batch.filter(
-        F.col("mrn").isNotNull() & (F.col("message_type") != "CHANGE_IDENTIFIERS")
-    ).select(
-        "mrn",
-        "valid_from",
-        F.col("source_message_id").alias("seq"),
-        "name_given",
-        "name_family",
-        "sex",
-        "birth_datetime",
-        "death_indicator",
-        "death_datetime",
-        (F.col("message_type") == "DELETE_PERSON").alias("is_delete"),
+    pred, cols = _cached_exprs("demographic", batch, _build_demographic_exprs)
+    return batch.filter(pred).select(*cols)
+
+
+def _build_demographic_exprs():
+    return (
+        F.col("mrn").isNotNull() & (F.col("message_type") != "CHANGE_IDENTIFIERS"),
+        [
+            F.col("mrn"),
+            F.col("valid_from"),
+            F.col("source_message_id").alias("seq"),
+            F.col("name_given"),
+            F.col("name_family"),
+            F.col("sex"),
+            F.col("birth_datetime"),
+            F.col("death_indicator"),
+            F.col("death_datetime"),
+            (F.col("message_type") == "DELETE_PERSON").alias("is_delete"),
+        ],
     )
 
 
@@ -118,10 +149,13 @@ def _route_visit(batch: DataFrame) -> DataFrame:
       (removeDischargeInformation);
     - UPDATE_PATIENT_INFO and identity/pending messages never create or
       mutate visits."""
+    pred, cols = _cached_exprs("visit", batch, _build_visit_exprs)
+    return batch.filter(pred).select(*cols)
+
+
+def _build_visit_exprs():
     mtype = F.col("message_type")
-    b = batch.filter(
-        F.col("visit_number").isNotNull() & ~mtype.isin(*NON_VISIT_TYPES)
-    )
+    pred = F.col("visit_number").isNotNull() & ~mtype.isin(*NON_VISIT_TYPES)
     ignore_ts = _ts_tristate(F.lit(None), F.lit("IGNORE"))
     # addPresentationAdmissionOrDischargeTime (VisitController.java:
     # 164-167) early-returns for UNTRUSTED sources even on entity
@@ -153,9 +187,9 @@ def _route_visit(batch: DataFrame) -> DataFrame:
     cleared_str = F.struct(
         F.lit(None).cast("string").alias("value"), F.lit("DELETE").alias("status")
     )
-    return b.select(
+    return pred, [
         F.col("visit_number").alias("encounter"),
-        "valid_from",
+        F.col("valid_from"),
         F.col("source_message_id").alias("seq"),
         # M6: only EPIC is a trusted source for visits (DataSources.java:9,
         # visitShouldBeUpdated VisitController.java:188-198) — untrusted
@@ -174,7 +208,7 @@ def _route_visit(batch: DataFrame) -> DataFrame:
         F.when(mtype == "CANCEL_DISCHARGE", cleared_str)
         .otherwise(F.col("discharge_destination"))
         .alias("discharge_destination"),
-    )
+    ]
 
 
 def _route_condition(batch: DataFrame) -> DataFrame:
