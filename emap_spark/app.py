@@ -70,17 +70,26 @@ NON_VISIT_TYPES = (
 # profile, OPTIMIZATION_r09.md §9/§12) and the ingest path rebuilds them
 # identically per table per batch — pure GIL-bound driver fixed cost.
 # Column objects are immutable expression ASTs, valid for the life of
-# the py4j gateway (JVM), so they are cached per gateway: a restarted
-# SparkContext inside one JVM reuses them safely; a NEW gateway (fresh
-# JVM) gets a fresh build because the key changes.
-_EXPR_CACHE: dict = {}
+# the py4j gateway (JVM), so the cache lives AS AN ATTRIBUTE ON the
+# gateway object: a restarted SparkContext inside one JVM reuses it
+# safely, a NEW gateway (fresh JVM) necessarily starts empty, and —
+# unlike the previous id(gateway)-keyed module dict (ADVICE r9) — a
+# GC'd gateway whose address is reused can never serve stale Columns
+# bound to a dead JVM, because the cache died with the gateway.
+_EXPR_CACHE_ATTR = "_emap_router_expr_cache"
 
 
 def _cached_exprs(name: str, batch: DataFrame, build):
-    key = (name, id(batch.sparkSession.sparkContext._gateway))
-    got = _EXPR_CACHE.get(key)
+    gw = batch.sparkSession.sparkContext._gateway
+    # NOTE: plain getattr() is unusable here — py4j's JavaGateway
+    # __getattr__ resolves any unknown attribute to a JVM member proxy
+    # instead of raising, so the instance __dict__ is consulted directly
+    cache = gw.__dict__.get(_EXPR_CACHE_ATTR)
+    if cache is None:
+        cache = gw.__dict__[_EXPR_CACHE_ATTR] = {}
+    got = cache.get(name)
     if got is None:
-        got = _EXPR_CACHE[key] = build()
+        got = cache[name] = build()
     return got
 
 

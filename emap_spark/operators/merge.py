@@ -1422,9 +1422,33 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
     seq_type = schema[spec.seq].dataType if spec.seq else None
     seed_seq = F.lit(None).cast(seq_type) if seq_type is not None else F.lit(0)
 
+    # tombstone masking is folded INTO this cached projection (r10): a
+    # delete's field payload must not leak into a later resurrection
+    # (same semantics as _mask_tombstone_fields), but composing the mask
+    # here saves one full-plan analysis pass plus its per-batch Column
+    # construction per table per batch — the §9 profile put the mbv
+    # select chain's eager analyses at 125-294 ms/table/batch of pure
+    # driver time.
+    if spec.tombstone:
+
+        def _upd_field(f: str) -> Column:
+            if spec.fields[f] in TRISTATES:
+                vt = schema[f].dataType["value"].dataType
+                ignored = F.struct(
+                    F.lit(None).cast(vt).alias("value"),
+                    F.lit(IGNORE).alias("status"),
+                )
+                return F.when(tomb, ignored).otherwise(F.col(f)).alias(f)
+            return F.when(tomb, F.lit(None)).otherwise(F.col(f)).alias(f)
+
+    else:
+
+        def _upd_field(f: str) -> Column:
+            return F.col(f)
+
     upd_cols = [
         *[F.col(k) for k in key],
-        *[F.col(f) for f in spec.fields],
+        *[_upd_field(f) for f in spec.fields],
         F.col(spec.event_time),
         seq_col.alias("__seq"),
         tomb.alias("__tomb"),
@@ -1838,6 +1862,18 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
         "tomb": tomb,
         "upd_cols": upd_cols,
         "seed_structs": seed_structs,
+        # ONE generator expression replaces the r9 explode -> filter
+        # isNotNull -> select("__s.*") chain: array_compact drops the
+        # null (conditionally absent) seed structs and inline expands the
+        # survivors straight into columns — identical rows, two fewer
+        # eagerly-analyzed DataFrame ops per table per batch
+        "seed_inline": F.inline(F.array_compact(F.array(*seed_structs))),
+        # per-batch Column fragments that are spec-constant (each saved
+        # py4j construction is small; the select/filter they feed still
+        # happens per batch)
+        "repart_keys": [F.col(k) for k in key],
+        "state_filter": ~F.col("__seed") | F.col("__anchor"),
+        "changed_filter": F.col("__changed"),
         "epoch_expr": F.sum(F.col("__tomb").cast("int")).over(cum),
         "epoch_extra": [
             # the floor is stored at the tombstone's PRECEDENCE time
@@ -1878,6 +1914,17 @@ def _mbv_templates(spec: MergeSpec, schema, all_trusted: bool = False) -> dict:
         "changed_expr": changed_expr,
         "valid_until_expr": valid_until_expr,
         "rk_expr": rk_expr,
+        # pre-aliased select tails (alias() is a py4j round trip each —
+        # building them per batch re-paid ~2x(fields+2) calls)
+        "states_extra": [
+            *[expr.alias(name) for name, expr in ts_exprs.items()],
+            changed_expr.alias("__changed"),
+        ],
+        "versions_extra": [
+            valid_until_expr.alias("valid_until"),
+            rk_expr.alias("__rk"),
+            *([F.col("__unt").alias("__untrusted")] if spec.trusted else []),
+        ],
     }
     if spec.trusted and not all_trusted:
         # M6 at message granularity (visitShouldBeUpdated,
@@ -2024,16 +2071,14 @@ def merge_batch_versions(
 
     key = spec.key
     T = _mbv_templates(spec, updates.schema, all_trusted=all_trusted)
-    if spec.tombstone:
-        updates = _mask_tombstone_fields(updates, spec, T["tomb"])
+    # tombstone field masking rides inside upd_cols (template-cached —
+    # see _upd_field in _mbv_templates), not a separate select
     stored_lit = F.lit(stored_from).cast("timestamp_ntz")
     upd = updates.select(*T["upd_cols"], stored_lit.alias("__stored"))
 
-    seeds = (
-        current.select(F.explode(F.array(*T["seed_structs"])).alias("__s"))
-        .filter(F.col("__s").isNotNull())
-        .select("__s.*")
-    )
+    # one generator select (inline over the null-compacted seed array)
+    # replaces the explode -> filter -> star-expand chain
+    seeds = current.select(T["seed_inline"])
     seeded = upd.unionByName(seeds)
     # parallelism follows compute, not bytes (SURVEY §8a0 #7): the union
     # discards any upstream key partitioning, so the 11 window passes
@@ -2047,7 +2092,7 @@ def merge_batch_versions(
     # small batch on a wide cluster should NOT fan out to every core.
     seeded = seeded.repartition(
         parallelism or spark.sparkContext.defaultParallelism,
-        *[F.col(k) for k in key],
+        *T["repart_keys"],
     )
 
     # Each transformation below is ONE select (not a withColumn chain):
@@ -2088,16 +2133,9 @@ def merge_batch_versions(
     # action changed nothing visible) AND the change signature
     # (consecutive duplicates are non-changes; first row per key: lag is
     # NULL, eqNullSafe(struct, NULL) is false, so __changed is true).
-    states = states.filter(~F.col("__seed") | F.col("__anchor")).select(
-        "*",
-        *[expr.alias(name) for name, expr in T["ts_exprs"].items()],
-        T["changed_expr"].alias("__changed"),
-    )
-    versions = states.filter(F.col("__changed")).select(
-        "*",
-        T["valid_until_expr"].alias("valid_until"),
-        T["rk_expr"].alias("__rk"),
-        *([F.col("__unt").alias("__untrusted")] if spec.trusted else []),
+    states = states.filter(T["state_filter"]).select("*", *T["states_extra"])
+    versions = states.filter(T["changed_filter"]).select(
+        "*", *T["versions_extra"]
     )
 
     out_cols = [*key, *spec.fields, "valid_from", "stored_from", "is_deleted"]

@@ -159,6 +159,14 @@ def _load_all() -> None:
 # driver q70/q72/q73/q95), q100 (incremental polling, driver-green
 # r2-r8; W6 progress tracking stays pinned by the ids/hoover
 # watermark tests and the q100 oracle stays in the local replica).
+# Round-10 rotation (VERDICT r9 next-steps #1): restore driver
+# evidence for the four queries rotated out in r9 —
+# q97_waveform_hl7_parse, q100_incremental_polling, q76_media_metadata
+# and q88_stream_dedupe_within_watermark re-enter the top-50. Out:
+# q130/q131/q132/q133, which earned their first-round driver green in
+# CORRECTNESS_r09 (all four 50/50-green) and stay covered by the local
+# replica + their differential/plan-pin tests. NO new queries this
+# round (optimization round).
 _PRIORITY = [
     # bitemporal merge engine + identity closure (M*/D2)
     "q60_merge_engine_snapshot", "q61_replay_asof",
@@ -194,11 +202,11 @@ _PRIORITY = [
     "q45_jaccard_near_dup_pairs", "q46_minhash_signatures",
     "q52_vector_stats",
     "q55_token_frequencies", "q56_query_similarity_ranking",
-    "q130_bpe_train_capped", "q131_bpe_encode_capped",
-    "q132_bm25_topk", "q133_length_distribution",
-    # --- driver cap boundary (first 50 above get the hard driver check) ---
     "q97_waveform_hl7_parse", "q100_incremental_polling",
     "q76_media_metadata", "q88_stream_dedupe_within_watermark",
+    # --- driver cap boundary (first 50 above get the hard driver check) ---
+    "q130_bpe_train_capped", "q131_bpe_encode_capped",
+    "q132_bm25_topk", "q133_length_distribution",
     "q48_simhash", "q71_waveform_gap_report",
     "q74_waveform_retention", "q91_lab_isolate_sensitivities",
     "q93_waveform_stream_catalog", "q98_advance_decisions",

@@ -71,6 +71,38 @@ META_V = "__v"
 META_KB = "__kb"
 
 
+def _to_ranges(ids) -> list[list[int]]:
+    """Collapse a collection of batch ids into sorted inclusive [lo, hi]
+    ranges. Dense micro-batch streams (ids 0..N) collapse to ONE range,
+    so the manifest's compacted-batch bookkeeping stays O(#gaps), not
+    O(#batches) — a manifest rewritten on every commit must not grow
+    with the stream's lifetime (r10, VERDICT r9 #6)."""
+    out: list[list[int]] = []
+    for i in sorted(set(int(x) for x in ids)):
+        if out and i <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], i)
+        else:
+            out.append([i, i])
+    return out
+
+
+def _ranges_contain(ranges, x: int) -> bool:
+    return any(lo <= x <= hi for lo, hi in ranges)
+
+
+def _ranges_merge(ranges, ids) -> list[list[int]]:
+    """Fold new ids into existing ranges (kept sorted + coalesced)."""
+    out = [list(r) for r in ranges] + [[int(i), int(i)] for i in ids]
+    out.sort()
+    merged: list[list[int]] = []
+    for r in out:
+        if merged and r[0] <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], r[1])
+        else:
+            merged.append(r)
+    return merged
+
+
 class DeltaLog:
     """One logical table backed by bucketed delta files + a JSON
     transaction log."""
@@ -111,6 +143,21 @@ class DeltaLog:
             with open(p) as fh:
                 self._manifest = json.load(fh)
             self.n_buckets = self._manifest.get("n_buckets", 0)
+            # upgrade guard (ADVICE r9): a manifest written before type
+            # tracking may hold live files whose physical types were
+            # never observed by _merge_types — the explicit-schema fast
+            # path is only sound once every live file was committed with
+            # tracking active. An existing manifest without the flag
+            # stays on the mergeSchema fallback until one compaction
+            # folds the unobserved files away (_compact re-derives the
+            # flag from the folded base it just wrote).
+            self._manifest.setdefault("types_full", False)
+            # legacy manifests stored compacted batch ids as a FLAT list
+            # (O(batches) manifest growth + O(n) has_batch); normalize to
+            # inclusive [lo, hi] ranges on load
+            comp = self._manifest.get("compacted")
+            if comp and not isinstance(comp[0], list):
+                self._manifest["compacted"] = _to_ranges(comp)
         else:
             self._manifest = {
                 "base": None,
@@ -118,6 +165,9 @@ class DeltaLog:
                 "n_commits": 0,
                 "n_buckets": self.n_buckets,
                 "buckets": {},
+                # fresh table: every file it will ever hold is committed
+                # through _merge_types, so explicit-schema reads are safe
+                "types_full": True,
             }
 
     def _write_manifest(self) -> None:
@@ -131,7 +181,7 @@ class DeltaLog:
         return batch_id in self._manifest["deltas"] or (
             self._manifest["base"] is not None
             and batch_id <= self._manifest["base"]
-            and batch_id in self._manifest.get("compacted", [])
+            and _ranges_contain(self._manifest.get("compacted", []), batch_id)
         )
 
     # -- bucketing ---------------------------------------------------------
@@ -236,7 +286,11 @@ class DeltaLog:
         # through to the original mergeSchema read.
         cols = self._manifest.get("columns")
         types = self._manifest.get("types") or {}
-        if cols and os.environ.get("EMAP_DELTA_SCHEMA") != "legacy":
+        if (
+            cols
+            and self._manifest.get("types_full")
+            and os.environ.get("EMAP_DELTA_SCHEMA") != "legacy"
+        ):
             want = list(cols) + [c for c in (META_V,) if c not in cols]
             if all(types.get(c) for c in want):
                 st = StructType(
@@ -254,11 +308,26 @@ class DeltaLog:
         # columns (the other tables' columns are all-null and, being
         # columnar, cost ~nothing on disk and are never scanned after
         # this projection); the manifest records THIS table's columns so
-        # the read surface stays exactly the table schema
+        # the read surface stays exactly the table schema. A manifest
+        # column absent from every live file is null-filled with its
+        # recorded type — the same surface the explicit-schema fast path
+        # produces, so flipping EMAP_DELTA_SCHEMA (or a tombstone) never
+        # changes read_current's schema (ADVICE r9). Only a column that
+        # is both absent from all files AND untyped (legacy manifest) is
+        # dropped, as before — its type is unknowable.
         if cols:
-            keep = [c for c in cols if c in df.columns]
-            keep += [c for c in (META_V,) if c in df.columns and c not in cols]
-            df = df.select(*keep)
+            sel = [
+                F.col(c)
+                if c in df.columns
+                else F.lit(None)
+                .cast(_parse_datatype_json_string(types[c]))
+                .alias(c)
+                for c in cols
+                if c in df.columns or types.get(c)
+            ]
+            if META_V in df.columns and META_V not in cols:
+                sel.append(F.col(META_V))
+            df = df.select(*sel)
         return df
 
     def read_current(
@@ -501,8 +570,8 @@ class DeltaLog:
             buckets_entry = self._file_buckets(base)
         else:
             folded.write.mode("overwrite").parquet(base)
-        compacted = sorted(
-            set(self._manifest.get("compacted", [])) | set(self._manifest["deltas"])
+        compacted = _ranges_merge(
+            self._manifest.get("compacted", []), self._manifest["deltas"]
         )
         self._manifest = {
             "base": v,
@@ -514,11 +583,15 @@ class DeltaLog:
             # the base was written through the pruned read surface, so
             # from here the table's files carry exactly these columns
             "columns": self._manifest.get("columns"),
-            # carry the recorded column types; the folded base's own
-            # types are re-merged (conflict -> tombstone -> mergeSchema
-            # fallback) so an explicit-schema read can never disagree
-            # with what compaction physically wrote
-            "types": self._manifest.get("types", {}),
+            # types are rebuilt FRESH from the folded base's schema
+            # (ADVICE r9): the conflicting/unobserved files that caused a
+            # tombstone or the types_full=False upgrade guard are deleted
+            # below, so after compaction the base is the only live file
+            # and its just-written schema fully describes the table — the
+            # explicit-schema fast path is restored instead of paying the
+            # mergeSchema fallback forever after one historical conflict.
+            "types": {},
+            "types_full": True,
         }
         self._merge_types(folded.schema)
         self._write_manifest()

@@ -406,14 +406,40 @@ class MergePipeline:
         # micro-batch sizes anyway). EMAP_BATCH_AQE=on keeps AQE inside
         # the batch window for cluster-scale deployments whose batches
         # are large or skewed enough for runtime re-planning to pay.
+        # r10 (VERDICT r9 #3): the default is SIZE-AWARE ("auto") — AQE
+        # stays off only while the staged batch is below a row threshold
+        # (micro-batch regime, where the job-wave fixed cost is the
+        # measured loser), and is restored to the session's value for the
+        # merge window of LARGE batches, where runtime re-planning (skew
+        # splitting, coalescing) is what a cluster-scale deployment
+        # needs. The threshold derives from the same inputs as
+        # _fold_parallelism: EMAP_BATCH_AQE_FACTOR (default 8) x
+        # EMAP_FOLD_ROWS_PER_TASK (default 2500) x defaultParallelism —
+        # 640k rows on local[32] — or an explicit EMAP_BATCH_AQE_ROWS.
+        # The staging pass itself is map-only (no exchange), so running
+        # it AQE-off in every mode is shape-neutral; the decision point
+        # is the staging count, the only place the batch's true row
+        # count exists. EMAP_BATCH_AQE=on|off remain manual overrides.
         aqe_key = "spark.sql.adaptive.enabled"
         old_aqe = None
-        if os.environ.get("EMAP_BATCH_AQE", "off") == "off":
+        mode = os.environ.get("EMAP_BATCH_AQE", "auto")
+        self._aqe_restore_at = None
+        if mode in ("off", "auto"):
             try:
                 old_aqe = spark.conf.get(aqe_key)
             except Exception:
                 old_aqe = "true"
             spark.conf.set(aqe_key, "false")
+            if mode == "auto":
+                rpt = int(os.environ.get("EMAP_FOLD_ROWS_PER_TASK", "2500")) or 2500
+                factor = int(os.environ.get("EMAP_BATCH_AQE_FACTOR", "8"))
+                self._aqe_restore_at = int(
+                    os.environ.get(
+                        "EMAP_BATCH_AQE_ROWS",
+                        factor * rpt * spark.sparkContext.defaultParallelism,
+                    )
+                )
+                self._aqe_session_value = old_aqe
         try:
             self._process_batch_inner(batch_df, batch_id, aux_tasks, gated_aux)
         finally:
@@ -543,6 +569,22 @@ class MergePipeline:
         n_deduped = int(obs_out.get["n_deduped"])
         n_quarantined = int(obs_out.get["n_quarantined"])
         self._batch_rows = n_deduped  # sizes the fold parallelism
+        # size-aware AQE (mode "auto"): a batch at or above the row
+        # threshold gets the session's adaptive execution back for its
+        # merge window — runtime skew-split/coalesce matter exactly when
+        # batches are big (the restore-on-exit in process_batch still
+        # runs; setting the session value here is idempotent with it)
+        self._last_batch_aqe = (
+            os.environ.get("EMAP_BATCH_AQE", "auto") == "on"
+        )
+        if (
+            getattr(self, "_aqe_restore_at", None) is not None
+            and n_deduped >= self._aqe_restore_at
+        ):
+            spark.conf.set(
+                "spark.sql.adaptive.enabled", self._aqe_session_value or "true"
+            )
+            self._last_batch_aqe = self._aqe_session_value != "false"
         self._batch_untrusted = {
             name: bool(obs_out.get[f"__unt_{name}"])
             for name in self.untrusted_flags

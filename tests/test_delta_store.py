@@ -198,10 +198,14 @@ def test_manifest_schema_cache_matches_mergeschema_read(spark, tmp_path, monkeyp
         assert fast.exceptAll(slow).count() == 0
         assert slow.exceptAll(fast).count() == 0
 
-    # the explicit-schema plan carries no mergeSchema inference and scans
-    # with exactly the recorded columns
-    plan = fast_cur._jdf.queryExecution().executedPlan().toString()
-    assert "Scan parquet" in plan
+    # the property that DISTINGUISHES the paths (ADVICE r9: a plan
+    # substring holds for both): the explicit-schema read launches NO
+    # Spark job at DataFrameReader/plan-construction time, while the
+    # mergeSchema fallback runs a footer-merge job there
+    assert _jobs_during(spark, lambda: delta.read_current()) == 0
+    monkeypatch.setenv("EMAP_DELTA_SCHEMA", "legacy")
+    assert _jobs_during(spark, lambda: delta.read_current()) >= 1
+    monkeypatch.delenv("EMAP_DELTA_SCHEMA")
 
     # a type conflict tombstones the column and disables the fast path
     # (falls back to mergeSchema rather than risk a wrong explicit schema)
@@ -211,3 +215,131 @@ def test_manifest_schema_cache_matches_mergeschema_read(spark, tmp_path, monkeyp
     assert types["v"] is None
     fb_cur = delta.read_current()  # must take the fallback path, still correct
     assert _snap(fb_cur) == _snap(slow_cur)
+    assert _jobs_during(spark, lambda: delta.read_current()) >= 1
+
+    # ...but not FOREVER (ADVICE r9): compaction folds the conflicting
+    # files away and rebuilds the types from the base it just wrote, so
+    # the fast path is restored after one compaction cycle
+    n0 = delta._manifest["n_commits"]
+    base0 = delta._manifest["base"]
+    more = [(range(0, 30), 10 + b, f"c{b}") for b in range(delta.compact_every)]
+    for bid, (ids, day, tag) in enumerate(more):
+        res = merge_batch(
+            delta.read_current(), _batch(spark, ids, day, tag), SPEC,
+            f"2024-06-02 00:00:{bid:02d}",
+        )
+        delta.commit(100 + bid, res.combined)
+    # compact_every more commits guarantee at least one compaction ran
+    assert (delta._manifest["base"] or -1) > (base0 or -1)
+    man2 = delta._manifest
+    assert man2["types_full"] and all(
+        man2["types"].get(c) for c in list(man2["columns"]) + ["__v"]
+    )
+    assert _jobs_during(spark, lambda: delta.read_current()) == 0
+    assert delta._manifest["n_commits"] == n0 + len(more)
+
+
+def _jobs_during(spark, fn):
+    """Number of Spark jobs launched while fn() runs (plan construction
+    only — nothing here executes the returned frame)."""
+    group = f"schemaprobe-{os.urandom(4).hex()}"
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", group)
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_legacy_manifest_upgrade_guards_fast_path(spark, tmp_path):
+    """ADVICE r9 (medium): a pre-existing table whose manifest predates
+    type tracking has live files whose physical types were never
+    observed — the explicit-schema fast path must NOT fire (a later
+    commit's types may not describe the legacy files), the mergeSchema
+    fallback must serve reads, and one compaction cycle must restore the
+    fast path (every legacy file folded into a just-observed base)."""
+    delta = DeltaLog(str(tmp_path / "d"), "t", ["k"], compact_every=4)
+    delta.load(spark)
+    _run(delta, spark, [(range(0, 20), 1, "a"), (range(10, 30), 2, "b")])
+    # simulate the pre-r9 manifest: strip type tracking entirely
+    man_path = delta._manifest_path()
+    with open(man_path) as fh:
+        man = json.load(fh)
+    man.pop("types", None)
+    man.pop("types_full", None)
+    with open(man_path, "w") as fh:
+        json.dump(man, fh)
+
+    legacy = DeltaLog(str(tmp_path / "d"), "t", ["k"], compact_every=4)
+    legacy.load(spark)
+    assert legacy._manifest.get("types_full") is False
+    before = _snap(legacy.read_current())
+    # a post-upgrade commit records only ITS schema; the guard must keep
+    # the table on the fallback (legacy files remain unobserved)
+    res = merge_batch(
+        legacy.read_current(), _batch(spark, range(5, 15), 3, "c"), SPEC,
+        "2024-06-01 00:00:02",
+    )
+    legacy.commit(2, res.combined)
+    assert legacy._manifest.get("types_full") is False
+    assert _jobs_during(spark, lambda: legacy.read_current()) >= 1  # fallback
+    # one compaction cycle clears the guard: drive past compact_every
+    for bid in range(3, 3 + legacy.compact_every):
+        res = merge_batch(
+            legacy.read_current(),
+            _batch(spark, range(0, 10), bid + 1, f"d{bid}"),
+            SPEC,
+            f"2024-06-01 00:00:{bid:02d}",
+        )
+        legacy.commit(bid, res.combined)
+    assert legacy._manifest["base"] is not None  # compaction ran
+    assert legacy._manifest["types_full"] is True
+    assert _jobs_during(spark, lambda: legacy.read_current()) == 0  # fast path
+    after = _snap(legacy.read_current())
+    assert {k for k, *_ in before} <= {k for k, *_ in after}
+
+
+def test_manifest_and_live_files_bounded_as_batches_accumulate(spark, tmp_path):
+    """r10 (VERDICT r9 #6): under a long micro-batch stream the read
+    plan and the transaction log must stay BOUNDED — live file count
+    <= base buckets + compact_every deltas, and the manifest must not
+    grow with the number of commits (compacted batch ids are kept as
+    coalesced ranges: a dense stream is ONE range forever; the pre-r10
+    flat list grew by one entry per batch and was rewritten per commit)."""
+    delta = DeltaLog(str(tmp_path / "d"), "t", ["k"], compact_every=8)
+    delta.load(spark)
+    combined = merge_batch(
+        None, _batch(spark, range(2), 1, "a"), SPEC, "2024-06-01 00:00:00"
+    ).combined
+    sizes, live_counts = [], []
+    n = 96
+    for bid in range(n):
+        delta.commit(bid, combined)  # same tiny frame: bookkeeping is under test
+        live_counts.append(len(delta._live_paths()))
+        sizes.append(os.path.getsize(delta._manifest_path()))
+    assert all(delta.has_batch(b) for b in range(n))
+    assert not delta.has_batch(n)
+    # live paths bounded by layout, never by stream length
+    assert max(live_counts) <= delta.n_buckets + delta.compact_every + 1
+    # manifest size FLAT across compaction cycles: the size right after
+    # each compaction must not grow as commits accumulate
+    post_compact = [
+        sizes[i] for i in range(n) if (i + 1) % delta.compact_every == 0
+    ]
+    assert len(post_compact) >= 10
+    # byte-identical from the second cycle on (the first differs only by
+    # range-endpoint digit widths); the pre-r10 flat list grew ~5 bytes
+    # per batch forever
+    assert max(post_compact[1:]) == min(post_compact[1:]), post_compact
+    # dense stream -> exactly one compacted range
+    assert delta._manifest["compacted"] == [[0, (n // 8) * 8 - 1]]
+    # sparse ids (crash-gap shape) stay a short range list, not a flat list
+    from emap_spark.storage.delta import _ranges_contain, _ranges_merge
+
+    rs = []
+    for i in range(0, 20000, 2):
+        rs = _ranges_merge(rs, [i])
+    assert len(rs) == 10000 and _ranges_contain(rs, 19998)
+    rs2 = _ranges_merge(rs, range(1, 20000, 2))
+    assert rs2 == [[0, 19999]]

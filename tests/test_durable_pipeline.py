@@ -255,3 +255,36 @@ def test_stage_cut_cache_released_on_merge_failure(spark, tmpdir):
     with _pytest.raises(Exception):
         eng.process_batch(adt.select("mrn", "source_message_id"), batch_id=1)
     assert eng.pipeline._staged_cache is None
+
+
+def test_batch_aqe_auto_is_size_aware(spark, tmpdir, monkeypatch):
+    """r10 (VERDICT r9 #3): EMAP_BATCH_AQE defaults to auto — AQE is
+    scoped off for the merge window of SMALL batches (the measured
+    micro-batch winner) and restored to the session value for batches at
+    or above the row threshold, and the session conf always comes back
+    after the batch. The threshold is exercised via EMAP_BATCH_AQE_ROWS
+    so the test stays tiny."""
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key)
+    adt = adt_messages(spark, n_patients=40)  # 160 messages
+
+    # below threshold: merge window ran AQE-off
+    monkeypatch.setenv("EMAP_BATCH_AQE_ROWS", "1000000")
+    eng = EmapEngine(storage_root=tmpdir)
+    eng.process_batch(adt, batch_id=0)
+    assert eng.pipeline._last_batch_aqe is False
+    assert spark.conf.get(key) == before  # restored
+
+    # at/above threshold: the session's AQE is restored for the merges
+    monkeypatch.setenv("EMAP_BATCH_AQE_ROWS", "100")
+    eng.process_batch(adt_messages(spark, n_patients=50), batch_id=1)
+    assert eng.pipeline._last_batch_aqe is True
+    assert spark.conf.get(key) == before
+
+    # manual overrides still win
+    monkeypatch.setenv("EMAP_BATCH_AQE", "off")
+    eng.process_batch(adt_messages(spark, n_patients=60), batch_id=2)
+    assert eng.pipeline._last_batch_aqe is False
+    assert spark.conf.get(key) == before
+    monkeypatch.delenv("EMAP_BATCH_AQE")
+    monkeypatch.delenv("EMAP_BATCH_AQE_ROWS")

@@ -69,3 +69,61 @@ def test_engine_batch_order_invariance(spark):
         return vis, lv
 
     assert final([b1, b2]) == final([b2, b1]) == final([adt])
+
+
+def test_router_expr_cache_keyed_on_gateway_object(spark):
+    """r10 (VERDICT r9 #4 / ADVICE r9): the router Column cache lives AS
+    AN ATTRIBUTE ON the py4j gateway object, so (a) repeated calls on one
+    gateway memoize, (b) a fresh gateway — even one allocated at a GC'd
+    gateway's reused address, the id()-keyed cache's failure mode — gets
+    a fresh build, and (c) a SparkContext restart on the SAME gateway
+    (same JVM) keeps the still-valid Columns."""
+    import gc
+
+    from emap_spark import app
+
+    calls: list[int] = []
+
+    def build():
+        calls.append(1)
+        return ("pred", "cols")
+
+    class _FakeGw:
+        pass
+
+    class _FakeSC:
+        def __init__(self, gw):
+            self._gateway = gw
+
+    class _FakeSession:
+        def __init__(self, gw):
+            self.sparkContext = _FakeSC(gw)
+
+    class _FakeDF:
+        def __init__(self, gw):
+            self.sparkSession = _FakeSession(gw)
+
+    gw1 = _FakeGw()
+    assert app._cached_exprs("t", _FakeDF(gw1), build) == ("pred", "cols")
+    assert app._cached_exprs("t", _FakeDF(gw1), build) == ("pred", "cols")
+    assert len(calls) == 1  # memoized on the gateway
+    # SparkContext "restart" within one gateway: a NEW context/session
+    # object wrapping the SAME gateway reuses the cache
+    assert app._cached_exprs("t", _FakeDF(gw1), build) == ("pred", "cols")
+    assert len(calls) == 1
+    # the cache dies WITH the gateway: a new gateway object — possibly
+    # at the dead one's reused address — must rebuild
+    addr1 = id(gw1)
+    del gw1
+    gc.collect()
+    gw2 = _FakeGw()  # may or may not reuse addr1; either way must rebuild
+    app._cached_exprs("t", _FakeDF(gw2), build)
+    assert len(calls) == 2, f"stale cache served (addr reuse={id(gw2) == addr1})"
+    assert getattr(gw2, app._EXPR_CACHE_ATTR)["t"] == ("pred", "cols")
+
+    # the real gateway: identical objects returned across calls (the
+    # per-batch py4j round-trip rebuild is gone)
+    df = spark.range(1)
+    e1 = app._cached_exprs("mrn", df, app._build_mrn_exprs)
+    e2 = app._cached_exprs("mrn", df, app._build_mrn_exprs)
+    assert e1 is e2

@@ -62,9 +62,15 @@ def audit(name: str, plan: str) -> tuple[str, list[str]]:
     # unpartitioned window: 'Arguments: [...windowspecdefinition(...' with
     # no partition columns is hard to regex from formatted output; the
     # SinglePartition exchange above is its physical signature anyway.
+    # WindowGroupLimit (r10, VERDICT r9 #7): rank()/row_number() <= k
+    # filters over a window should plan the partial per-partition
+    # group-limit BEFORE the exchange (Spark's
+    # InsertWindowGroupLimit rule) — a top-k-per-key lane without it
+    # shuffles every row
+    wgl = n(r"\bWindowGroupLimit\b")
     row = (
         f"{name}\t{exchanges}\t{sorts}\t{smj}\t{bhj}\t{bnlj}\t{cart}"
-        f"\t{batch_py}\t{arrow_py}\t{single}"
+        f"\t{batch_py}\t{arrow_py}\t{single}\t{wgl}"
     )
     return row, flags
 
@@ -74,7 +80,10 @@ def main() -> None:
     qs = queries()
     names = sys.argv[2:] or sorted(qs)
     spark = get_spark("audit_plans")
-    print("name\texch\tsort\tsmj\tbhj\tbnlj\tcart\tbatch_py\tarrow_py\tsingle_part")
+    print(
+        "name\texch\tsort\tsmj\tbhj\tbnlj\tcart\tbatch_py\tarrow_py"
+        "\tsingle_part\twgl"
+    )
     all_flags: dict[str, list[str]] = {}
     for name in names:
         try:
