@@ -413,9 +413,17 @@ class MergePipeline:
         # merge window of LARGE batches, where runtime re-planning (skew
         # splitting, coalescing) is what a cluster-scale deployment
         # needs. The threshold derives from the same inputs as
-        # _fold_parallelism: EMAP_BATCH_AQE_FACTOR (default 8) x
+        # _fold_parallelism: EMAP_BATCH_AQE_FACTOR (default 32) x
         # EMAP_FOLD_ROWS_PER_TASK (default 2500) x defaultParallelism —
-        # 640k rows on local[32] — or an explicit EMAP_BATCH_AQE_ROWS.
+        # 2.56M rows (80k rows/core) on local[32] — or an explicit
+        # EMAP_BATCH_AQE_ROWS. The factor default sits at the MEASURED
+        # flip point (tools/ab_adt_big.py, interleaved fresh-engine
+        # pairs, uniform synthetic ADT): AQE-off wins 3/3 pairs at 1M
+        # rows (min 3.88 vs 5.19 s) and 2/2 at 2M (13.6 vs 18.2);
+        # AQE-on wins 2/2 at 4M (10.02 vs 10.54) — the job-wave fixed
+        # cost amortizes somewhere in (2M, 4M) rows on 32 cores, and
+        # above it runtime re-planning is free insurance against the
+        # skew that uniform synthetic data cannot show.
         # The staging pass itself is map-only (no exchange), so running
         # it AQE-off in every mode is shape-neutral; the decision point
         # is the staging count, the only place the batch's true row
@@ -432,7 +440,7 @@ class MergePipeline:
             spark.conf.set(aqe_key, "false")
             if mode == "auto":
                 rpt = int(os.environ.get("EMAP_FOLD_ROWS_PER_TASK", "2500")) or 2500
-                factor = int(os.environ.get("EMAP_BATCH_AQE_FACTOR", "8"))
+                factor = int(os.environ.get("EMAP_BATCH_AQE_FACTOR", "32"))
                 self._aqe_restore_at = int(
                     os.environ.get(
                         "EMAP_BATCH_AQE_ROWS",
